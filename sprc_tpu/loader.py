@@ -1,0 +1,99 @@
+"""Model + preprocess loading, mirroring the reference entry point.
+
+``load_model_and_preprocess(name, model_type, ...)`` is the reference's main
+factory (src/lavis/models/__init__.py:204-249). Here it resolves the model
+class from the registry, builds its config, initializes (or loads) params and
+returns host-side processors.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from sprc_tpu.registry import registry
+
+MODEL_TYPES = {
+    # model_type -> vit_model, mirroring PRETRAINED_MODEL_CONFIG_DICT
+    # (reference blip2_qformer_cir_align_prompt.py:38-42)
+    "pretrain": "eva_clip_g",
+    "pretrain_vitL": "clip_L",
+    "coco": "eva_clip_g",
+}
+
+
+def build_model(
+    name: str,
+    model_type: str = "pretrain",
+    *,
+    vit_dtype=jnp.bfloat16,
+    qformer_dtype=jnp.float32,
+    **overrides: Any,
+):
+    """Return an (uninitialized) model module for a registry name."""
+    from sprc_tpu.models.cir_base import CirConfig
+
+    cls = registry.get_model_class(name)
+    vit_model = MODEL_TYPES.get(model_type, model_type)
+    cfg = CirConfig(
+        vit_model=vit_model,
+        vit_dtype=vit_dtype,
+        qformer_dtype=qformer_dtype,
+        **overrides,
+    )
+    return cls(cfg)
+
+
+def init_params(model, rng: Optional[jax.Array] = None, image_size: int = 224):
+    """Initialize a full parameter pytree with dummy inputs."""
+    if rng is None:
+        rng = jax.random.PRNGKey(0)
+    dummy_img = jnp.zeros((1, image_size, image_size, 3), jnp.float32)
+    dummy_ids = jnp.zeros((1, model.cfg.max_txt_len), jnp.int32)
+    dummy_mask = jnp.ones((1, model.cfg.max_txt_len), jnp.int32)
+    variables = model.init(rng, dummy_img, dummy_img, dummy_ids, dummy_mask)
+    return variables["params"]
+
+
+def load_model(
+    name: str,
+    model_type: str = "pretrain",
+    checkpoint_path: Optional[str] = None,
+    **kw: Any,
+):
+    """Build a model and load params (from a torch ``.pt`` or orbax dir)."""
+    model = build_model(name, model_type, **kw)
+    if checkpoint_path is None:
+        params = init_params(model)
+    else:
+        from sprc_tpu.interop.torch_import import load_checkpoint_auto
+
+        params = load_checkpoint_auto(checkpoint_path, model)
+    return model, params
+
+
+def load_model_and_preprocess(
+    name: str,
+    model_type: str = "pretrain",
+    checkpoint_path: Optional[str] = None,
+    vocab_path: Optional[str] = None,
+    **kw: Any,
+) -> Tuple[Any, Any, dict, dict]:
+    """Returns ``(model, params, vis_processors, txt_processors)``.
+
+    Mirrors the reference factory's return shape: processors are dicts with
+    'train'/'eval' callables.
+    """
+    from sprc_tpu.data.transforms import targetpad_transform
+    from sprc_tpu.text.processors import CaptionProcessor
+
+    model, params = load_model(name, model_type, checkpoint_path, **kw)
+    image_size = model.cfg.image_size
+    vis = {
+        "train": targetpad_transform(1.25, image_size),
+        "eval": targetpad_transform(1.25, image_size),
+    }
+    txt = {"train": CaptionProcessor(), "eval": CaptionProcessor()}
+    return model, params, vis, txt

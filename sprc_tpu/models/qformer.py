@@ -1,0 +1,282 @@
+"""TPU-native Q-Former.
+
+A from-scratch JAX implementation of the querying transformer used by the
+BLIP-2 family: a BERT-base encoder whose first ``query_length`` positions are
+learned query embeddings, with cross-attention into frozen image embeddings
+on every ``cross_attention_freq``-th layer and a *separate* FFN for query
+positions.
+
+Behavioral contract (matched bit-for-intent against the reference fork,
+reference: src/lavis/models/blip2_models/Qformer.py):
+
+1. Embedding layouts (Qformer.py:78-114):
+   - queries + text (image pass): text tokens get word+position embeddings for
+     positions ``0..L-1``; query embeds are *prepended without* position
+     embeddings; LayerNorm is applied to the concatenated sequence.
+   - ``no_img`` text-only pass (SPRC addition, Qformer.py:102-104): the query
+     embeds are spliced in *after the CLS token*, and position embeddings for
+     positions ``0..L+Q-1`` are added across the whole spliced sequence.
+   - queries only: just LayerNorm(query_embeds).
+   - text only: standard BERT embeddings.
+2. Per-layer routing (Qformer.py:434-468, including the fork's
+   "baiyang change"): when image embeddings are present, query positions get
+   cross-attention (on cross layers) and the query FFN while text positions
+   get the text FFN; when image embeddings are ABSENT, *all* positions
+   (including prepended fused queries) run through the text FFN and no
+   cross-attention happens.
+3. Padding masks are additive ``(1 - m) * -10000`` applied to already-scaled
+   scores (Qformer.py:799-808, :250-253).
+
+All sequence lengths are static under ``jax.jit`` (queries=32, text<=32,
+image tokens 257), so every mode compiles to a fixed XLA program.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from sprc_tpu.ops.attention import dot_product_attention
+from sprc_tpu.ops.layers import DenseGeneral, LayerNormFP32
+
+NEG_INF = -10000.0  # matches the reference's additive mask constant
+
+
+@dataclasses.dataclass(frozen=True)
+class QFormerConfig:
+    vocab_size: int = 30523  # bert-base-uncased + [DEC]
+    hidden_size: int = 768
+    num_layers: int = 12
+    num_heads: int = 12
+    intermediate_size: int = 3072
+    encoder_width: int = 1408  # frozen ViT feature dim (EVA ViT-g)
+    cross_attention_freq: int = 2
+    max_position_embeddings: int = 512
+    layer_norm_eps: float = 1e-12
+    query_length: int = 32
+    dropout_rate: float = 0.1
+    attention_dropout_rate: float = 0.1
+    initializer_range: float = 0.02
+    dtype: jnp.dtype = jnp.float32
+
+    @property
+    def head_dim(self) -> int:
+        return self.hidden_size // self.num_heads
+
+
+def make_additive_mask(attention_mask: jnp.ndarray, dtype=jnp.float32) -> jnp.ndarray:
+    """[B, S] {0,1} -> additive [B, 1, 1, S] bias with -10000 at masked slots."""
+    return ((1.0 - attention_mask.astype(jnp.float32)) * NEG_INF)[:, None, None, :].astype(dtype)
+
+
+class QFormerEmbeddings(nn.Module):
+    config: QFormerConfig
+
+    @nn.compact
+    def __call__(
+        self,
+        input_ids: Optional[jnp.ndarray],
+        query_embeds: Optional[jnp.ndarray],
+        *,
+        no_img: bool = False,
+        past_length: int = 0,
+        deterministic: bool = True,
+    ) -> jnp.ndarray:
+        cfg = self.config
+        word = nn.Embed(
+            cfg.vocab_size,
+            cfg.hidden_size,
+            embedding_init=nn.initializers.normal(cfg.initializer_range),
+            param_dtype=jnp.float32,
+            name="word_embeddings",
+        )
+        position = nn.Embed(
+            cfg.max_position_embeddings,
+            cfg.hidden_size,
+            embedding_init=nn.initializers.normal(cfg.initializer_range),
+            param_dtype=jnp.float32,
+            name="position_embeddings",
+        )
+
+        if input_ids is not None:
+            text = word(input_ids)
+            length = input_ids.shape[1]
+            if no_img and query_embeds is not None:
+                # splice queries after CLS, then add positions across the
+                # whole spliced sequence (Qformer.py:102-104)
+                length = length + query_embeds.shape[1]
+                spliced = jnp.concatenate(
+                    [text[:, :1, :], query_embeds.astype(text.dtype), text[:, 1:, :]], axis=1
+                )
+                pos_ids = jnp.arange(past_length, past_length + length)
+                embeddings = spliced + position(pos_ids)[None]
+            else:
+                pos_ids = jnp.arange(past_length, past_length + length)
+                embeddings = text + position(pos_ids)[None]
+                if query_embeds is not None:
+                    embeddings = jnp.concatenate(
+                        [query_embeds.astype(text.dtype), embeddings], axis=1
+                    )
+        else:
+            embeddings = query_embeds
+
+        embeddings = LayerNormFP32(epsilon=cfg.layer_norm_eps, name="ln")(embeddings)
+        embeddings = nn.Dropout(cfg.dropout_rate)(embeddings, deterministic=deterministic)
+        return embeddings.astype(cfg.dtype)
+
+
+class QFormerAttention(nn.Module):
+    """Self- or cross-attention block with post-LN residual (BERT style)."""
+
+    config: QFormerConfig
+    is_cross: bool = False
+
+    @nn.compact
+    def __call__(
+        self,
+        hidden: jnp.ndarray,
+        kv_source: jnp.ndarray,
+        bias: Optional[jnp.ndarray],
+        *,
+        deterministic: bool = True,
+    ) -> jnp.ndarray:
+        cfg = self.config
+        B, S, _ = hidden.shape
+        Sk = kv_source.shape[1]
+        H, D = cfg.num_heads, cfg.head_dim
+
+        q = DenseGeneral(cfg.hidden_size, dtype=cfg.dtype, name="query")(hidden)
+        k = DenseGeneral(cfg.hidden_size, dtype=cfg.dtype, name="key")(kv_source)
+        v = DenseGeneral(cfg.hidden_size, dtype=cfg.dtype, name="value")(kv_source)
+
+        q = q.reshape(B, S, H, D).transpose(0, 2, 1, 3)
+        k = k.reshape(B, Sk, H, D).transpose(0, 2, 1, 3)
+        v = v.reshape(B, Sk, H, D).transpose(0, 2, 1, 3)
+
+        ctx = dot_product_attention(q, k, v, bias=bias)
+        ctx = ctx.transpose(0, 2, 1, 3).reshape(B, S, cfg.hidden_size)
+
+        out = DenseGeneral(cfg.hidden_size, dtype=cfg.dtype, name="out")(ctx)
+        out = nn.Dropout(cfg.dropout_rate)(out, deterministic=deterministic)
+        return LayerNormFP32(epsilon=cfg.layer_norm_eps, name="ln")(out + hidden)
+
+
+class QFormerFFN(nn.Module):
+    """BERT FFN with post-LN residual: dense->gelu->dense->LN(x + input)."""
+
+    config: QFormerConfig
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, *, deterministic: bool = True) -> jnp.ndarray:
+        cfg = self.config
+        h = DenseGeneral(cfg.intermediate_size, dtype=cfg.dtype, name="fc1")(x)
+        h = nn.gelu(h, approximate=False)
+        h = DenseGeneral(cfg.hidden_size, dtype=cfg.dtype, name="fc2")(h)
+        h = nn.Dropout(cfg.dropout_rate)(h, deterministic=deterministic)
+        return LayerNormFP32(epsilon=cfg.layer_norm_eps, name="ln")(h + x)
+
+
+class QFormerLayer(nn.Module):
+    config: QFormerConfig
+    has_cross_attention: bool
+
+    @nn.compact
+    def __call__(
+        self,
+        hidden: jnp.ndarray,
+        self_bias: Optional[jnp.ndarray],
+        image_embeds: Optional[jnp.ndarray],
+        image_bias: Optional[jnp.ndarray],
+        query_length: int,
+        *,
+        deterministic: bool = True,
+    ) -> jnp.ndarray:
+        cfg = self.config
+        attn_out = QFormerAttention(cfg, name="self_attn")(
+            hidden, hidden, self_bias, deterministic=deterministic
+        )
+
+        if image_embeds is not None:
+            # query positions: (cross-attn on cross layers) + query FFN;
+            # text positions: text FFN (Qformer.py:434-468)
+            q_part = attn_out[:, :query_length, :]
+            if self.has_cross_attention:
+                q_part = QFormerAttention(cfg, is_cross=True, name="cross_attn")(
+                    q_part, image_embeds.astype(cfg.dtype), image_bias,
+                    deterministic=deterministic,
+                )
+            q_out = QFormerFFN(cfg, name="ffn_query")(q_part, deterministic=deterministic)
+            if attn_out.shape[1] > query_length:
+                t_out = QFormerFFN(cfg, name="ffn_text")(
+                    attn_out[:, query_length:, :], deterministic=deterministic
+                )
+                return jnp.concatenate([q_out, t_out], axis=1)
+            return q_out
+        # no image: everything (fused queries included) through the text FFN —
+        # the fork's "baiyang change" (Qformer.py:434-435)
+        return QFormerFFN(cfg, name="ffn_text")(attn_out, deterministic=deterministic)
+
+
+class QFormer(nn.Module):
+    """The Q-Former trunk (BertModel analogue; no LM head)."""
+
+    config: QFormerConfig
+
+    @nn.compact
+    def __call__(
+        self,
+        input_ids: Optional[jnp.ndarray] = None,
+        query_embeds: Optional[jnp.ndarray] = None,
+        attention_mask: Optional[jnp.ndarray] = None,
+        image_embeds: Optional[jnp.ndarray] = None,
+        image_mask: Optional[jnp.ndarray] = None,
+        *,
+        no_img: bool = False,
+        deterministic: bool = True,
+    ) -> jnp.ndarray:
+        cfg = self.config
+        if input_ids is None and query_embeds is None:
+            raise ValueError("need input_ids and/or query_embeds")
+
+        query_length = query_embeds.shape[1] if query_embeds is not None else 0
+
+        hidden = QFormerEmbeddings(cfg, name="embeddings")(
+            input_ids, query_embeds, no_img=no_img, deterministic=deterministic
+        )
+        B, S, _ = hidden.shape
+
+        if attention_mask is None:
+            self_bias = None
+        else:
+            if attention_mask.shape[1] != S:
+                raise ValueError(
+                    f"attention_mask length {attention_mask.shape[1]} != sequence {S}"
+                )
+            self_bias = make_additive_mask(attention_mask)
+
+        if image_embeds is not None and image_mask is not None:
+            image_bias = make_additive_mask(image_mask)
+        else:
+            image_bias = None
+
+        # in no_img mode the layers must not see the image at all
+        layer_image = None if no_img else image_embeds
+
+        for i in range(cfg.num_layers):
+            hidden = QFormerLayer(
+                cfg,
+                has_cross_attention=(i % cfg.cross_attention_freq == 0),
+                name=f"layer_{i}",
+            )(
+                hidden,
+                self_bias,
+                layer_image,
+                image_bias,
+                query_length,
+                deterministic=deterministic,
+            )
+        return hidden

@@ -1,0 +1,214 @@
+"""Frozen vision towers: EVA ViT-g and CLIP ViT-L, TPU-native.
+
+Re-implementations (not ports) of the two BLIP-2 image encoders:
+
+- EVA ViT-g (reference: src/lavis/models/eva_vit.py:428-455): patch 14,
+  width 1408, depth 39, heads 16 (1408/88), mlp_ratio 4.3637, fused qkv with
+  *separate q/v bias and zero k bias* (eva_vit.py:118-126), pre-LN blocks,
+  LN eps 1e-6, NO final LayerNorm — the raw 257-token sequence feeds
+  ``ln_vision`` downstream.
+- CLIP ViT-L (reference: src/lavis/models/clip_vit.py:242-263): patch 14,
+  width 1024, 23 layers (the 24th dropped, BLIP-2 style), heads 16,
+  QuickGELU, ln_pre, packed qkv *with* bias + out-proj, NO final LayerNorm.
+
+TPU-first choices: NHWC image layout (the conv patchifier lowers to a single
+MXU matmul), bfloat16 compute with float32 LayerNorms (replacing the
+reference's fp16 + fp32-LN bridge), and Pallas flash attention for the
+257-token sequences via :func:`sprc_tpu.ops.attention.dot_product_attention`.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from sprc_tpu.ops.attention import dot_product_attention
+from sprc_tpu.ops.layers import DenseGeneral, LayerNormFP32, quick_gelu
+
+Dtype = Any
+
+
+@dataclasses.dataclass(frozen=True)
+class ViTConfig:
+    image_size: int = 224
+    patch_size: int = 14
+    width: int = 1408
+    depth: int = 39
+    num_heads: int = 16
+    mlp_hidden: int = 6144
+    layer_norm_eps: float = 1e-6
+    use_ln_pre: bool = False  # CLIP-style pre-transformer LN
+    qkv_fused_no_kbias: bool = False  # EVA-style q/v bias, zero k bias
+    quick_gelu: bool = False
+    dtype: jnp.dtype = jnp.bfloat16
+    remat: bool = False  # activation checkpointing per block
+
+    @property
+    def num_patches(self) -> int:
+        return (self.image_size // self.patch_size) ** 2
+
+    @property
+    def seq_len(self) -> int:
+        return self.num_patches + 1
+
+    @property
+    def head_dim(self) -> int:
+        return self.width // self.num_heads
+
+
+def eva_vit_g_config(image_size: int = 224, dtype=jnp.bfloat16, remat: bool = False) -> ViTConfig:
+    # depth/width/heads/mlp per create_eva_vit_g (eva_vit.py:428-441);
+    # mlp hidden = int(1408 * 4.3637) = 6144
+    return ViTConfig(
+        image_size=image_size,
+        patch_size=14,
+        width=1408,
+        depth=39,
+        num_heads=1408 // 88,
+        mlp_hidden=int(1408 * 4.3637),
+        layer_norm_eps=1e-6,
+        qkv_fused_no_kbias=True,
+        dtype=dtype,
+        remat=remat,
+    )
+
+
+def clip_vit_l_config(image_size: int = 224, dtype=jnp.bfloat16, remat: bool = False) -> ViTConfig:
+    # width/layers/heads per create_clip_vit_L (clip_vit.py:242-250)
+    return ViTConfig(
+        image_size=image_size,
+        patch_size=14,
+        width=1024,
+        depth=23,
+        num_heads=16,
+        mlp_hidden=4096,
+        layer_norm_eps=1e-5,
+        use_ln_pre=True,
+        qkv_fused_no_kbias=False,
+        quick_gelu=True,
+        dtype=dtype,
+        remat=remat,
+    )
+
+
+class PatchEmbed(nn.Module):
+    """Conv patchifier over NHWC images -> [B, N, width]."""
+
+    config: ViTConfig
+    use_bias: bool = True
+
+    @nn.compact
+    def __call__(self, images: jnp.ndarray) -> jnp.ndarray:
+        cfg = self.config
+        p = cfg.patch_size
+        x = nn.Conv(
+            features=cfg.width,
+            kernel_size=(p, p),
+            strides=(p, p),
+            use_bias=self.use_bias,
+            dtype=cfg.dtype,
+            param_dtype=jnp.float32,
+            name="proj",
+        )(images.astype(cfg.dtype))
+        B, H, W, C = x.shape
+        return x.reshape(B, H * W, C)
+
+
+class ViTAttention(nn.Module):
+    config: ViTConfig
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        cfg = self.config
+        B, S, C = x.shape
+        H, D = cfg.num_heads, cfg.head_dim
+
+        if cfg.qkv_fused_no_kbias:
+            # EVA: one fused qkv matmul without bias, then add q/v bias only
+            qkv = DenseGeneral(3 * C, use_bias=False, dtype=cfg.dtype, name="qkv")(x)
+            q, k, v = jnp.split(qkv, 3, axis=-1)
+            q_bias = self.param("q_bias", nn.initializers.zeros, (C,), jnp.float32)
+            v_bias = self.param("v_bias", nn.initializers.zeros, (C,), jnp.float32)
+            q = q + q_bias.astype(q.dtype)
+            v = v + v_bias.astype(v.dtype)
+        else:
+            qkv = DenseGeneral(3 * C, use_bias=True, dtype=cfg.dtype, name="qkv")(x)
+            q, k, v = jnp.split(qkv, 3, axis=-1)
+
+        q = q.reshape(B, S, H, D).transpose(0, 2, 1, 3)
+        k = k.reshape(B, S, H, D).transpose(0, 2, 1, 3)
+        v = v.reshape(B, S, H, D).transpose(0, 2, 1, 3)
+        ctx = dot_product_attention(q, k, v)
+        ctx = ctx.transpose(0, 2, 1, 3).reshape(B, S, C)
+        return DenseGeneral(C, dtype=cfg.dtype, name="proj")(ctx)
+
+
+class ViTBlock(nn.Module):
+    config: ViTConfig
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        cfg = self.config
+        act = quick_gelu if cfg.quick_gelu else (lambda h: nn.gelu(h, approximate=False))
+        h = LayerNormFP32(epsilon=cfg.layer_norm_eps, name="norm1")(x)
+        x = x + ViTAttention(cfg, name="attn")(h)
+        h = LayerNormFP32(epsilon=cfg.layer_norm_eps, name="norm2")(x)
+        h = DenseGeneral(cfg.mlp_hidden, dtype=cfg.dtype, name="mlp_fc1")(h)
+        h = act(h)
+        h = DenseGeneral(cfg.width, dtype=cfg.dtype, name="mlp_fc2")(h)
+        return x + h
+
+
+class _ViTTrunk(nn.Module):
+    """Shared cls-token + pos-embed + block stack."""
+
+    config: ViTConfig
+    patch_bias: bool
+
+    @nn.compact
+    def __call__(self, images: jnp.ndarray) -> jnp.ndarray:
+        cfg = self.config
+        x = PatchEmbed(cfg, use_bias=self.patch_bias, name="patch_embed")(images)
+        B = x.shape[0]
+        cls = self.param(
+            "cls_token", nn.initializers.normal(0.02), (1, 1, cfg.width), jnp.float32
+        )
+        x = jnp.concatenate([jnp.broadcast_to(cls.astype(x.dtype), (B, 1, cfg.width)), x], axis=1)
+        pos = self.param(
+            "pos_embed", nn.initializers.normal(0.02), (1, cfg.seq_len, cfg.width), jnp.float32
+        )
+        x = x + pos.astype(x.dtype)
+
+        if cfg.use_ln_pre:
+            x = LayerNormFP32(epsilon=cfg.layer_norm_eps, name="ln_pre")(x)
+
+        block = ViTBlock
+        if cfg.remat:
+            block = nn.remat(ViTBlock)
+        for i in range(cfg.depth):
+            x = block(cfg, name=f"block_{i}")(x)
+        return x  # NO final LayerNorm (both towers feed ln_vision downstream)
+
+
+class EvaViT(nn.Module):
+    """EVA ViT-g tower. Returns the full 257-token sequence [B, S, 1408]."""
+
+    config: ViTConfig
+
+    @nn.compact
+    def __call__(self, images: jnp.ndarray) -> jnp.ndarray:
+        return _ViTTrunk(self.config, patch_bias=True, name="trunk")(images)
+
+
+class ClipViT(nn.Module):
+    """CLIP ViT-L tower (conv has no bias, ln_pre before the blocks)."""
+
+    config: ViTConfig
+
+    @nn.compact
+    def __call__(self, images: jnp.ndarray) -> jnp.ndarray:
+        return _ViTTrunk(self.config, patch_bias=False, name="trunk")(images)
