@@ -64,6 +64,89 @@ def ref_qformer_module():
     return mod
 
 
+def _load_module_with_shims(path, name, shims):
+    """Load a reference file standalone, injecting fake dep modules."""
+    import types
+
+    added = []
+    try:
+        for mod_name, attrs in shims.items():
+            parts = mod_name.split(".")
+            for i in range(1, len(parts) + 1):
+                prefix = ".".join(parts[:i])
+                if prefix not in sys.modules:
+                    sys.modules[prefix] = types.ModuleType(prefix)
+                    added.append(prefix)
+                if i > 1:
+                    setattr(sys.modules[".".join(parts[: i - 1])], parts[i - 1], sys.modules[prefix])
+            for k, v in attrs.items():
+                setattr(sys.modules[mod_name], k, v)
+        spec = importlib.util.spec_from_file_location(name, str(path))
+        mod = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(mod)
+        return mod
+    except Exception:
+        for m in added:
+            sys.modules.pop(m, None)
+        return None
+
+
+def _timm_shims():
+    import torch
+
+    def drop_path(x, drop_prob=0.0, training=False):
+        return x
+
+    def to_2tuple(x):
+        return x if isinstance(x, tuple) else (x, x)
+
+    def register_model(fn):
+        return fn
+
+    return {
+        "timm.models.layers": {
+            "drop_path": drop_path,
+            "to_2tuple": to_2tuple,
+            "trunc_normal_": torch.nn.init.trunc_normal_,
+        },
+        "timm.models.registry": {"register_model": register_model},
+        "lavis.common.dist_utils": {"download_cached_file": lambda *a, **k: None},
+    }
+
+
+@pytest.fixture(scope="session")
+def ref_eva_vit_module():
+    try:
+        shims = _timm_shims()
+    except Exception:
+        pytest.skip("torch unavailable")
+    path = REFERENCE_ROOT / "lavis/models/eva_vit.py"
+    if not path.exists():
+        pytest.skip("reference eva_vit.py not present")
+    mod = _load_module_with_shims(path, "ref_eva_vit", shims)
+    if mod is None:
+        pytest.skip("reference eva_vit not loadable")
+    return mod
+
+
+@pytest.fixture(scope="session")
+def ref_clip_vit_module(ref_eva_vit_module):
+    shims = _timm_shims()
+    shims["fairscale.nn.checkpoint.checkpoint_activations"] = {
+        "checkpoint_wrapper": lambda m, *a, **k: m
+    }
+    shims["lavis.models.eva_vit"] = {
+        "convert_weights_to_fp16": ref_eva_vit_module.convert_weights_to_fp16
+    }
+    path = REFERENCE_ROOT / "lavis/models/clip_vit.py"
+    if not path.exists():
+        pytest.skip("reference clip_vit.py not present")
+    mod = _load_module_with_shims(path, "ref_clip_vit", shims)
+    if mod is None:
+        pytest.skip("reference clip_vit not loadable")
+    return mod
+
+
 @pytest.fixture(scope="session")
 def rng():
     return np.random.RandomState(0)
