@@ -1,0 +1,47 @@
+"""Similarity kernels for retrieval scoring.
+
+``token_max_sim(feats [B,E], targets [N,Q,E]) -> [B,N]`` is the hot scoring
+op: for every (query, gallery) pair take the max inner product over the Q
+per-image query tokens (reference …cir_align_prompt.py:353-358).
+
+Two paths:
+- XLA: one [B,E] x [E, N*Q] matmul + reshape + max. XLA fuses the epilogue
+  but materializes the [B, N, Q] intermediate in HBM for large N.
+- Pallas (TPU): tiles the matmul and folds the Q-max into the epilogue in
+  VMEM, cutting HBM writes by Q (=32). Auto-selected on TPU for big
+  galleries; both paths are numerically exact (fp32 accumulation).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def _xla_token_max_sim(feats: jax.Array, targets: jax.Array) -> jax.Array:
+    sims = jnp.einsum(
+        "be,nqe->bnq",
+        feats.astype(jnp.float32),
+        targets.astype(jnp.float32),
+        preferred_element_type=jnp.float32,
+    )
+    return sims.max(axis=-1)
+
+
+def token_max_sim(
+    feats: jax.Array, targets: jax.Array, use_pallas: bool | None = None
+) -> jax.Array:
+    if use_pallas is None:
+        use_pallas = (
+            jax.default_backend() == "tpu"
+            and targets.shape[0] >= 1024
+            and feats.shape[-1] % 128 == 0
+        )
+    if use_pallas:
+        try:
+            from sprc_tpu.ops.pallas_sim import token_max_sim_pallas
+
+            return token_max_sim_pallas(feats, targets)
+        except Exception:
+            pass
+    return _xla_token_max_sim(feats, targets)

@@ -1,0 +1,201 @@
+"""Sharded retrieval engine: gallery index build + composed-query scoring.
+
+TPU-native redesign of the reference's eval engine
+(reference: src/utils.py:46-77 ``extract_index_blip_features`` and
+src/validate_blip.py:359-410 ``generate_cirr_val_predictions``):
+
+- **Index build**: gallery images are encoded in fixed-size batches under
+  ``jit``; the index (``target_feats [N, Q, 256]``) lives device-side,
+  sharded over the ``data`` mesh axis. The frozen ViT embeddings
+  (``[N, S, D]``, reused as reference embeddings by the protocol —
+  validate_blip.py:377 ``name_to_feat``) are streamed back to host, the
+  equivalent of the reference's ``save_memory`` CPU offload (utils.py:67-69)
+  but always-on: they are only ever gathered per query batch.
+- **Scoring**: per query batch, one fused pass computes the 256-d composed
+  feature, then a token-max matmul against the sharded gallery produces
+  ``[B, N]`` sims (XLA keeps the contraction local to each shard; only the
+  tiny ``[B, N]`` row block is gathered). This is the gallery-axis analogue
+  of sequence parallelism (SURVEY.md §5.7).
+- **Exact ranking**: full sims go back to host for the stable argsort that
+  eval parity requires; ``topk`` offers the sharded top-K path for large
+  galleries.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, Iterable, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from sprc_tpu.parallel.mesh import data_sharding, make_mesh
+
+
+@dataclasses.dataclass
+class GalleryIndex:
+    names: List[str]
+    target_feats: jax.Array  # [N_pad, Q, E] device, sharded over 'data'
+    frozen_embeds: np.ndarray  # [N, S, D] host
+    n: int  # true gallery size (<= N_pad)
+
+    def reference_embeds(self, names: Sequence[str]) -> np.ndarray:
+        """Gather frozen embeds for reference images by name
+        (the reference's name_to_feat dict, validate_blip.py:377)."""
+        index = {name: i for i, name in enumerate(self.names)}
+        rows = [index[n] for n in names]
+        return self.frozen_embeds[rows]
+
+
+class RetrievalEngine:
+    def __init__(
+        self,
+        model,
+        params,
+        tokenizer=None,
+        mesh: Optional[jax.sharding.Mesh] = None,
+        encode_batch: int = 64,
+        query_batch: int = 32,
+    ):
+        self.model = model
+        self.params = params
+        self.tokenizer = tokenizer
+        self.mesh = mesh
+        self.encode_batch = encode_batch
+        self.query_batch = query_batch
+
+        self._encode = jax.jit(
+            lambda p, imgs: model.apply(
+                {"params": p}, imgs, method=model.extract_target_features
+            )
+        )
+        self._fuse = jax.jit(
+            lambda p, ref, ids, mask: model.apply(
+                {"params": p}, ref, ids, mask, method=model.fusion_feature
+            )
+        )
+        self._sim = jax.jit(self._token_max_sim)
+
+    @staticmethod
+    def _token_max_sim(feats: jax.Array, target_feats: jax.Array) -> jax.Array:
+        from sprc_tpu.ops.sim_kernels import token_max_sim
+
+        return token_max_sim(feats, target_feats)
+
+    # ------------------------------------------------------------- index build
+
+    def build_index(
+        self,
+        batches: Iterable[Tuple[Sequence[str], np.ndarray]],
+    ) -> GalleryIndex:
+        """batches yield (names, images [b, H, W, 3] float32).
+
+        Variable trailing batch sizes are padded to ``encode_batch`` so one
+        compiled program serves the whole gallery.
+        """
+        names: List[str] = []
+        feats_parts: List[np.ndarray] = []
+        frozen_parts: List[np.ndarray] = []
+        for batch_names, images in batches:
+            b = images.shape[0]
+            if b < self.encode_batch:
+                pad = self.encode_batch - b
+                images = np.concatenate(
+                    [images, np.zeros((pad,) + images.shape[1:], images.dtype)], axis=0
+                )
+            feats, frozen = self._encode(self.params, jnp.asarray(images))
+            feats_parts.append(np.asarray(feats[:b]))
+            frozen_parts.append(np.asarray(frozen[:b]))
+            names.extend(batch_names)
+
+        target_feats = np.concatenate(feats_parts, axis=0)
+        frozen = np.concatenate(frozen_parts, axis=0)
+        n = target_feats.shape[0]
+
+        if self.mesh is not None:
+            n_dev = self.mesh.devices.size
+            n_pad = ((n + n_dev - 1) // n_dev) * n_dev
+            if n_pad != n:
+                # pad rows score ~-inf-ish: zero feats give sim 0, real sims
+                # can be negative, so padded rows must be masked by callers
+                # that use topk; full-sims callers slice [:n]
+                target_feats = np.concatenate(
+                    [target_feats, np.zeros((n_pad - n,) + target_feats.shape[1:], target_feats.dtype)]
+                )
+            device_feats = jax.device_put(
+                jnp.asarray(target_feats), data_sharding(self.mesh)
+            )
+        else:
+            device_feats = jnp.asarray(target_feats)
+
+        return GalleryIndex(
+            names=names, target_feats=device_feats, frozen_embeds=frozen, n=n
+        )
+
+    # --------------------------------------------------------------- scoring
+
+    def score_batch(
+        self,
+        index: GalleryIndex,
+        reference_embeds: np.ndarray,
+        input_ids: np.ndarray,
+        text_mask: np.ndarray,
+    ) -> np.ndarray:
+        """One query batch -> [B, N] sims (host numpy, unpadded)."""
+        feats = self._fuse(
+            self.params,
+            jnp.asarray(reference_embeds),
+            jnp.asarray(input_ids),
+            jnp.asarray(text_mask),
+        )
+        sims = self._sim(feats, index.target_feats)
+        return np.asarray(sims)[:, : index.n]
+
+    def score_queries(
+        self,
+        index: GalleryIndex,
+        reference_names: Sequence[str],
+        captions: Sequence[str],
+        max_txt_len: Optional[int] = None,
+    ) -> np.ndarray:
+        """Full query set -> [num_queries, N] sims. Tokenizes on host."""
+        if self.tokenizer is None:
+            raise ValueError("score_queries needs a tokenizer")
+        max_txt_len = max_txt_len or self.model.cfg.max_txt_len
+        out: List[np.ndarray] = []
+        qb = self.query_batch
+        for i in range(0, len(captions), qb):
+            chunk_names = reference_names[i : i + qb]
+            chunk_caps = captions[i : i + qb]
+            tok = self.tokenizer(list(chunk_caps), max_length=max_txt_len)
+            refs = index.reference_embeds(chunk_names)
+            b = len(chunk_caps)
+            if b < qb:  # pad to the compiled batch size
+                pad = qb - b
+                refs = np.concatenate([refs, np.zeros((pad,) + refs.shape[1:], refs.dtype)])
+                ids = np.concatenate([tok["input_ids"], np.zeros((pad, max_txt_len), np.int32)])
+                mask = np.concatenate([tok["attention_mask"], np.ones((pad, max_txt_len), np.int32)])
+            else:
+                ids, mask = tok["input_ids"], tok["attention_mask"]
+            sims = self.score_batch(index, refs, ids, mask)
+            out.append(sims[:b])
+        return np.concatenate(out, axis=0)
+
+    # ----------------------------------------------------------------- top-K
+
+    def topk(
+        self, index: GalleryIndex, sims_device: jax.Array, k: int
+    ) -> Tuple[np.ndarray, np.ndarray]:
+        """Exact global top-K from (possibly sharded) sims via lax.top_k."""
+        n = index.n
+
+        @jax.jit
+        def _topk(s):
+            # mask padded gallery rows
+            cols = jnp.arange(s.shape[-1])
+            s = jnp.where(cols[None, :] < n, s, -jnp.inf)
+            return jax.lax.top_k(s, k)
+
+        vals, idx = _topk(sims_device)
+        return np.asarray(vals), np.asarray(idx)
