@@ -1,0 +1,93 @@
+"""Headline benchmark: gallery-encode throughput (images/sec/chip, ViT-L).
+
+Measures the hot eval path — ``extract_target_features`` (frozen ViT-L ->
+ln_vision -> Q-Former queries -> vision_proj) in bf16 under jit — against
+the driver target of 5000 imgs/sec/chip (BASELINE.json).
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "imgs/sec/chip", "vs_baseline": N}
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+
+BASELINE_IMGS_PER_SEC = 5000.0
+
+
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+
+    import sprc_tpu  # noqa: F401
+    from sprc_tpu.models.cir_base import CirConfig
+    from sprc_tpu.registry import registry
+
+    backend = jax.default_backend()
+    cfg = CirConfig(
+        vit_model="clip_L",
+        vit_dtype=jnp.bfloat16,
+        qformer_dtype=jnp.bfloat16,
+    )
+    model = registry.get_model_class("blip2_cir_align_prompt")(cfg)
+
+    batch = 256 if backend == "tpu" else 2
+    steps = 10 if backend == "tpu" else 2
+
+    rng = jax.random.PRNGKey(0)
+    dummy = jnp.zeros((1, 224, 224, 3), jnp.float32)
+    ids = jnp.zeros((1, cfg.max_txt_len), jnp.int32)
+    mask = jnp.ones((1, cfg.max_txt_len), jnp.int32)
+    # throughput bench: weight VALUES are irrelevant, so build the param
+    # pytree from eval_shape + a constant fill (full model.init executes the
+    # forward under remote compile and costs minutes through the tunnel)
+    shapes = jax.eval_shape(model.init, rng, dummy, dummy, ids, mask)["params"]
+    fill = jax.jit(
+        lambda: jax.tree.map(lambda s: jnp.full(s.shape, 0.02, s.dtype), shapes)
+    )
+    params = fill()
+
+    encode = jax.jit(
+        lambda p, imgs: model.apply(
+            {"params": p}, imgs, method=model.extract_target_features
+        )[0]
+    )
+
+    # distinct device-generated batches: identical inputs can be deduped by
+    # the execution layer, and host->device copies would bottleneck the tunnel
+    gen = jax.jit(lambda k: jax.random.uniform(k, (batch, 224, 224, 3), jnp.float32))
+    batches = [gen(jax.random.PRNGKey(i)) for i in range(4)]
+    jax.block_until_ready(batches)
+
+    # warmup/compile
+    encode(params, batches[0]).block_until_ready()
+
+    # force completion with a scalar readback per call: under the axon
+    # tunnel block_until_ready does not wait for the remote execution;
+    # only a device->host transfer does
+    _ = np.asarray(encode(params, batches[0])[0, 0, 0])  # warmup w/ readback
+    t0 = time.perf_counter()
+    acc = 0.0
+    for i in range(steps):
+        acc += float(np.asarray(encode(params, batches[i % len(batches)])[0, 0, 0]))
+    dt = time.perf_counter() - t0
+    assert np.isfinite(acc)
+
+    imgs_per_sec = batch * steps / dt
+    print(
+        json.dumps(
+            {
+                "metric": f"gallery_encode_vitL_bf16_{backend}",
+                "value": round(imgs_per_sec, 2),
+                "unit": "imgs/sec/chip",
+                "vs_baseline": round(imgs_per_sec / BASELINE_IMGS_PER_SEC, 4),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
