@@ -153,12 +153,12 @@ class QFormerAttention(nn.Module):
         k = DenseGeneral(cfg.hidden_size, dtype=cfg.dtype, name="key")(kv_source)
         v = DenseGeneral(cfg.hidden_size, dtype=cfg.dtype, name="value")(kv_source)
 
-        q = q.reshape(B, S, H, D).transpose(0, 2, 1, 3)
-        k = k.reshape(B, Sk, H, D).transpose(0, 2, 1, 3)
-        v = v.reshape(B, Sk, H, D).transpose(0, 2, 1, 3)
+        q = q.reshape(B, S, H, D)
+        k = k.reshape(B, Sk, H, D)
+        v = v.reshape(B, Sk, H, D)
 
         ctx = dot_product_attention(q, k, v, bias=bias)
-        ctx = ctx.transpose(0, 2, 1, 3).reshape(B, S, cfg.hidden_size)
+        ctx = ctx.reshape(B, S, cfg.hidden_size)
 
         out = DenseGeneral(cfg.hidden_size, dtype=cfg.dtype, name="out")(ctx)
         out = nn.Dropout(cfg.dropout_rate)(out, deterministic=deterministic)

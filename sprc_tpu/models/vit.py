@@ -139,11 +139,12 @@ class ViTAttention(nn.Module):
             qkv = DenseGeneral(3 * C, use_bias=True, dtype=cfg.dtype, name="qkv")(x)
             q, k, v = jnp.split(qkv, 3, axis=-1)
 
-        q = q.reshape(B, S, H, D).transpose(0, 2, 1, 3)
-        k = k.reshape(B, S, H, D).transpose(0, 2, 1, 3)
-        v = v.reshape(B, S, H, D).transpose(0, 2, 1, 3)
+        # BSHD layout end-to-end: no physical head transpose
+        q = q.reshape(B, S, H, D)
+        k = k.reshape(B, S, H, D)
+        v = v.reshape(B, S, H, D)
         ctx = dot_product_attention(q, k, v)
-        ctx = ctx.transpose(0, 2, 1, 3).reshape(B, S, C)
+        ctx = ctx.reshape(B, S, C)
         return DenseGeneral(C, dtype=cfg.dtype, name="proj")(ctx)
 
 

@@ -1,14 +1,16 @@
-"""Attention primitives.
+"""Attention primitives (BSHD layout).
 
-``dot_product_attention`` is the single entry point all models use. It takes
-pre-projected q/k/v in ``[B, H, S, D]`` layout plus an optional additive bias
-(e.g. the BERT-style (1-mask) * -10000 padding bias of the reference,
-Qformer.py:799-808) and returns ``[B, H, Sq, D]``.
+``dot_product_attention`` takes pre-projected q/k/v in ``[B, S, H, D]``
+layout — the natural output of the QKV matmul, avoiding any physical
+transpose (a real HBM cost at ViT batch sizes: 3 x 134 MB per layer for
+ViT-L/256). An optional additive bias (the BERT-style (1-mask) * -10000
+padding bias of the reference, Qformer.py:799-808) is broadcastable to
+``[B, H, Sq, Sk]``. Output is ``[B, Sq, H, D]``.
 
-On TPU, when shapes qualify, the call lowers to the Pallas flash-attention
-kernel in :mod:`sprc_tpu.ops.pallas_attention` (memory-bound win for the
-257-token ViT sequences). Elsewhere — CPU tests, odd shapes — it falls back
-to a plain XLA softmax attention, which XLA fuses well on its own.
+On TPU, when shapes qualify, the call lowers to the Pallas fused-attention
+kernel in :mod:`sprc_tpu.ops.pallas_attention`, which reads the BSHD layout
+directly via strided block specs. Elsewhere it is two einsums whose
+layout changes XLA folds into the matmuls.
 """
 
 from __future__ import annotations
@@ -29,12 +31,12 @@ def _xla_attention(
     bias: Optional[jnp.ndarray],
     scale: float,
 ) -> jnp.ndarray:
-    scores = jnp.einsum("bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32)
+    scores = jnp.einsum("bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32)
     scores = scores * scale
     if bias is not None:
         scores = scores + bias.astype(scores.dtype)
     probs = jax.nn.softmax(scores, axis=-1)
-    return jnp.einsum("bhqk,bhkd->bhqd", probs.astype(v.dtype), v)
+    return jnp.einsum("bhqk,bkhd->bqhd", probs.astype(v.dtype), v)
 
 
 def dot_product_attention(
@@ -46,13 +48,13 @@ def dot_product_attention(
     scale: Optional[float] = None,
     use_pallas: Optional[bool] = None,
 ) -> jnp.ndarray:
-    """Multi-head attention over ``[B, H, S, D]`` tensors.
+    """Multi-head attention over ``[B, S, H, D]`` tensors -> ``[B, Sq, H, D]``.
 
     Args:
-      q, k, v: ``[B, H, Sq|Sk, D]``.
+      q, k, v: ``[B, Sq|Sk, H, D]``.
       bias: optional additive bias broadcastable to ``[B, H, Sq, Sk]``
-        (added AFTER the ``scale`` is applied, matching BERT semantics where
-        the -10000 mask is added to already-scaled scores).
+        (added AFTER ``scale``, matching BERT semantics where the -10000
+        mask is added to already-scaled scores).
       scale: defaults to ``D ** -0.5``.
       use_pallas: force/forbid the Pallas kernel; default auto-selects.
     """
@@ -63,14 +65,14 @@ def dot_product_attention(
     if use_pallas is None:
         use_pallas = (
             jax.default_backend() == "tpu"
-            and q.shape[-2] >= _PALLAS_MIN_SEQ
+            and q.shape[1] >= _PALLAS_MIN_SEQ
             and bias is None
         )
     if use_pallas:
         try:
             from sprc_tpu.ops.pallas_attention import flash_attention
 
-            return flash_attention(q, k, v, scale=scale)
+            return flash_attention(q, k, v, scale)
         except Exception:  # pragma: no cover - fall back if kernel unsupported
             pass
     return _xla_attention(q, k, v, bias, scale)
