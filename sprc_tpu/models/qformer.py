@@ -143,7 +143,8 @@ class QFormerAttention(nn.Module):
         bias: Optional[jnp.ndarray],
         *,
         deterministic: bool = True,
-    ) -> jnp.ndarray:
+        return_probs: bool = False,
+    ):
         cfg = self.config
         B, S, _ = hidden.shape
         Sk = kv_source.shape[1]
@@ -157,12 +158,27 @@ class QFormerAttention(nn.Module):
         k = k.reshape(B, Sk, H, D)
         v = v.reshape(B, Sk, H, D)
 
-        ctx = dot_product_attention(q, k, v, bias=bias)
+        probs = None
+        if return_probs:
+            # explicit path exposing the softmax weights (needed by the
+            # slt variant's token selection, blip2_qformer_cir_slt.py:118-121)
+            scores = jnp.einsum(
+                "bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32
+            ) * (D**-0.5)
+            if bias is not None:
+                scores = scores + bias.astype(scores.dtype)
+            probs = jax.nn.softmax(scores, axis=-1)
+            ctx = jnp.einsum("bhqk,bkhd->bqhd", probs.astype(v.dtype), v)
+        else:
+            ctx = dot_product_attention(q, k, v, bias=bias)
         ctx = ctx.reshape(B, S, cfg.hidden_size)
 
         out = DenseGeneral(cfg.hidden_size, dtype=cfg.dtype, name="out")(ctx)
         out = nn.Dropout(cfg.dropout_rate)(out, deterministic=deterministic)
-        return LayerNormFP32(epsilon=cfg.layer_norm_eps, name="ln")(out + hidden)
+        normed = LayerNormFP32(epsilon=cfg.layer_norm_eps, name="ln")(out + hidden)
+        if return_probs:
+            return normed, probs
+        return normed
 
 
 class QFormerFFN(nn.Module):
@@ -194,11 +210,17 @@ class QFormerLayer(nn.Module):
         query_length: int,
         *,
         deterministic: bool = True,
-    ) -> jnp.ndarray:
+        return_self_probs: bool = False,
+    ):
         cfg = self.config
-        attn_out = QFormerAttention(cfg, name="self_attn")(
-            hidden, hidden, self_bias, deterministic=deterministic
+        attn_result = QFormerAttention(cfg, name="self_attn")(
+            hidden, hidden, self_bias,
+            deterministic=deterministic, return_probs=return_self_probs,
         )
+        if return_self_probs:
+            attn_out, self_probs = attn_result
+        else:
+            attn_out, self_probs = attn_result, None
 
         if image_embeds is not None:
             # query positions: (cross-attn on cross layers) + query FFN;
@@ -214,11 +236,16 @@ class QFormerLayer(nn.Module):
                 t_out = QFormerFFN(cfg, name="ffn_text")(
                     attn_out[:, query_length:, :], deterministic=deterministic
                 )
-                return jnp.concatenate([q_out, t_out], axis=1)
-            return q_out
-        # no image: everything (fused queries included) through the text FFN —
-        # the fork's "baiyang change" (Qformer.py:434-435)
-        return QFormerFFN(cfg, name="ffn_text")(attn_out, deterministic=deterministic)
+                out = jnp.concatenate([q_out, t_out], axis=1)
+            else:
+                out = q_out
+        else:
+            # no image: everything (fused queries included) through the text
+            # FFN — the fork's "baiyang change" (Qformer.py:434-435)
+            out = QFormerFFN(cfg, name="ffn_text")(attn_out, deterministic=deterministic)
+        if return_self_probs:
+            return out, self_probs
+        return out
 
 
 class QFormer(nn.Module):
@@ -237,7 +264,8 @@ class QFormer(nn.Module):
         *,
         no_img: bool = False,
         deterministic: bool = True,
-    ) -> jnp.ndarray:
+        output_attentions: bool = False,
+    ):
         cfg = self.config
         if input_ids is None and query_embeds is None:
             raise ValueError("need input_ids and/or query_embeds")
@@ -266,8 +294,10 @@ class QFormer(nn.Module):
         # in no_img mode the layers must not see the image at all
         layer_image = None if no_img else image_embeds
 
+        last_probs = None
         for i in range(cfg.num_layers):
-            hidden = QFormerLayer(
+            want_probs = output_attentions and i == cfg.num_layers - 1
+            result = QFormerLayer(
                 cfg,
                 has_cross_attention=(i % cfg.cross_attention_freq == 0),
                 name=f"layer_{i}",
@@ -278,5 +308,12 @@ class QFormer(nn.Module):
                 image_bias,
                 query_length,
                 deterministic=deterministic,
+                return_self_probs=want_probs,
             )
+            if want_probs:
+                hidden, last_probs = result
+            else:
+                hidden = result
+        if output_attentions:
+            return hidden, last_probs
         return hidden

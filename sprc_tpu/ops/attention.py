@@ -63,8 +63,14 @@ def dot_product_attention(
         scale = head_dim**-0.5
 
     if use_pallas is None:
+        import os
+
+        # opt-in: through the axon remote-compile tunnel, Mosaic kernels in a
+        # large model push XLA compile times past 10 minutes; enable once a
+        # persistent compile cache (or local compile) is available
         use_pallas = (
-            jax.default_backend() == "tpu"
+            os.environ.get("SPRC_PALLAS_ATTN", "0") == "1"
+            and jax.default_backend() == "tpu"
             and q.shape[1] >= _PALLAS_MIN_SEQ
             and bias is None
         )
