@@ -171,8 +171,17 @@ def clip_vit_params_from_torch(
 # ------------------------------------------------------------------ top model
 
 
-def cir_align_prompt_params_from_torch(sd: Mapping[str, Array], model) -> Pytree:
-    """Full ``Blip2QformerCirAlignPrompt`` state_dict -> model param pytree."""
+def cir_align_prompt_params_from_torch(
+    sd: Mapping[str, Array], model, template: Optional[Pytree] = None
+) -> Pytree:
+    """Full ``Blip2QformerCirAlignPrompt``-family state_dict -> param pytree.
+
+    ``template`` (e.g. from ``jax.eval_shape(model.init, ...)``) filters the
+    result to the keys the model actually materializes — flax only creates
+    params for modules a model's forward uses, so e.g. ``itm_head`` exists in
+    reference checkpoints but not in the align_prompt param tree (mirrors the
+    reference's ``strict=False`` load, blip_validate.py:108).
+    """
     cfg = model.cfg
     vcfg = cfg.vit_config()
     qcfg = cfg.qformer_config()
@@ -189,21 +198,44 @@ def cir_align_prompt_params_from_torch(sd: Mapping[str, Array], model) -> Pytree
             cross_attention_freq=qcfg.cross_attention_freq,
         ),
         "query_tokens": np.asarray(sd["query_tokens"]),
-        "vision_proj": _linear(sd, "vision_proj"),
-        "text_proj": _linear(sd, "text_proj"),
-        "itm_head": _linear(sd, "itm_head"),
         "temp": np.asarray(sd["temp"]),
     }
-    if "prompt_tokens" in sd:
-        params["prompt_tokens"] = np.asarray(sd["prompt_tokens"])
+    for name in ("vision_proj", "text_proj", "itm_head"):
+        if f"{name}.weight" in sd:
+            params[name] = _linear(sd, name)
+    for name in ("prompt_tokens", "rel_tokens", "query_tokens_f"):
+        if name in sd:
+            params[name] = np.asarray(sd[name])
+    if template is not None:
+        params = _filter_to_template(params, template)
     return params
+
+
+def _filter_to_template(params: Pytree, template: Pytree) -> Pytree:
+    """Keep only keys present in template; error on template keys missing
+    from params (a genuinely absent weight is a porting bug)."""
+    out: Pytree = {}
+    for key, tval in template.items():
+        if key not in params:
+            raise KeyError(f"checkpoint missing parameter subtree '{key}'")
+        pval = params[key]
+        if isinstance(tval, dict) and isinstance(pval, dict):
+            out[key] = _filter_to_template(pval, tval)
+        else:
+            out[key] = pval
+    return out
 
 
 # ------------------------------------------------------------------- loading
 
 
 def torch_state_dict_to_numpy(state_dict) -> Dict[str, Array]:
-    return {k: v.detach().cpu().float().numpy() for k, v in state_dict.items()}
+    out = {}
+    for k, v in state_dict.items():
+        if hasattr(v, "detach"):
+            v = v.detach().cpu().float().numpy()
+        out[k] = np.asarray(v)
+    return out
 
 
 def load_torch_file(path: str) -> Dict[str, Array]:
@@ -233,5 +265,15 @@ def load_checkpoint_auto(path: str, model) -> Pytree:
         from sprc_tpu.train.checkpoint import restore_params
 
         return restore_params(path)
+    import jax
+    import jax.numpy as jnp
+
     sd = load_torch_file(path)
-    return cir_align_prompt_params_from_torch(sd, model)
+    # filter to the structure this model actually materializes (strict=False)
+    dummy_img = jnp.zeros((1, model.cfg.image_size, model.cfg.image_size, 3))
+    dummy_ids = jnp.zeros((1, model.cfg.max_txt_len), jnp.int32)
+    template = jax.eval_shape(
+        model.init, jax.random.PRNGKey(0), dummy_img, dummy_img, dummy_ids,
+        jnp.ones((1, model.cfg.max_txt_len), jnp.int32),
+    )["params"]
+    return cir_align_prompt_params_from_torch(sd, model, template=template)

@@ -95,7 +95,10 @@ def export_torch_compatible(path: str, params: Any, model, epoch: int = 0) -> No
 
     from sprc_tpu.interop.torch_export import params_to_torch_state_dict
 
-    sd = params_to_torch_state_dict(params, model)
+    sd = {
+        k: torch.from_numpy(np.ascontiguousarray(v))
+        for k, v in params_to_torch_state_dict(params, model).items()
+    }
     torch.save(
         {"epoch": epoch, "Blip2QformerCirAlignPrompt": sd},
         path,

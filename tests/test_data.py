@@ -33,8 +33,9 @@ def cirr_root(tmp_path_factory, rng):
             "pairid": i,
             "reference": names[i],
             "target_hard": names[(i + 1) % 6],
+            # CIRR group members include the target (and the reference)
             "caption": f"caption {i}",
-            "img_set": {"members": names[:4]},
+            "img_set": {"members": [names[i], names[(i + 1) % 6], names[(i + 2) % 6]]},
         }
         for i in range(4)
     ]

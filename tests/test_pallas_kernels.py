@@ -48,3 +48,16 @@ def test_flash_attention_grad_matches_xla(rng):
     g_x = jax.grad(loss_xla, argnums=(0, 1, 2))(q, k, v)
     for a, b in zip(g_p, g_x):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=3e-4)
+
+
+@pytest.mark.parametrize("shape", [(4, 10, 3, 16), (130, 300, 32, 256), (1, 1, 2, 8)])
+def test_token_max_sim_pallas_matches_xla(shape, rng):
+    from sprc_tpu.ops.pallas_sim import token_max_sim_pallas
+    from sprc_tpu.ops.sim_kernels import _xla_token_max_sim
+
+    B, N, Q, E = shape
+    feats = jnp.asarray(rng.randn(B, E).astype(np.float32))
+    targets = jnp.asarray(rng.randn(N, Q, E).astype(np.float32))
+    want = _xla_token_max_sim(feats, targets)
+    got = token_max_sim_pallas(feats, targets)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5)
