@@ -1,0 +1,61 @@
+"""Config system tests: YAML load, merge, dotlist overrides, model build."""
+
+import numpy as np
+import pytest
+
+from sprc_tpu.config import (
+    Config,
+    apply_dotlist,
+    build_model_from_config,
+    deep_merge,
+    load_yaml,
+    model_config_path,
+)
+
+
+def test_deep_merge():
+    base = {"a": {"b": 1, "c": 2}, "d": 3}
+    out = deep_merge(base, {"a": {"c": 9, "e": 4}})
+    assert out == {"a": {"b": 1, "c": 9, "e": 4}, "d": 3}
+    assert base["a"]["c"] == 2  # no mutation
+
+
+def test_dotlist_overrides():
+    cfg = {"run": {"lr": 1e-5, "epochs": 50}}
+    out = apply_dotlist(cfg, ["run.lr=2e-4", "run.epochs=10", "model.arch=blip2_cir_cat"])
+    assert out["run"]["lr"] == 2e-4
+    assert out["run"]["epochs"] == 10
+    assert out["model"]["arch"] == "blip2_cir_cat"
+    with pytest.raises(ValueError):
+        apply_dotlist(cfg, ["no_equals_sign"])
+
+
+def test_load_all_model_configs():
+    import glob
+    import os
+
+    from sprc_tpu.config import CONFIG_ROOT
+    from sprc_tpu.registry import registry
+
+    paths = glob.glob(os.path.join(CONFIG_ROOT, "models", "*", "*.yaml"))
+    assert len(paths) >= 22  # 11 archs x 2 types
+    for p in paths:
+        cfg = load_yaml(p)
+        arch = cfg["model"]["arch"]
+        registry.get_model_class(arch)  # raises if not registered
+
+
+def test_build_model_from_yaml():
+    path = model_config_path("blip2_cir_align_prompt", "pretrain_vitL")
+    cfg = Config(path)
+    model = build_model_from_config(cfg.model)
+    assert model.cfg.vit_model == "clip_L"
+    assert model.cfg.num_query_token == 32
+
+
+def test_run_config():
+    path = model_config_path("blip2_cir_align_prompt", "pretrain")
+    cfg = Config(path, overrides=["model.image_size=112", "run.batch_size=8"])
+    assert cfg.get("model.image_size") == 112
+    assert cfg.run["batch_size"] == 8
+    assert cfg.get("missing.key", "fallback") == "fallback"
