@@ -1,0 +1,196 @@
+"""Q-Former language-model head + caption generation.
+
+TPU-native equivalent of the reference's ``BertLMHeadModel`` + ``generate``
+path (reference Qformer.py:976-1138; used by the CIR models' ``generate``,
+…cir_align_prompt.py:202-263): decoder-mode Q-Former (UniLM mask: queries
+bidirectional among themselves, text causal with query prefix) feeding a
+BERT prediction head (dense -> gelu -> LN -> vocab projection).
+
+Decode runs the full prefix each step under one fixed-shape jitted program
+(sequence padded to ``max_length``): at <=32 query + 30 text tokens,
+recompute is cheaper than carrying a KV cache through host round trips, and
+the single compiled shape avoids per-length recompilation.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from sprc_tpu.models.qformer import QFormer, QFormerConfig
+from sprc_tpu.ops.layers import DenseGeneral, LayerNormFP32
+
+
+class QFormerLMHead(nn.Module):
+    """BertLMPredictionHead: transform dense -> gelu -> LN -> decoder."""
+
+    config: QFormerConfig
+
+    @nn.compact
+    def __call__(self, hidden: jnp.ndarray) -> jnp.ndarray:
+        cfg = self.config
+        h = DenseGeneral(cfg.hidden_size, dtype=cfg.dtype, name="transform")(hidden)
+        h = nn.gelu(h, approximate=False)
+        h = LayerNormFP32(epsilon=cfg.layer_norm_eps, name="ln")(h)
+        return DenseGeneral(cfg.vocab_size, dtype=cfg.dtype, name="decoder")(h)
+
+
+class QFormerLM(nn.Module):
+    """Decoder Q-Former + LM head (BertLMHeadModel analogue)."""
+
+    config: QFormerConfig
+
+    def setup(self) -> None:
+        self.qformer = QFormer(self.config)
+        self.lm_head = QFormerLMHead(self.config)
+
+    def __call__(
+        self,
+        input_ids: jnp.ndarray,
+        query_embeds: jnp.ndarray,
+        attention_mask: Optional[jnp.ndarray] = None,
+        image_embeds: Optional[jnp.ndarray] = None,
+        *,
+        deterministic: bool = True,
+    ) -> jnp.ndarray:
+        """-> LM logits over the text positions [B, L, vocab]."""
+        Q = query_embeds.shape[1]
+        if attention_mask is None:
+            B, L = input_ids.shape
+            attention_mask = jnp.concatenate(
+                [jnp.ones((B, Q), jnp.int32), jnp.ones((B, L), jnp.int32)], axis=1
+            )
+        hidden = self.qformer(
+            input_ids=input_ids,
+            query_embeds=query_embeds,
+            attention_mask=attention_mask,
+            image_embeds=image_embeds,
+            is_decoder=True,
+            deterministic=deterministic,
+        )
+        return self.lm_head(hidden[:, Q:, :])
+
+
+def greedy_generate(
+    lm: QFormerLM,
+    params,
+    query_embeds: jnp.ndarray,
+    image_embeds: jnp.ndarray,
+    *,
+    bos_token_id: int,
+    eos_token_id: int,
+    pad_token_id: int,
+    max_length: int = 30,
+    min_length: int = 10,
+) -> jnp.ndarray:
+    """Greedy caption decode -> token ids [B, max_length].
+
+    One jitted fixed-shape step scanned over decode positions; finished rows
+    emit PAD. ``min_length`` suppresses EOS early (HF semantics).
+    """
+    B = query_embeds.shape[0]
+
+    @jax.jit
+    def logits_fn(ids, mask):
+        return lm.apply(
+            {"params": params}, ids, query_embeds, attention_mask=None,
+            image_embeds=image_embeds,
+        )
+
+    ids = jnp.full((B, max_length), pad_token_id, jnp.int32)
+    ids = ids.at[:, 0].set(bos_token_id)
+    finished = jnp.zeros((B,), bool)
+    for step in range(1, max_length):
+        logits = logits_fn(ids, None)[:, step - 1, :]
+        if step < min_length:
+            logits = logits.at[:, eos_token_id].set(-1e9)
+        next_tok = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        next_tok = jnp.where(finished, pad_token_id, next_tok)
+        ids = ids.at[:, step].set(next_tok)
+        finished = finished | (next_tok == eos_token_id)
+        if bool(jnp.all(finished)):
+            break
+    return ids
+
+
+def generate_captions(
+    cir_model,
+    cir_params,
+    lm_head_params,
+    images: jnp.ndarray,
+    tokenizer,
+    *,
+    max_length: int = 30,
+    min_length: int = 10,
+) -> list[str]:
+    """Caption images with a CIR model's Q-Former + an LM head.
+
+    Mirrors the reference ``generate`` (…cir_align_prompt.py:202-263, greedy
+    path): frozen ViT -> ln_vision -> query tokens decode with [DEC] bos.
+    The LM head weights come from the stage-1 checkpoint (cls.predictions.*,
+    importable via :func:`qformer_lm_params_from_torch`).
+    """
+    frozen = cir_model.apply(
+        {"params": cir_params}, images, method=cir_model.encode_image
+    )
+    B = frozen.shape[0]
+    Q = cir_model.cfg.num_query_token
+    queries = jnp.broadcast_to(
+        cir_params["query_tokens"], (B, Q, cir_params["query_tokens"].shape[2])
+    )
+    lm = QFormerLM(cir_model.cfg.qformer_config())
+    params = {"qformer": cir_params["qformer"], "lm_head": lm_head_params}
+    ids = greedy_generate(
+        lm, params, queries, frozen,
+        bos_token_id=tokenizer.bos_id,
+        eos_token_id=tokenizer.sep_id,
+        pad_token_id=tokenizer.pad_id,
+        max_length=max_length, min_length=min_length,
+    )
+    return [tokenizer.decode(row) for row in np.asarray(ids)]
+
+
+import numpy as np  # noqa: E402  (used by generate_captions)
+
+
+# ------------------------------------------------------------------ interop
+
+
+def qformer_lm_params_from_torch(sd, *, prefix: str = "Qformer.", num_layers: int,
+                                 cross_attention_freq: int = 2):
+    """Map BertLMHeadModel state_dict (bert.* + cls.predictions.*) into
+    QFormerLM params."""
+    import numpy as np
+
+    from sprc_tpu.interop.torch_import import qformer_params_from_torch
+
+    params = {
+        "qformer": qformer_params_from_torch(
+            sd,
+            prefix=f"{prefix}bert.",
+            num_layers=num_layers,
+            cross_attention_freq=cross_attention_freq,
+        ),
+        "lm_head": {
+            "transform": {
+                "kernel": np.ascontiguousarray(
+                    np.asarray(sd[f"{prefix}cls.predictions.transform.dense.weight"]).T
+                ),
+                "bias": np.asarray(sd[f"{prefix}cls.predictions.transform.dense.bias"]),
+            },
+            "ln": {
+                "scale": np.asarray(sd[f"{prefix}cls.predictions.transform.LayerNorm.weight"]),
+                "bias": np.asarray(sd[f"{prefix}cls.predictions.transform.LayerNorm.bias"]),
+            },
+            "decoder": {
+                "kernel": np.ascontiguousarray(
+                    np.asarray(sd[f"{prefix}cls.predictions.decoder.weight"]).T
+                ),
+                "bias": np.asarray(sd[f"{prefix}cls.predictions.bias"]),
+            },
+        },
+    }
+    return params

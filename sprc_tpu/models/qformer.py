@@ -73,6 +73,30 @@ def make_additive_mask(attention_mask: jnp.ndarray, dtype=jnp.float32) -> jnp.nd
     return ((1.0 - attention_mask.astype(jnp.float32)) * NEG_INF)[:, None, None, :].astype(dtype)
 
 
+def make_unilm_mask(
+    attention_mask: jnp.ndarray, query_length: int, dtype=jnp.float32
+) -> jnp.ndarray:
+    """UniLM-style decoder mask (Qformer.py:749-789, has_query path).
+
+    Layout: ``[queries (Q) | text (L)]``. Query rows attend only to queries;
+    text row i attends to all queries plus text positions <= i; everything is
+    multiplied by the padding mask. Returns additive [B, 1, S, S].
+    """
+    B, S = attention_mask.shape
+    L = S - query_length
+    rows = jnp.arange(S)[:, None]
+    cols = jnp.arange(S)[None, :]
+    is_query_col = cols < query_length
+    # query rows: ones on query cols, zeros on text cols
+    query_rows = is_query_col & (rows < query_length)
+    # text rows: ones on query cols + causal over text cols
+    text_causal = (cols - query_length) <= (rows - query_length)
+    text_rows = (rows >= query_length) & (is_query_col | ((cols >= query_length) & text_causal))
+    structural = (query_rows | text_rows).astype(jnp.float32)  # [S, S]
+    combined = structural[None] * attention_mask.astype(jnp.float32)[:, None, :]
+    return ((1.0 - combined) * NEG_INF)[:, None, :, :].astype(dtype)
+
+
 class QFormerEmbeddings(nn.Module):
     config: QFormerConfig
 
@@ -263,6 +287,7 @@ class QFormer(nn.Module):
         image_mask: Optional[jnp.ndarray] = None,
         *,
         no_img: bool = False,
+        is_decoder: bool = False,
         deterministic: bool = True,
         output_attentions: bool = False,
     ):
@@ -278,13 +303,18 @@ class QFormer(nn.Module):
         B, S, _ = hidden.shape
 
         if attention_mask is None:
+            attention_mask = jnp.ones((B, S), jnp.int32) if is_decoder else None
+        if attention_mask is None:
             self_bias = None
         else:
             if attention_mask.shape[1] != S:
                 raise ValueError(
                     f"attention_mask length {attention_mask.shape[1]} != sequence {S}"
                 )
-            self_bias = make_additive_mask(attention_mask)
+            if is_decoder:
+                self_bias = make_unilm_mask(attention_mask, query_length)
+            else:
+                self_bias = make_additive_mask(attention_mask)
 
         if image_embeds is not None and image_mask is not None:
             image_bias = make_additive_mask(image_mask)

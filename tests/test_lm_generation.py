@@ -1,0 +1,127 @@
+"""Decoder-mode / LM-head parity vs reference BertLMHeadModel + greedy decode."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from sprc_tpu.models.lm import QFormerLM, greedy_generate, qformer_lm_params_from_torch
+from sprc_tpu.models.qformer import QFormerConfig
+
+HIDDEN = 32
+HEADS = 2
+LAYERS = 2
+INTER = 64
+ENC = 48
+Q = 4
+VOCAB = 50
+TXT = 6
+B = 2
+
+
+@pytest.fixture(scope="module")
+def pair(ref_qformer_module):
+    import torch
+
+    mod = ref_qformer_module
+    cfg = mod.BertConfig(
+        vocab_size=VOCAB,
+        hidden_size=HIDDEN,
+        num_hidden_layers=LAYERS,
+        num_attention_heads=HEADS,
+        intermediate_size=INTER,
+        hidden_dropout_prob=0.0,
+        attention_probs_dropout_prob=0.0,
+    )
+    cfg.encoder_width = ENC
+    cfg.add_cross_attention = True
+    cfg.cross_attention_freq = 2
+    cfg.query_length = Q
+    torch.manual_seed(3)
+    tmodel = mod.BertLMHeadModel(cfg).eval()
+
+    jcfg = QFormerConfig(
+        vocab_size=VOCAB, hidden_size=HIDDEN, num_layers=LAYERS, num_heads=HEADS,
+        intermediate_size=INTER, encoder_width=ENC, cross_attention_freq=2,
+        query_length=Q, dropout_rate=0.0,
+    )
+    jmodel = QFormerLM(jcfg)
+    sd = {k: v.detach().numpy() for k, v in tmodel.state_dict().items()}
+    params = qformer_lm_params_from_torch(sd, prefix="", num_layers=LAYERS)
+    return tmodel, jmodel, params
+
+
+def test_decoder_logits_parity(pair, rng):
+    import torch
+
+    tmodel, jmodel, params = pair
+    ids = rng.randint(0, VOCAB, (B, TXT)).astype(np.int32)
+    mask = np.ones((B, TXT), np.int32)
+    queries = rng.randn(B, Q, HIDDEN).astype(np.float32)
+    img = rng.randn(B, 5, ENC).astype(np.float32)
+    full_mask = np.concatenate([np.ones((B, Q), np.int32), mask], axis=1)
+
+    with torch.no_grad():
+        out = tmodel(
+            input_ids=torch.from_numpy(ids).long(),
+            query_embeds=torch.from_numpy(queries),
+            attention_mask=torch.from_numpy(full_mask).long(),
+            encoder_hidden_states=torch.from_numpy(img),
+            is_decoder=True,
+            return_dict=True,
+        )
+        want = out.logits.numpy()
+
+    got = jmodel.apply(
+        {"params": params},
+        jnp.asarray(ids),
+        jnp.asarray(queries),
+        attention_mask=jnp.asarray(full_mask),
+        image_embeds=jnp.asarray(img),
+    )
+    assert got.shape == want.shape == (B, TXT, VOCAB)
+    np.testing.assert_allclose(np.asarray(got), want, atol=3e-5)
+
+
+def test_greedy_generate_matches_reference_stepwise(pair, rng):
+    """Greedy decode must follow the reference's per-step argmax."""
+    import torch
+
+    tmodel, jmodel, params = pair
+    queries = rng.randn(B, Q, HIDDEN).astype(np.float32)
+    img = rng.randn(B, 5, ENC).astype(np.float32)
+    bos, eos, pad = 1, 2, 0
+    max_len = 6
+
+    ids = greedy_generate(
+        jmodel, params, jnp.asarray(queries), jnp.asarray(img),
+        bos_token_id=bos, eos_token_id=eos, pad_token_id=pad,
+        max_length=max_len, min_length=2,
+    )
+    ids = np.asarray(ids)
+    assert ids.shape == (B, max_len)
+    assert (ids[:, 0] == bos).all()
+
+    # reference stepwise greedy (equivalent to HF greedy with the same
+    # min-length EOS suppression)
+    t_ids = np.full((B, max_len), pad, np.int64)
+    t_ids[:, 0] = bos
+    fin = np.zeros(B, bool)
+    for step in range(1, max_len):
+        with torch.no_grad():
+            out = tmodel(
+                input_ids=torch.from_numpy(t_ids[:, :step]),
+                query_embeds=torch.from_numpy(queries),
+                encoder_hidden_states=torch.from_numpy(img),
+                is_decoder=True,
+                return_dict=True,
+            )
+        logits = out.logits[:, -1, :].numpy()
+        if step < 2:
+            logits[:, eos] = -1e9
+        nxt = logits.argmax(-1)
+        nxt = np.where(fin, pad, nxt)
+        t_ids[:, step] = nxt
+        fin |= nxt == eos
+    np.testing.assert_array_equal(ids, t_ids)
