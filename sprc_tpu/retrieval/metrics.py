@@ -100,6 +100,38 @@ def compute_fiq_metrics(
     return recall_at(labels, 10), recall_at(labels, 50)
 
 
+def compute_circo_metrics(
+    sims: np.ndarray,
+    index_ids: Sequence[str],
+    gt_img_ids: Sequence[Sequence[str]],
+    ks: Sequence[int] = (5, 10, 25, 50),
+) -> Dict[str, float]:
+    """CIRCO mAP@K over multi-ground-truth queries.
+
+    The reference defines the CIRCO dataset (data_utils.py:289-426) but never
+    wires its eval; the dataset's standard protocol is mAP@K with up to 23
+    ground truths per query (padded with '' which are ignored here).
+    AP@K = sum_r [precision@r * rel(r)] / min(K, #GT).
+    """
+    sorted_ids = sort_gallery(sims, index_ids)
+    out: Dict[str, float] = {}
+    for k in ks:
+        aps = []
+        for row, gts in zip(sorted_ids, gt_img_ids):
+            gts_set = {g for g in gts if g}
+            if not gts_set:
+                continue
+            hits = 0
+            precision_sum = 0.0
+            for r, name in enumerate(row[:k], start=1):
+                if name in gts_set:
+                    hits += 1
+                    precision_sum += hits / r
+            aps.append(precision_sum / min(k, len(gts_set)))
+        out[f"map_at{k}"] = float(np.mean(aps)) * 100.0 if aps else 0.0
+    return out
+
+
 def cirr_topk_lists(
     sims: np.ndarray,
     index_names: Sequence[str],

@@ -186,3 +186,25 @@ def test_cirr_topk_lists(rng):
     assert len(top50[0]) == 5 and len(top3[0]) == 3
     assert refs[0] not in top50[0] and refs[1] not in top50[1]
     assert set(top3[0]) <= set(groups[0])
+
+
+def test_circo_map(rng):
+    from sprc_tpu.retrieval.metrics import compute_circo_metrics
+
+    names = [f"g{i}" for i in range(8)]
+    # query 0: ranks by sim -> g0 best...; GTs at ranks 1 and 3
+    sims = np.array([[8, 7, 6, 5, 4, 3, 2, 1]], np.float32)
+    res = compute_circo_metrics(sims, names, [["g0", "g2", ""]], ks=(5,))
+    # AP@5 = (1/1 + 2/3) / 2
+    np.testing.assert_allclose(res["map_at5"], (1.0 + 2 / 3) / 2 * 100, atol=1e-6)
+    # no GT in top-k
+    res2 = compute_circo_metrics(sims, names, [["g7", ""]], ks=(5,))
+    assert res2["map_at5"] == 0.0
+
+
+def test_instruct_stub_errors():
+    from sprc_tpu.registry import registry
+
+    cls = registry.get_model_class("blip2_vicuna_instruct")
+    with pytest.raises(NotImplementedError):
+        cls()
