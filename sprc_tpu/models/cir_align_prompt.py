@@ -116,32 +116,5 @@ class CirAlignPrompt(Blip2CirBase):
         )
         return l2_normalize(self.text_proj(hidden[:, 0, :]))
 
-    # ------------------------------------------------------------------- eval
-
-    def extract_target_features(
-        self, images: jnp.ndarray
-    ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-        """Gallery encode: [B,H,W,3] -> (proj feats [B,Q,256], frozen [B,S,D])."""
-        frozen = self.encode_image(images)
-        return self.target_features(frozen), frozen
-
-    def inference(
-        self,
-        reference_embeds: jnp.ndarray,
-        target_feats: jnp.ndarray,
-        input_ids: jnp.ndarray,
-        text_mask: jnp.ndarray,
-    ) -> jnp.ndarray:
-        """Score queries against the gallery: -> [B, N] raw max-sims."""
-        _, fusion_feats = self.fuse_reference(reference_embeds, input_ids, text_mask)
-        return self.token_max_sim(fusion_feats, target_feats)
-
-    def fusion_feature(
-        self,
-        reference_embeds: jnp.ndarray,
-        input_ids: jnp.ndarray,
-        text_mask: jnp.ndarray,
-    ) -> jnp.ndarray:
-        """Just the 256-d composed-query feature (for sharded gallery scoring)."""
-        _, fusion_feats = self.fuse_reference(reference_embeds, input_ids, text_mask)
-        return fusion_feats
+    # eval contract (extract_target_features / inference / fusion_feature)
+    # is inherited from Blip2CirBase

@@ -199,6 +199,60 @@ class Blip2CirBase(nn.Module):
         )
         return l2_normalize(self.text_proj(hidden[:, 0, :]))
 
+    # ----------------------------------------------------- default eval contract
+
+    def extract_target_features(self, images: jnp.ndarray):
+        """Gallery encode: [B,H,W,3] -> (proj feats [B,Q,E], frozen [B,S,D])
+        (reference …cir_align_prompt.py:364-386; shared by the variants)."""
+        frozen = self.encode_image(images)
+        return self.target_features(frozen), frozen
+
+    def inference(
+        self,
+        reference_embeds: jnp.ndarray,
+        target_feats: jnp.ndarray,
+        input_ids: jnp.ndarray,
+        text_mask: jnp.ndarray,
+    ) -> jnp.ndarray:
+        """Composed-query scoring -> [B, N] raw max-sims (:312-361)."""
+        _, fusion_feats = self.fuse_reference(reference_embeds, input_ids, text_mask)
+        return self.token_max_sim(fusion_feats, target_feats)
+
+    def fusion_feature(
+        self,
+        reference_embeds: jnp.ndarray,
+        input_ids: jnp.ndarray,
+        text_mask: jnp.ndarray,
+    ) -> jnp.ndarray:
+        """Just the 256-d composed-query feature (sharded gallery scoring)."""
+        _, fusion_feats = self.fuse_reference(reference_embeds, input_ids, text_mask)
+        return fusion_feats
+
+    def compute_itm(
+        self,
+        image_embeds: jnp.ndarray,
+        input_ids: jnp.ndarray,
+        text_mask: jnp.ndarray,
+    ) -> jnp.ndarray:
+        """ITM score: queries+text cross-attend the image, itm_head logits
+        averaged over query positions, positive-class logit
+        (reference …cir_align_prompt.py:289-309). -> [B]."""
+        B = input_ids.shape[0]
+        Q = self.cfg.num_query_token
+        q = self._queries(B)
+        attn_mask = jnp.concatenate(
+            [jnp.ones((B, Q), dtype=text_mask.dtype), text_mask], axis=1
+        )
+        hidden = self.qformer(
+            input_ids=input_ids,
+            query_embeds=q,
+            attention_mask=attn_mask,
+            image_embeds=image_embeds,
+            deterministic=True,
+        )
+        logits = self.itm_head(hidden[:, :Q, :])
+        return logits[:, :, 1].mean(axis=1)
+
     # ------------------------------------------------------------------ scoring
 
     @staticmethod

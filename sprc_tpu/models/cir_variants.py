@@ -344,15 +344,6 @@ class CirFull(_PromptedBase, _HardNegMixin):
             "loss_align": loss_align,
         }
 
-    def extract_target_features(self, images):
-        frozen = self.encode_image(images)
-        return self.target_features(frozen), frozen
-
-    def inference(self, reference_embeds, target_feats, input_ids, text_mask):
-        _, fusion_feats = self.fuse_reference(reference_embeds, input_ids, text_mask)
-        return self.token_max_sim(fusion_feats, target_feats)
-
-
 @registry.register_model("blip2_cir_rerank", override=True)
 class CirRerank(_FusionItcBase, _HardNegMixin):
     """Dedicated ITM reranker (blip2_qformer_cir_rerank.py).

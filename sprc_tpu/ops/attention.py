@@ -31,6 +31,11 @@ def _xla_attention(
     bias: Optional[jnp.ndarray],
     scale: float,
 ) -> jnp.ndarray:
+    import os
+
+    if os.environ.get("SPRC_ATTN_IMPL", "einsum") == "jnn" and bias is None:
+        # jax.nn.dot_product_attention takes BTNH == our BSHD layout
+        return jax.nn.dot_product_attention(q, k, v, scale=scale)
     scores = jnp.einsum("bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32)
     scores = scores * scale
     if bias is not None:
