@@ -34,7 +34,9 @@ def main() -> None:
     )
     model = registry.get_model_class("blip2_cir_align_prompt")(cfg)
 
-    batch = 256 if backend == "tpu" else 2
+    import os
+
+    batch = int(os.environ.get("SPRC_BENCH_BATCH", "512" if backend == "tpu" else "2"))
     steps = 10 if backend == "tpu" else 2
 
     rng = jax.random.PRNGKey(0)

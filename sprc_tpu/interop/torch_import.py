@@ -102,8 +102,20 @@ def qformer_params_from_torch(
 # ------------------------------------------------------------------ EVA ViT-g
 
 
+def _stack_blocks(blocks) -> Pytree:
+    """Per-layer dicts -> one dict with a leading [depth] axis per leaf
+    (the nn.scan stacked-params layout)."""
+    import jax
+
+    return jax.tree.map(lambda *xs: np.stack(xs, axis=0), *blocks)
+
+
 def eva_vit_params_from_torch(
-    sd: Mapping[str, Array], *, prefix: str = "visual_encoder.", depth: int = 39
+    sd: Mapping[str, Array],
+    *,
+    prefix: str = "visual_encoder.",
+    depth: int = 39,
+    scan_blocks: bool = False,
 ) -> Pytree:
     p = prefix
     conv_w = np.asarray(sd[f"{p}patch_embed.proj.weight"])  # [out,in,kh,kw]
@@ -117,9 +129,10 @@ def eva_vit_params_from_torch(
             }
         },
     }
+    blocks = []
     for i in range(depth):
         bp = f"{p}blocks.{i}."
-        trunk[f"block_{i}"] = {
+        blocks.append({
             "norm1": _layernorm(sd, f"{bp}norm1"),
             "attn": {
                 "qkv": {"kernel": _t(np.asarray(sd[f"{bp}attn.qkv.weight"]))},
@@ -130,7 +143,12 @@ def eva_vit_params_from_torch(
             "norm2": _layernorm(sd, f"{bp}norm2"),
             "mlp_fc1": _linear(sd, f"{bp}mlp.fc1"),
             "mlp_fc2": _linear(sd, f"{bp}mlp.fc2"),
-        }
+        })
+    if scan_blocks:
+        trunk["blocks"] = {"block": _stack_blocks(blocks)}
+    else:
+        for i, b in enumerate(blocks):
+            trunk[f"block_{i}"] = b
     return {"trunk": trunk}
 
 
@@ -138,7 +156,11 @@ def eva_vit_params_from_torch(
 
 
 def clip_vit_params_from_torch(
-    sd: Mapping[str, Array], *, prefix: str = "visual_encoder.", depth: int = 23
+    sd: Mapping[str, Array],
+    *,
+    prefix: str = "visual_encoder.",
+    depth: int = 23,
+    scan_blocks: bool = False,
 ) -> Pytree:
     p = prefix
     conv_w = np.asarray(sd[f"{p}conv1.weight"])
@@ -150,9 +172,10 @@ def clip_vit_params_from_torch(
         },
         "ln_pre": _layernorm(sd, f"{p}ln_pre"),
     }
+    blocks = []
     for i in range(depth):
         bp = f"{p}transformer.resblocks.{i}."
-        trunk[f"block_{i}"] = {
+        blocks.append({
             "norm1": _layernorm(sd, f"{bp}ln_1"),
             "attn": {
                 "qkv": {
@@ -164,7 +187,12 @@ def clip_vit_params_from_torch(
             "norm2": _layernorm(sd, f"{bp}ln_2"),
             "mlp_fc1": _linear(sd, f"{bp}mlp.c_fc"),
             "mlp_fc2": _linear(sd, f"{bp}mlp.c_proj"),
-        }
+        })
+    if scan_blocks:
+        trunk["blocks"] = {"block": _stack_blocks(blocks)}
+    else:
+        for i, b in enumerate(blocks):
+            trunk[f"block_{i}"] = b
     return {"trunk": trunk}
 
 
@@ -186,9 +214,13 @@ def cir_align_prompt_params_from_torch(
     vcfg = cfg.vit_config()
     qcfg = cfg.qformer_config()
     if vcfg.qkv_fused_no_kbias:
-        vit = eva_vit_params_from_torch(sd, depth=vcfg.depth)
+        vit = eva_vit_params_from_torch(
+            sd, depth=vcfg.depth, scan_blocks=vcfg.scan_blocks
+        )
     else:
-        vit = clip_vit_params_from_torch(sd, depth=vcfg.depth)
+        vit = clip_vit_params_from_torch(
+            sd, depth=vcfg.depth, scan_blocks=vcfg.scan_blocks
+        )
     params: Pytree = {
         "visual_encoder": vit,
         "ln_vision": _layernorm(sd, "ln_vision"),

@@ -46,6 +46,10 @@ class ViTConfig:
     quick_gelu: bool = False
     dtype: jnp.dtype = jnp.bfloat16
     remat: bool = False  # activation checkpointing per block
+    # compile the block ONCE and lax.scan it over stacked per-layer params
+    # instead of unrolling depth copies — shrinks the XLA module (and its
+    # compile time) by ~depth; numerically identical
+    scan_blocks: bool = False
 
     @property
     def num_patches(self) -> int:
@@ -60,7 +64,10 @@ class ViTConfig:
         return self.width // self.num_heads
 
 
-def eva_vit_g_config(image_size: int = 224, dtype=jnp.bfloat16, remat: bool = False) -> ViTConfig:
+def eva_vit_g_config(
+    image_size: int = 224, dtype=jnp.bfloat16, remat: bool = False,
+    scan_blocks: bool = True,
+) -> ViTConfig:
     # depth/width/heads/mlp per create_eva_vit_g (eva_vit.py:428-441);
     # mlp hidden = int(1408 * 4.3637) = 6144
     return ViTConfig(
@@ -74,10 +81,14 @@ def eva_vit_g_config(image_size: int = 224, dtype=jnp.bfloat16, remat: bool = Fa
         qkv_fused_no_kbias=True,
         dtype=dtype,
         remat=remat,
+        scan_blocks=scan_blocks,
     )
 
 
-def clip_vit_l_config(image_size: int = 224, dtype=jnp.bfloat16, remat: bool = False) -> ViTConfig:
+def clip_vit_l_config(
+    image_size: int = 224, dtype=jnp.bfloat16, remat: bool = False,
+    scan_blocks: bool = True,
+) -> ViTConfig:
     # width/layers/heads per create_clip_vit_L (clip_vit.py:242-250)
     return ViTConfig(
         image_size=image_size,
@@ -92,6 +103,7 @@ def clip_vit_l_config(image_size: int = 224, dtype=jnp.bfloat16, remat: bool = F
         quick_gelu=True,
         dtype=dtype,
         remat=remat,
+        scan_blocks=scan_blocks,
     )
 
 
@@ -164,6 +176,16 @@ class ViTBlock(nn.Module):
         return x + h
 
 
+class _ScanViTBlock(nn.Module):
+    """ViTBlock with (carry, _) -> (carry, None) signature for nn.scan."""
+
+    config: ViTConfig
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, _):
+        return ViTBlock(self.config, name="block")(x), None
+
+
 class _ViTTrunk(nn.Module):
     """Shared cls-token + pos-embed + block stack."""
 
@@ -187,11 +209,26 @@ class _ViTTrunk(nn.Module):
         if cfg.use_ln_pre:
             x = LayerNormFP32(epsilon=cfg.layer_norm_eps, name="ln_pre")(x)
 
-        block = ViTBlock
-        if cfg.remat:
-            block = nn.remat(ViTBlock)
-        for i in range(cfg.depth):
-            x = block(cfg, name=f"block_{i}")(x)
+        if cfg.scan_blocks:
+            block_cls = _ScanViTBlock
+            if cfg.remat:
+                block_cls = nn.remat(
+                    block_cls, static_argnums=(), prevent_cse=False
+                )
+            scanned = nn.scan(
+                block_cls,
+                variable_axes={"params": 0},
+                split_rngs={"params": True},
+                length=cfg.depth,
+                metadata_params={nn.PARTITION_NAME: None},
+            )
+            x, _ = scanned(cfg, name="blocks")(x, None)
+        else:
+            block = ViTBlock
+            if cfg.remat:
+                block = nn.remat(ViTBlock)
+            for i in range(cfg.depth):
+                x = block(cfg, name=f"block_{i}")(x)
         return x  # NO final LayerNorm (both towers feed ln_vision downstream)
 
 
