@@ -29,7 +29,9 @@ def _checkpointer():
 
 
 def save_params(path: str, params: Any) -> None:
-    _checkpointer().save(os.path.abspath(path), jax.tree.map(np.asarray, params))
+    _checkpointer().save(
+        os.path.abspath(path), jax.tree.map(np.asarray, params), force=True
+    )
 
 
 def restore_params(path: str) -> Any:
@@ -44,7 +46,7 @@ def save_state(path: str, state) -> None:
         "opt_state": jax.tree.map(np.asarray, state.opt_state),
         "rng": np.asarray(state.rng),
     }
-    _checkpointer().save(os.path.abspath(path), tree)
+    _checkpointer().save(os.path.abspath(path), tree, force=True)
 
 
 def restore_state(path: str, state_template):

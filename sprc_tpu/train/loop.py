@@ -42,6 +42,9 @@ class TrainConfig:
     pct_start: float = 1.0 / 50.0  # reference OneCycleLR pct_start (:261)
     grad_accum_steps: int = 1
     frozen_prefixes: Tuple[str, ...] = ("visual_encoder",)
+    # per-ViT-layer LR decay for unfrozen-ViT fine-tuning (the LAVIS
+    # lr_layer_decay path, blip2.py:105-148); None = uniform LR
+    layer_decay: Optional[float] = None
 
     def weights(self) -> Dict[str, float]:
         return self.loss_weights or {"loss_rtc": 0.4, "loss_align": 0.4}
@@ -67,6 +70,64 @@ def _param_labels(params: Any, frozen_prefixes: Tuple[str, ...]) -> Any:
     }
 
 
+def scale_by_tree(scale_tree: Any) -> optax.GradientTransformation:
+    """Multiply updates leaf-wise by a (broadcastable) scale pytree."""
+
+    def init_fn(params):
+        return optax.EmptyState()
+
+    def update_fn(updates, state, params=None):
+        scaled = jax.tree.map(
+            lambda u, s: u * jnp.asarray(s, u.dtype), updates, scale_tree
+        )
+        return scaled, state
+
+    return optax.GradientTransformation(init_fn, update_fn)
+
+
+def layer_decay_scales(params: Any, lr_scale: float, vit_key: str = "visual_encoder") -> Any:
+    """Per-layer LR scales for ViT fine-tuning (the reference's
+    get_optimizer_params, blip2.py:105-148): layer i of N gets
+    ``lr_scale ** (N + 1 - i)``; embeddings get the layer-0 scale; non-ViT
+    params get 1. Supports both unrolled (block_i) and scanned (stacked)
+    layouts — for the scanned layout the scale is a [depth, 1, ...] vector
+    broadcast over the stacked leaf.
+    """
+
+    def tree_of(value, leaf):
+        return value
+
+    scales = jax.tree.map(lambda _: 1.0, params)
+    if vit_key not in params:
+        return scales
+    trunk = params[vit_key]["trunk"]
+    depth = 0
+    for key in trunk:
+        if key.startswith("block_"):
+            depth = max(depth, int(key.split("_")[1]) + 1)
+    if depth == 0 and "blocks" in trunk:
+        depth = jax.tree.leaves(trunk["blocks"])[0].shape[0]
+
+    def scale_for(layer_id: int) -> float:
+        return lr_scale ** (depth + 1 - layer_id)
+
+    new_trunk = {}
+    for key, sub in trunk.items():
+        if key.startswith("block_"):
+            layer_id = int(key.split("_")[1]) + 1
+            new_trunk[key] = jax.tree.map(lambda _: scale_for(layer_id), sub)
+        elif key == "blocks":
+            vec = jnp.asarray([scale_for(i + 1) for i in range(depth)])
+            new_trunk[key] = jax.tree.map(
+                lambda leaf: vec.reshape((depth,) + (1,) * (leaf.ndim - 1)), sub
+            )
+        else:  # patch embed / cls / pos / ln_pre: layer 0
+            new_trunk[key] = jax.tree.map(lambda _: scale_for(0), sub)
+    out = dict(scales)
+    out[vit_key] = {"trunk": new_trunk}
+    return out
+
+
 def make_optimizer(cfg: TrainConfig, params: Any) -> optax.GradientTransformation:
     schedule = onecycle_schedule(
         cfg.learning_rate, cfg.total_steps, pct_start=cfg.pct_start
@@ -82,6 +143,10 @@ def make_optimizer(cfg: TrainConfig, params: Any) -> optax.GradientTransformatio
     tx = optax.multi_transform(
         {"train": adamw, "frozen": optax.set_to_zero()}, labels
     )
+    if cfg.layer_decay is not None:
+        # applied to the final update so it composes with the partition;
+        # matches torch per-group lr scaling (scales grad step AND wd step)
+        tx = optax.chain(tx, scale_by_tree(layer_decay_scales(params, cfg.layer_decay)))
     if cfg.grad_accum_steps > 1:
         tx = optax.MultiSteps(tx, cfg.grad_accum_steps)
     return tx

@@ -1,0 +1,172 @@
+"""Generic train runners (the LAVIS RunnerBase / RunnerIter analogues).
+
+The reference ships an epoch-based runner and an inner-iteration runner
+(reference: src/lavis/runners/runner_base.py:38-641, runner_iter.py:24-317)
+that SPRC's own scripts bypass. Here the same orchestration exists as a
+compact task-driven loop over the TPU-native pieces: optax train step,
+per-host sharded loaders, orbax checkpointing with full resume, best-model
+selection, and JSONL/CSV logging.
+
+A Task supplies data + batch preparation + evaluation; the runner owns the
+schedule. ``EpochRunner`` = train_epochs x (train + optional eval);
+``IterRunner`` = fixed iteration budget with eval every ``iters_per_inner``.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+import time
+from typing import Any, Callable, Dict, Iterable, Optional
+
+import numpy as np
+
+from sprc_tpu.registry import registry
+
+
+class BaseTask:
+    """Minimal task protocol (reference tasks/base_task.py).
+
+    Subclasses provide ``train_loader``, ``prepare_batch`` and optionally
+    ``evaluation``; the runner drives them.
+    """
+
+    def train_loader(self, epoch: int) -> Iterable[dict]:
+        raise NotImplementedError
+
+    def prepare_batch(self, batch: dict) -> Dict[str, Any]:
+        raise NotImplementedError
+
+    def evaluation(self, model, params) -> Dict[str, float]:
+        return {}
+
+    def selection_metric(self, results: Dict[str, float]) -> Optional[float]:
+        return None
+
+
+@dataclasses.dataclass
+class RunnerConfig:
+    output_dir: str = "./output"
+    max_epochs: int = 1
+    evaluate_every: int = 1
+    save_every: int = 1
+    resume: Optional[str] = None
+    log_every_steps: int = 50
+
+
+class EpochRunner:
+    def __init__(self, model, state, tx, step_fn, task: BaseTask, cfg: RunnerConfig,
+                 mesh=None):
+        self.model = model
+        self.state = state
+        self.tx = tx
+        self.step_fn = step_fn
+        self.task = task
+        self.cfg = cfg
+        self.mesh = mesh
+        os.makedirs(cfg.output_dir, exist_ok=True)
+
+    def _log(self, row: Dict) -> None:
+        with open(os.path.join(self.cfg.output_dir, "log.jsonl"), "a") as f:
+            f.write(json.dumps(row) + "\n")
+
+    def train(self) -> Dict[str, float]:
+        from sprc_tpu.train.checkpoint import (
+            BestCheckpointKeeper,
+            restore_state,
+            save_state,
+        )
+
+        if self.cfg.resume and os.path.isdir(self.cfg.resume):
+            self.state = restore_state(self.cfg.resume, self.state)
+        keeper = BestCheckpointKeeper(self.cfg.output_dir)
+        best: Dict[str, float] = {}
+
+        for epoch in range(self.cfg.max_epochs):
+            t0 = time.time()
+            running: Dict[str, float] = {}
+            n = 0
+            for i, batch in enumerate(self.task.train_loader(epoch)):
+                prepared = self.task.prepare_batch(batch)
+                if self.mesh is not None:
+                    from sprc_tpu.parallel.mesh import shard_batch
+
+                    prepared = shard_batch(self.mesh, prepared)
+                self.state, metrics = self.step_fn(self.state, prepared)
+                n += 1
+                for k, v in metrics.items():
+                    running[k] = running.get(k, 0.0) + float(v)
+                if i % self.cfg.log_every_steps == 0:
+                    self._log({"kind": "step", "epoch": epoch, "step": i,
+                               **{k: float(v) for k, v in metrics.items()}})
+            epoch_row = {k: v / max(1, n) for k, v in running.items()}
+            epoch_row.update(kind="train", epoch=epoch, seconds=round(time.time() - t0, 1))
+            self._log(epoch_row)
+
+            if (epoch + 1) % self.cfg.evaluate_every == 0:
+                results = self.task.evaluation(self.model, self.state.params)
+                if results:
+                    self._log({"kind": "val", "epoch": epoch, **results})
+                    metric = self.task.selection_metric(results)
+                    if metric is not None and keeper.maybe_save(
+                        metric, self.state.params, epoch
+                    ):
+                        best = dict(results)
+            if (epoch + 1) % self.cfg.save_every == 0:
+                save_state(os.path.join(self.cfg.output_dir, "last_state"), self.state)
+        return best
+
+
+class IterRunner(EpochRunner):
+    """Iteration-budget runner (reference runner_iter.py): ``max_iters``
+    split into inner 'epochs' of ``iters_per_inner`` steps, eval between."""
+
+    def __init__(self, *args, max_iters: int = 1000, iters_per_inner: int = 100, **kw):
+        super().__init__(*args, **kw)
+        self.max_iters = max_iters
+        self.iters_per_inner = iters_per_inner
+
+    def train(self) -> Dict[str, float]:
+        from sprc_tpu.train.checkpoint import BestCheckpointKeeper, save_state
+
+        keeper = BestCheckpointKeeper(self.cfg.output_dir)
+        best: Dict[str, float] = {}
+        it = 0
+        epoch = 0
+        loader = iter(self.task.train_loader(epoch))
+        while it < self.max_iters:
+            running: Dict[str, float] = {}
+            n = 0
+            for _ in range(min(self.iters_per_inner, self.max_iters - it)):
+                try:
+                    batch = next(loader)
+                except StopIteration:
+                    epoch += 1
+                    loader = iter(self.task.train_loader(epoch))
+                    batch = next(loader)
+                prepared = self.task.prepare_batch(batch)
+                if self.mesh is not None:
+                    from sprc_tpu.parallel.mesh import shard_batch
+
+                    prepared = shard_batch(self.mesh, prepared)
+                self.state, metrics = self.step_fn(self.state, prepared)
+                it += 1
+                n += 1
+                for k, v in metrics.items():
+                    running[k] = running.get(k, 0.0) + float(v)
+            self._log({"kind": "inner", "iter": it,
+                       **{k: v / max(1, n) for k, v in running.items()}})
+            results = self.task.evaluation(self.model, self.state.params)
+            if results:
+                self._log({"kind": "val", "iter": it, **results})
+                metric = self.task.selection_metric(results)
+                if metric is not None and keeper.maybe_save(metric, self.state.params, it):
+                    best = dict(results)
+            save_state(os.path.join(self.cfg.output_dir, "last_state"), self.state)
+        return best
+
+
+registry.register("runner", "runner_base")(EpochRunner)
+registry.register("runner", "runner_iter")(IterRunner)
+registry.register("task", "base")(BaseTask)

@@ -1,0 +1,127 @@
+"""Concrete tasks for the runners.
+
+- :class:`CirTask` — CIRR / FashionIQ composed-retrieval fine-tuning with
+  per-epoch retrieval evaluation (the SPRC workload, reference
+  blip_fine_tune_2.py wired through the generic runner instead of an ad-hoc
+  script).
+- :class:`ImageTextRetrievalTask` — generic i2t/t2i retrieval eval task
+  (reference tasks/retrieval.py) over paired image/text data.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Iterable, Optional, Sequence
+
+import numpy as np
+
+from sprc_tpu.registry import registry
+from sprc_tpu.train.runner import BaseTask
+
+
+@registry.register("task", "composed_retrieval")
+class CirTask(BaseTask):
+    def __init__(
+        self,
+        model,
+        tokenizer,
+        train_dataset,
+        *,
+        batch_size: int = 128,
+        workers: int = 4,
+        seed: int = 42,
+        caption_key: str = "caption",
+        eval_fn=None,
+        selection_key: str = "arithmetic_mean",
+    ):
+        from sprc_tpu.data.loader import DataLoader
+        from sprc_tpu.text.processors import CaptionProcessor
+
+        self.model = model
+        self.tokenizer = tokenizer
+        self.processor = CaptionProcessor()
+        self.caption_key = caption_key
+        self.eval_fn = eval_fn
+        self.selection_key = selection_key
+        self._fiq_rng = np.random.RandomState(seed)
+        self.loader = DataLoader(
+            train_dataset,
+            batch_size=batch_size,
+            shuffle=True,
+            drop_last=True,
+            num_workers=workers,
+            seed=seed,
+        )
+
+    def train_loader(self, epoch: int) -> Iterable[dict]:
+        self.loader.set_epoch(epoch)
+        return self.loader
+
+    def prepare_batch(self, batch: dict) -> Dict[str, Any]:
+        from sprc_tpu.text.processors import randomize_fiq_captions
+
+        if self.caption_key == "caption":
+            captions = [self.processor(c) for c in batch["caption"]]
+        else:
+            flat = [c for pair in batch["captions"] for c in pair]
+            captions = [
+                self.processor(c) for c in randomize_fiq_captions(flat, self._fiq_rng)
+            ]
+        tok = self.tokenizer(captions, max_length=self.model.cfg.max_txt_len)
+        return {
+            "reference": batch["reference_image"].astype(np.float32),
+            "target": batch["target_image"].astype(np.float32),
+            "input_ids": tok["input_ids"],
+            "text_mask": tok["attention_mask"],
+        }
+
+    def evaluation(self, model, params) -> Dict[str, float]:
+        if self.eval_fn is None:
+            return {}
+        return self.eval_fn(model, params)
+
+    def selection_metric(self, results: Dict[str, float]) -> Optional[float]:
+        return results.get(self.selection_key)
+
+
+@registry.register("task", "retrieval")
+class ImageTextRetrievalTask(BaseTask):
+    """Eval-only i2t/t2i retrieval (reference tasks/retrieval.py:19-120)."""
+
+    def __init__(self, tokenizer, *, k_test: int = 128, max_txt_len: int = 35):
+        self.tokenizer = tokenizer
+        self.k_test = k_test
+        self.max_txt_len = max_txt_len
+
+    def evaluate_pairs(
+        self,
+        model,
+        params,
+        images: np.ndarray,
+        texts: Sequence[str],
+        img2txt: Dict[int, Sequence[int]],
+        txt2img: Dict[int, int],
+    ) -> Dict[str, float]:
+        import jax
+        import jax.numpy as jnp
+
+        from sprc_tpu.retrieval.sim_matrix import compute_sim_matrix, retrieval_recalls
+
+        feats, frozen = model.apply(
+            {"params": params}, jnp.asarray(images),
+            method=model.extract_target_features,
+        )
+        tok = self.tokenizer(list(texts), max_length=self.max_txt_len)
+        text_feats = np.asarray(
+            model.apply(
+                {"params": params},
+                jnp.asarray(tok["input_ids"]),
+                jnp.asarray(tok["attention_mask"]),
+                method=model.encode_text_cls,
+            )
+        )
+        s_i2t, s_t2i = compute_sim_matrix(
+            model, params, np.asarray(frozen), np.asarray(feats),
+            tok["input_ids"], tok["attention_mask"], text_feats,
+            k_test=min(self.k_test, len(texts)),
+        )
+        return retrieval_recalls(s_i2t, s_t2i, img2txt, txt2img)

@@ -1,0 +1,76 @@
+"""Runner orchestration tests over a synthetic task."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from sprc_tpu.train.loop import TrainConfig, create_train_state, make_train_step
+from sprc_tpu.train.runner import BaseTask, EpochRunner, IterRunner, RunnerConfig
+
+from test_train import tiny_model, make_batch
+from sprc_tpu.loader import init_params
+
+
+class SyntheticTask(BaseTask):
+    def __init__(self, rng, n_batches=3):
+        self.rng = rng
+        self.n_batches = n_batches
+        self.eval_calls = 0
+
+    def train_loader(self, epoch):
+        return [make_batch(self.rng, b=4) for _ in range(self.n_batches)]
+
+    def prepare_batch(self, batch):
+        return batch
+
+    def evaluation(self, model, params):
+        self.eval_calls += 1
+        return {"metric": float(self.eval_calls)}  # strictly improving
+
+    def selection_metric(self, results):
+        return results["metric"]
+
+
+@pytest.fixture()
+def setup(tmp_path, rng):
+    model = tiny_model()
+    params = init_params(model, image_size=28)
+    cfg = TrainConfig(learning_rate=1e-3, total_steps=100)
+    state, tx = create_train_state(params, cfg)
+    step = make_train_step(model, tx, cfg, donate=False)
+    return model, state, tx, step, str(tmp_path)
+
+
+def test_epoch_runner(setup, rng):
+    model, state, tx, step, outdir = setup
+    task = SyntheticTask(rng)
+    runner = EpochRunner(
+        model, state, tx, step, task,
+        RunnerConfig(output_dir=outdir, max_epochs=2, log_every_steps=1),
+    )
+    best = runner.train()
+    assert best == {"metric": 2.0}
+    assert int(runner.state.step) == 6  # 2 epochs x 3 batches
+    assert os.path.isdir(os.path.join(outdir, "last_state"))
+    assert os.path.isdir(os.path.join(outdir, "best_arithmetic_mean"))
+    rows = [json.loads(l) for l in open(os.path.join(outdir, "log.jsonl"))]
+    kinds = {r["kind"] for r in rows}
+    assert {"step", "train", "val"} <= kinds
+
+
+def test_iter_runner(setup, rng):
+    model, state, tx, step, outdir = setup
+    task = SyntheticTask(rng)
+    runner = IterRunner(
+        model, state, tx, step, task,
+        RunnerConfig(output_dir=outdir, max_epochs=1),
+        max_iters=5, iters_per_inner=2,
+    )
+    runner.train()
+    assert int(runner.state.step) == 5
+    assert task.eval_calls == 3  # after inner epochs of 2,2,1

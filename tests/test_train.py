@@ -139,3 +139,82 @@ def test_checkpoint_roundtrip(tmp_path, rng):
     np.testing.assert_allclose(float(m_a["loss"]), float(m_b["loss"]), rtol=1e-6)
     for a, b in zip(jax.tree.leaves(s_a.params), jax.tree.leaves(s_b.params)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-7)
+
+
+def test_layer_decay_scales(rng):
+    from sprc_tpu.train.loop import layer_decay_scales
+
+    model = tiny_model()
+    params = init_params(model, image_size=28)
+    scales = jax.tree.map(np.asarray, layer_decay_scales(params, 0.9))
+    # non-ViT params get 1.0
+    assert float(jax.tree.leaves(scales["query_tokens"])[0]) == 1.0
+    trunk = scales["visual_encoder"]["trunk"]
+    depth = 2
+    # block i scale = 0.9 ** (depth + 1 - (i+1))
+    assert np.isclose(float(jax.tree.leaves(trunk["block_0"])[0]), 0.9 ** 2)
+    assert np.isclose(float(jax.tree.leaves(trunk["block_1"])[0]), 0.9 ** 1)
+    # embeddings at layer 0
+    assert np.isclose(float(jax.tree.leaves(trunk["patch_embed"])[0]), 0.9 ** 3)
+
+
+def test_layer_decay_scales_scanned(rng):
+    import jax.numpy as jnp
+
+    from sprc_tpu.models.cir_base import CirConfig
+    from sprc_tpu.models.vit import ViTConfig
+    from sprc_tpu.models.qformer import QFormerConfig
+    from sprc_tpu.registry import registry
+    from sprc_tpu.train.loop import layer_decay_scales
+
+    vcfg = ViTConfig(image_size=28, patch_size=14, width=32, depth=3, num_heads=2,
+                     mlp_hidden=64, qkv_fused_no_kbias=True, dtype=jnp.float32,
+                     scan_blocks=True)
+    qcfg = QFormerConfig(vocab_size=60, hidden_size=32, num_layers=2, num_heads=2,
+                         intermediate_size=64, encoder_width=32, query_length=4,
+                         dropout_rate=0.0)
+    cfg = CirConfig(vit_model="eva_clip_g", image_size=28, num_query_token=4,
+                    max_txt_len=8, vocab_size=60, vit_dtype=jnp.float32,
+                    vit_config_override=vcfg, qformer_config_override=qcfg)
+    model = registry.get_model_class("blip2_cir_align_prompt")(cfg)
+    params = init_params(model, image_size=28)
+    scales = layer_decay_scales(params, 0.9)
+    vec_leaf = jax.tree.leaves(scales["visual_encoder"]["trunk"]["blocks"])[0]
+    assert vec_leaf.shape[0] == 3
+    np.testing.assert_allclose(
+        np.asarray(vec_leaf).reshape(3), [0.9 ** 3, 0.9 ** 2, 0.9 ** 1], rtol=1e-6
+    )
+
+
+def test_train_step_with_layer_decay_runs(rng):
+    vcfg = ViTConfig(
+        image_size=28, patch_size=14, width=32, depth=2, num_heads=2,
+        mlp_hidden=64, qkv_fused_no_kbias=True, dtype=jnp.float32,
+    )
+    qcfg = QFormerConfig(
+        vocab_size=60, hidden_size=32, num_layers=2, num_heads=2,
+        intermediate_size=64, encoder_width=32, query_length=4, dropout_rate=0.0,
+    )
+    cfg_m = CirConfig(
+        vit_model="eva_clip_g", image_size=28, num_query_token=4,
+        max_txt_len=8, vocab_size=60, vit_dtype=jnp.float32,
+        freeze_vit=False,  # unfrozen so layer-decay scaling is exercised
+        vit_config_override=vcfg, qformer_config_override=qcfg,
+    )
+    model = registry.get_model_class("blip2_cir_align_prompt")(cfg_m)
+    params = init_params(model, image_size=28)
+    cfg = TrainConfig(learning_rate=1e-3, total_steps=50, layer_decay=0.9,
+                      frozen_prefixes=())
+    state, tx = create_train_state(params, cfg)
+    step = make_train_step(model, tx, cfg, donate=False)
+    state, metrics = step(state, make_batch(rng, b=4))
+    assert np.isfinite(float(metrics["loss"]))
+    # ViT moved (not frozen here)
+    moved = any(
+        not np.allclose(np.asarray(a), np.asarray(b))
+        for a, b in zip(
+            jax.tree.leaves(state.params["visual_encoder"]),
+            jax.tree.leaves(params["visual_encoder"]),
+        )
+    )
+    assert moved
