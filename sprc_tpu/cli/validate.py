@@ -126,9 +126,46 @@ def validate_fiq(args, mesh=None) -> dict:
     return results
 
 
+def validate_circo(args, mesh=None) -> dict:
+    """CIRCO val mAP@K (the eval the reference leaves unwired)."""
+    from sprc_tpu.data.datasets import CIRCODataset
+    from sprc_tpu.data.transforms import targetpad_transform, squarepad_transform
+    from sprc_tpu.retrieval.metrics import compute_circo_metrics
+    from sprc_tpu.text.processors import CaptionProcessor
+
+    model, engine = build_engine(args, mesh)
+    if args.transform == "targetpad":
+        tfm = targetpad_transform(args.target_ratio, model.cfg.image_size)
+    else:
+        tfm = squarepad_transform(model.cfg.image_size)
+
+    classic = CIRCODataset(args.data_path, "val", "classic", tfm)
+
+    def circo_batches():
+        from sprc_tpu.data.loader import DataLoader
+
+        loader = DataLoader(classic, batch_size=args.encode_batch, num_workers=args.workers)
+        for batch in loader:
+            yield batch["img_id"], batch["image"].astype(np.float32)
+
+    index = engine.build_index(circo_batches())
+
+    relative = CIRCODataset(args.data_path, "val", "relative", load_images=False)
+    proc = CaptionProcessor()
+    refs, captions, gts = [], [], []
+    for i in range(len(relative)):
+        item = relative[i]
+        refs.append(item["reference_img_id"])
+        captions.append(proc(item["relative_caption"]))
+        gts.append(item["gt_img_ids"])
+
+    sims = engine.score_queries(index, refs, captions)
+    return compute_circo_metrics(sims, index.names, gts)
+
+
 def make_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(description=__doc__)
-    p.add_argument("--dataset", required=True, choices=["CIRR", "fashionIQ"])
+    p.add_argument("--dataset", required=True, choices=["CIRR", "fashionIQ", "CIRCO"])
     p.add_argument("--data-path", required=True)
     p.add_argument("--model-path", default=None)
     p.add_argument("--model-name", default="blip2_cir_align_prompt")
@@ -157,6 +194,8 @@ def main(argv: Optional[list] = None) -> None:
         mesh = make_mesh()
     if args.dataset == "CIRR":
         results = validate_cirr(args, mesh)
+    elif args.dataset == "CIRCO":
+        results = validate_circo(args, mesh)
     else:
         results = validate_fiq(args, mesh)
     print(json.dumps(results, indent=4))

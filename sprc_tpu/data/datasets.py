@@ -211,6 +211,7 @@ class CIRCODataset(_Base):
         mode: str,
         preprocess: Optional[Callable] = None,
         skip_errors: bool = False,
+        load_images: bool = True,
     ):
         if mode not in ("relative", "classic"):
             raise ValueError("mode should be in ['relative', 'classic']")
@@ -221,6 +222,9 @@ class CIRCODataset(_Base):
         self.mode = mode
         self.preprocess = preprocess or (lambda x: x)
         self.skip_errors = skip_errors
+        # metadata-only relative iteration (query scoring reuses the gallery
+        # index's frozen embeds, so decoding reference images is wasted work)
+        self.load_images = load_images
 
         with open(
             self.base / "COCO2017_unlabeled" / "annotations" / "image_info_unlabeled2017.json"
@@ -258,23 +262,22 @@ class CIRCODataset(_Base):
             item = {
                 "query_id": str(ann["id"]),
                 "reference_img_id": ref_id,
-                "reference_image": self.preprocess(
-                    _open_image(self.img_paths[self.img_id_to_idx[ref_id]])
-                ),
                 "relative_caption": ann["relative_caption"],
                 "shared_concept": ann["shared_concept"],
             }
+            if self.load_images:
+                item["reference_image"] = self.preprocess(
+                    _open_image(self.img_paths[self.img_id_to_idx[ref_id]])
+                )
             if self.split == "val":
                 tgt_id = str(ann["target_img_id"])
                 gt = [str(x) for x in ann["gt_img_ids"]]
                 gt += [""] * (self.MAX_NUM_GTS - len(gt))
-                item.update(
-                    target_img_id=tgt_id,
-                    target_image=self.preprocess(
+                item.update(target_img_id=tgt_id, gt_img_ids=gt)
+                if self.load_images:
+                    item["target_image"] = self.preprocess(
                         _open_image(self.img_paths[self.img_id_to_idx[tgt_id]])
-                    ),
-                    gt_img_ids=gt,
-                )
+                    )
             return item
         except Exception:
             if self.skip_errors:

@@ -1,0 +1,77 @@
+"""Registry slots for the non-CIR LAVIS model families.
+
+The reference vendors the full LAVIS zoo (SURVEY.md §2.3): BLIP-1, ALBEF,
+CLIP, ALPRO/TimeSformer video models, PNP-VQA, Img2Prompt, GPT-dialogue and
+the BLIP-2 T5/OPT LLM heads. SPRC's CIR workload touches none of them
+(SURVEY.md §7.3 scopes them out), but their registry names must resolve so
+LAVIS-style configs don't break. Each stub raises with the reference file
+and what a real port would need.
+"""
+
+from __future__ import annotations
+
+from sprc_tpu.registry import registry
+
+
+def _stub(name: str, ref_file: str, family: str):
+    class _OutOfScope:
+        REGISTRY_NAME = name
+        REFERENCE = ref_file
+        FAMILY = family
+
+        def __init__(self, *a, **k):
+            raise NotImplementedError(
+                f"model '{name}' ({family}; reference {ref_file}) is outside "
+                "the SPRC CIR scope (SURVEY.md §7.3). The BLIP-2 CIR family "
+                "is fully implemented; port this family on demand."
+            )
+
+    _OutOfScope.__name__ = f"Stub_{name.replace('-', '_')}"
+    return registry.register_model(name)(_OutOfScope)
+
+
+_FAMILIES = {
+    "BLIP-1": [
+        ("blip_caption", "blip_models/blip_caption.py"),
+        ("blip_classification", "blip_models/blip_classification.py"),
+        ("blip_feature_extractor", "blip_models/blip_feature_extractor.py"),
+        ("blip_image_text_matching", "blip_models/blip_image_text_matching.py"),
+        ("blip_nlvr", "blip_models/blip_nlvr.py"),
+        ("blip_pretrain", "blip_models/blip_pretrain.py"),
+        ("blip_retrieval", "blip_models/blip_retrieval.py"),
+        ("blip_vqa", "blip_models/blip_vqa.py"),
+        ("blip_cir_base", "blip_models/blip_cir_base.py"),
+    ],
+    "ALBEF": [
+        ("albef_classification", "albef_models/albef_classification.py"),
+        ("albef_feature_extractor", "albef_models/albef_feature_extractor.py"),
+        ("albef_nlvr", "albef_models/albef_nlvr.py"),
+        ("albef_pretrain", "albef_models/albef_pretrain.py"),
+        ("albef_retrieval", "albef_models/albef_retrieval.py"),
+        ("albef_vqa", "albef_models/albef_vqa.py"),
+    ],
+    "CLIP": [
+        ("clip", "clip_models/model.py"),
+        ("clip_feature_extractor", "clip_models/model.py"),
+    ],
+    "video": [
+        ("alpro_qa", "alpro_models/alpro_qa.py"),
+        ("alpro_retrieval", "alpro_models/alpro_retrieval.py"),
+        ("timesformer", "timesformer/vit.py"),
+    ],
+    "BLIP-2 LLM heads": [
+        ("blip2_t5", "blip2_models/blip2_t5.py"),
+        ("blip2_t5_instruct", "blip2_models/blip2_t5_instruct.py"),
+        ("blip2_opt", "blip2_models/blip2_opt.py"),
+        ("blip2_image_text_matching", "blip2_models/blip2_image_text_matching.py"),
+    ],
+    "misc": [
+        ("pnp_vqa", "pnp_vqa_models/pnp_vqa.py"),
+        ("img2prompt_vqa", "img2prompt_models/img2prompt_vqa.py"),
+        ("gpt_dialogue", "gpt_models/gpt_dialogue.py"),
+    ],
+}
+
+for _family, _entries in _FAMILIES.items():
+    for _name, _ref in _entries:
+        _stub(_name, f"src/lavis/models/{_ref}", _family)

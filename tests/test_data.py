@@ -131,3 +131,82 @@ def test_skip_errors(cirr_root, caplog):
     loader = DataLoader(ds, batch_size=6, num_workers=1)
     (batch,) = list(loader)
     assert batch["image"].shape[0] == 5  # dropped sample shrinks batch
+
+
+@pytest.fixture(scope="module")
+def circo_root(tmp_path_factory, rng):
+    root = tmp_path_factory.mktemp("circo")
+    (root / "COCO2017_unlabeled" / "annotations").mkdir(parents=True)
+    (root / "COCO2017_unlabeled" / "unlabeled2017").mkdir()
+    (root / "annotations").mkdir()
+    infos = []
+    for i in range(6):
+        fname = f"{i:012d}.jpg"
+        import PIL.Image
+
+        arr = (rng.rand(30, 40, 3) * 255).astype(np.uint8)
+        PIL.Image.fromarray(arr).save(root / "COCO2017_unlabeled" / "unlabeled2017" / fname)
+        infos.append({"id": 1000 + i, "file_name": fname})
+    (root / "COCO2017_unlabeled" / "annotations" / "image_info_unlabeled2017.json").write_text(
+        json.dumps({"images": infos})
+    )
+    anns = [
+        {
+            "id": q,
+            "reference_img_id": 1000 + q,
+            "target_img_id": 1001 + q,
+            "gt_img_ids": [1001 + q, 1002 + q],
+            "relative_caption": f"query {q}",
+            "shared_concept": "thing",
+        }
+        for q in range(3)
+    ]
+    (root / "annotations" / "val.json").write_text(json.dumps(anns))
+    return root
+
+
+def test_circo_dataset(circo_root):
+    from sprc_tpu.data.datasets import CIRCODataset
+    from sprc_tpu.data.transforms import targetpad_transform
+
+    tfm = targetpad_transform(1.25, 32)
+    classic = CIRCODataset(circo_root, "val", "classic", tfm)
+    assert len(classic) == 6
+    assert classic[0]["image"].shape == (32, 32, 3)
+    assert classic[0]["img_id"] == "1000"
+
+    rel = CIRCODataset(circo_root, "val", "relative", tfm)
+    item = rel[0]
+    assert item["reference_image"].shape == (32, 32, 3)
+    assert item["target_img_id"] == "1001"
+    assert len(item["gt_img_ids"]) == CIRCODataset.MAX_NUM_GTS
+
+    meta = CIRCODataset(circo_root, "val", "relative", load_images=False)
+    item2 = meta[1]
+    assert "reference_image" not in item2 and "target_image" not in item2
+    assert item2["gt_img_ids"][0] == "1002"
+    assert meta.get_target_img_ids(1)["target_img_id"] == 1002
+
+
+def test_visualizer(cirr_root, tmp_path, rng):
+    from sprc_tpu.retrieval.visualize import save_failure_panels
+
+    names = np.array([
+        ["im1", "im2", "im3", "im4", "im5"],
+        ["im2", "im0", "im4", "im5", "im3"],
+    ])
+    n = save_failure_panels(
+        str(tmp_path / "vis"),
+        names,
+        ["im0", "im1"],
+        ["im3", "im2"],
+        ["make it red", "make it blue"],
+        lambda name: str(cirr_root / "img" / f"{name}.png"),
+        top_k=3,
+        panel_size=32,
+        predicate=lambda i, row: True,  # dump all
+    )
+    assert n == 2
+    import os
+
+    assert len(os.listdir(tmp_path / "vis")) == 2
