@@ -70,11 +70,12 @@ def dot_product_attention(
     if use_pallas is None:
         import os
 
-        # opt-in: through the axon remote-compile tunnel, Mosaic kernels in a
-        # large model push XLA compile times past 10 minutes; enable once a
-        # persistent compile cache (or local compile) is available
+        # default ON for TPU long-sequence unmasked attention (the ViT
+        # towers): the chunked fused kernel measures ~8% faster end-to-end
+        # than XLA attention (541 vs 503 imgs/s gallery encode). Set
+        # SPRC_PALLAS_ATTN=0 to force the XLA path.
         use_pallas = (
-            os.environ.get("SPRC_PALLAS_ATTN", "0") == "1"
+            os.environ.get("SPRC_PALLAS_ATTN", "1") == "1"
             and jax.default_backend() == "tpu"
             and q.shape[1] >= _PALLAS_MIN_SEQ
             and bias is None
