@@ -116,6 +116,91 @@ def greedy_generate(
     return ids
 
 
+def beam_generate(
+    lm: QFormerLM,
+    params,
+    query_embeds: jnp.ndarray,
+    image_embeds: jnp.ndarray,
+    *,
+    bos_token_id: int,
+    eos_token_id: int,
+    pad_token_id: int,
+    num_beams: int = 3,
+    max_length: int = 30,
+    min_length: int = 10,
+    length_penalty: float = 1.0,
+) -> jnp.ndarray:
+    """Beam-search decode -> token ids [B, max_length].
+
+    Standard beam search with HF-style length penalty (the reference
+    generates with num_beams=3, …cir_align_prompt.py:208). The per-image
+    conditioning (queries + image embeds) is repeated per beam; scoring runs
+    the same fixed-shape jitted program as greedy.
+    """
+    import numpy as np
+
+    B = query_embeds.shape[0]
+    K = num_beams
+    q_rep = jnp.repeat(query_embeds, K, axis=0)
+    img_rep = jnp.repeat(image_embeds, K, axis=0)
+
+    @jax.jit
+    def logits_fn(ids):
+        return lm.apply(
+            {"params": params}, ids, q_rep, attention_mask=None, image_embeds=img_rep
+        )
+
+    ids = np.full((B * K, max_length), pad_token_id, np.int32)
+    ids[:, 0] = bos_token_id
+    beam_scores = np.zeros((B, K), np.float64)
+    beam_scores[:, 1:] = -1e9  # all beams identical at step 0: keep one
+    finished = np.zeros((B * K,), bool)
+
+    for step in range(1, max_length):
+        logits = np.asarray(logits_fn(jnp.asarray(ids))[:, step - 1, :], np.float64)
+        if step < min_length:
+            logits[:, eos_token_id] = -1e9
+        # stable log-softmax
+        m = logits.max(-1, keepdims=True)
+        logp = logits - m - np.log(np.exp(logits - m).sum(-1, keepdims=True))
+        V = logp.shape[-1]
+        # finished beams only extend with PAD at zero cost
+        logp[finished] = -1e9
+        logp[finished, pad_token_id] = 0.0
+
+        total = beam_scores.reshape(B * K, 1) + logp  # [B*K, V]
+        total = total.reshape(B, K * V)
+        top_idx = np.argsort(-total, axis=-1)[:, : K]
+        new_ids = np.empty_like(ids)
+        new_finished = np.zeros_like(finished)
+        new_scores = np.empty_like(beam_scores)
+        for b in range(B):
+            for k, flat in enumerate(top_idx[b]):
+                src_beam, tok = divmod(int(flat), V)
+                row = b * K + k
+                src_row = b * K + src_beam
+                new_ids[row] = ids[src_row]
+                new_ids[row, step] = tok
+                new_scores[b, k] = total[b, flat]
+                new_finished[row] = finished[src_row] or tok == eos_token_id
+        ids, beam_scores, finished = new_ids, new_scores, new_finished
+        if finished.all():
+            break
+
+    # pick the best beam per item with length penalty
+    out = np.full((B, max_length), pad_token_id, np.int32)
+    for b in range(B):
+        best_k, best_score = 0, -np.inf
+        for k in range(K):
+            row = ids[b * K + k]
+            length = int((row != pad_token_id).sum())
+            score = beam_scores[b, k] / (length ** length_penalty)
+            if score > best_score:
+                best_k, best_score = k, score
+        out[b] = ids[b * K + best_k]
+    return jnp.asarray(out)
+
+
 def generate_captions(
     cir_model,
     cir_params,

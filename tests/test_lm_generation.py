@@ -125,3 +125,50 @@ def test_greedy_generate_matches_reference_stepwise(pair, rng):
         t_ids[:, step] = nxt
         fin |= nxt == eos
     np.testing.assert_array_equal(ids, t_ids)
+
+
+def test_beam_generate_beats_or_matches_greedy(pair, rng):
+    """Beam search must find sequences with >= greedy log-probability, and
+    num_beams=1 must equal greedy exactly."""
+    from sprc_tpu.models.lm import beam_generate, greedy_generate
+
+    tmodel, jmodel, params = pair
+    queries = rng.randn(B, Q, HIDDEN).astype(np.float32)
+    img = rng.randn(B, 5, ENC).astype(np.float32)
+    bos, eos, pad = 1, 2, 0
+    kw = dict(bos_token_id=bos, eos_token_id=eos, pad_token_id=pad,
+              max_length=6, min_length=2)
+
+    greedy = np.asarray(greedy_generate(
+        jmodel, params, jnp.asarray(queries), jnp.asarray(img), **kw))
+    beam1 = np.asarray(beam_generate(
+        jmodel, params, jnp.asarray(queries), jnp.asarray(img),
+        num_beams=1, length_penalty=0.0, **kw))
+    np.testing.assert_array_equal(greedy, beam1)
+
+    beam3 = np.asarray(beam_generate(
+        jmodel, params, jnp.asarray(queries), jnp.asarray(img),
+        num_beams=3, length_penalty=0.0, **kw))
+    assert beam3.shape == greedy.shape
+
+    def seq_logprob(ids_row):
+        import torch
+
+        with torch.no_grad():
+            out = jmodel.apply(
+                {"params": params}, jnp.asarray(ids_row[None]),
+                jnp.asarray(queries[:1]), image_embeds=jnp.asarray(img[:1]),
+            )
+        logits = np.asarray(out)[0]
+        lp = logits - logits.max(-1, keepdims=True)
+        lp = lp - np.log(np.exp(lp).sum(-1, keepdims=True))
+        total = 0.0
+        for t in range(1, len(ids_row)):
+            if ids_row[t] == pad:
+                break
+            total += lp[t - 1, ids_row[t]]
+            if ids_row[t] == eos:
+                break
+        return total
+
+    assert seq_logprob(beam3[0]) >= seq_logprob(greedy[0]) - 1e-6
