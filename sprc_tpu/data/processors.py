@@ -19,7 +19,7 @@ All are host-side (PIL + numpy) and emit float32 HWC arrays; each carries a
 from __future__ import annotations
 
 import dataclasses
-from typing import List, Optional, Sequence, Tuple
+from typing import Sequence
 
 import numpy as np
 

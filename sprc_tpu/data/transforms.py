@@ -16,7 +16,7 @@ Output layout is NHWC float32 (TPU-native), not the reference's NCHW.
 from __future__ import annotations
 
 import dataclasses
-from typing import Callable, Tuple
+from typing import Callable
 
 import numpy as np
 

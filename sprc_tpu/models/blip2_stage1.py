@@ -23,14 +23,14 @@ model the SPRC CIR family initializes from. Losses:
 
 from __future__ import annotations
 
-from typing import Dict, Optional
+from typing import Dict
 
 import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
 from sprc_tpu.models.cir_base import Blip2CirBase
-from sprc_tpu.models.cir_variants import _HardNegMixin, NEG_DIAG
+from sprc_tpu.models.cir_variants import _HardNegMixin
 from sprc_tpu.models.lm import QFormerLMHead
 from sprc_tpu.ops.layers import l2_normalize
 from sprc_tpu.registry import registry

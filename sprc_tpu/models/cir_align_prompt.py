@@ -24,17 +24,13 @@ SPMD partitioner — no explicit all-gather layer is needed (the reference's
 
 from __future__ import annotations
 
-from typing import Dict, Tuple
+from typing import Dict
 
 import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from sprc_tpu.models.cir_base import (
-    Blip2CirBase,
-    CirConfig,
-    cross_entropy_diagonal,
-)
+from sprc_tpu.models.cir_base import Blip2CirBase, cross_entropy_diagonal
 from sprc_tpu.ops.layers import l2_normalize
 from sprc_tpu.registry import registry
 

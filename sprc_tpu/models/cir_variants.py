@@ -40,11 +40,7 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from sprc_tpu.models.cir_base import (
-    Blip2CirBase,
-    CirConfig,
-    cross_entropy_diagonal,
-)
+from sprc_tpu.models.cir_base import Blip2CirBase, cross_entropy_diagonal
 from sprc_tpu.ops.layers import l2_normalize
 from sprc_tpu.registry import registry
 

@@ -20,7 +20,7 @@ reference's fp16 + fp32-LN bridge), and Pallas flash attention for the
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, Optional
+from typing import Any
 
 import jax
 import jax.numpy as jnp

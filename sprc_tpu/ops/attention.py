@@ -15,7 +15,6 @@ layout changes XLA folds into the matmuls.
 
 from __future__ import annotations
 
-import functools
 from typing import Optional
 
 import jax

@@ -24,13 +24,13 @@ src/validate_blip.py:359-410 ``generate_cirr_val_predictions``):
 from __future__ import annotations
 
 import dataclasses
-from typing import Callable, Iterable, List, Optional, Sequence, Tuple
+from typing import Iterable, List, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-from sprc_tpu.parallel.mesh import data_sharding, make_mesh
+from sprc_tpu.parallel.mesh import data_sharding
 
 
 @dataclasses.dataclass

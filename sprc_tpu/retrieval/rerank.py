@@ -14,7 +14,7 @@ memory stays bounded at ``step*top`` sequences regardless of gallery size.
 
 from __future__ import annotations
 
-from typing import Callable, Dict, List, Sequence
+from typing import Callable, Sequence
 
 import numpy as np
 

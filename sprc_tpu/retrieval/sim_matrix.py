@@ -14,7 +14,7 @@ takes a contiguous slice; scores are dense adds into a host matrix).
 
 from __future__ import annotations
 
-from typing import Dict, Optional, Sequence, Tuple
+from typing import Dict, Sequence, Tuple
 
 import numpy as np
 

@@ -16,7 +16,7 @@ PyTorch implementation.
 from __future__ import annotations
 
 import os
-from typing import Any, Optional
+from typing import Any
 
 import jax
 import numpy as np

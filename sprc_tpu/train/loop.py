@@ -18,7 +18,6 @@ TPU-native counterpart of the reference's fine-tune driver
 from __future__ import annotations
 
 import dataclasses
-from functools import partial
 from typing import Any, Callable, Dict, Optional, Tuple
 
 import jax

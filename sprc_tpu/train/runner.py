@@ -18,9 +18,7 @@ import dataclasses
 import json
 import os
 import time
-from typing import Any, Callable, Dict, Iterable, Optional
-
-import numpy as np
+from typing import Any, Dict, Iterable, Optional
 
 from sprc_tpu.registry import registry
 

@@ -12,8 +12,6 @@ are provided as well: ``linear_warmup_cosine`` and ``linear_warmup_step``.
 
 from __future__ import annotations
 
-import math
-
 from sprc_tpu.registry import registry
 
 

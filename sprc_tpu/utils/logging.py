@@ -13,7 +13,7 @@ import collections
 import json
 import os
 import time
-from typing import Deque, Dict, Optional
+from typing import Deque, Dict
 
 
 class SmoothedValue:
