@@ -4,7 +4,7 @@ from sprc_tpu.models.vit import EvaViT, ClipViT, eva_vit_g_config, clip_vit_l_co
 # registering model classes happens on import
 from sprc_tpu.models import cir_align_prompt as _cir_align_prompt  # noqa: F401
 from sprc_tpu.models import cir_variants as _cir_variants  # noqa: F401
-from sprc_tpu.models import instruct_stubs as _instruct_stubs  # noqa: F401
+from sprc_tpu.models import instruct_cir as _instruct_cir  # noqa: F401
 from sprc_tpu.models import blip2_stage1 as _blip2_stage1  # noqa: F401
 from sprc_tpu.models import family_stubs as _family_stubs  # noqa: F401
 

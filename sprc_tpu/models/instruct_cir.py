@@ -1,0 +1,186 @@
+"""InstructBLIP-style CIR models backed by a JAX LLaMA decoder.
+
+Real implementations of the two LLM-backed variants (replacing the stubs):
+
+- ``blip2_vicuna_instruct`` (reference blip2_vicuna_instruct.py): the
+  CIR-modified InstructBLIP. Q-Former fuses (image queries + instruction
+  text); the 32 query outputs project into the LLM space (``llm_proj``) and
+  are prepended to the instruction's token embeddings; the frozen LLaMA's
+  last hidden states mean-pool through ``l2q_proj`` into a 768-d retrieval
+  feature (:210-242). Target features are the mean Q-Former query output
+  (:224-233, NO vision_proj). ITC over feature cosines / 0.07 (:236-242).
+- ``blip2_instruct_cir`` (reference blip2_instruct_cir.py:139-240):
+  instruction-tuned captioning — LM cross-entropy over the output segment
+  only (instruction, padding and query positions masked to -100).
+
+The LLaMA trunk is :mod:`sprc_tpu.models.llama` (parity-tested vs HF);
+weights load from a local HF checkpoint via ``llama_params_from_hf``.
+Text enters pre-tokenized: ``llm_input_ids``/``llm_mask`` from the LLaMA
+tokenizer and ``input_ids``/``text_mask`` from the BERT tokenizer.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from sprc_tpu.models.cir_base import Blip2CirBase, CirConfig, cross_entropy_diagonal
+from sprc_tpu.models.llama import LlamaConfig, LlamaForCausalLM
+from sprc_tpu.ops.layers import DenseGeneral, l2_normalize
+from sprc_tpu.registry import registry
+
+
+class _InstructBase(Blip2CirBase):
+    """Shared: Q-Former fusion -> llm_proj -> frozen LLaMA hidden states."""
+
+    llama_config: LlamaConfig = LlamaConfig()
+
+    def setup(self) -> None:
+        super().setup()
+        qcfg = self.cfg.qformer_config()
+        self.llm = LlamaForCausalLM(self.llama_config)
+        self.llm_proj = DenseGeneral(self.llama_config.hidden_size, dtype=qcfg.dtype)
+        self.l2q_proj = DenseGeneral(qcfg.hidden_size, dtype=qcfg.dtype)
+
+    def _query_fusion(self, image_embeds, input_ids, text_mask, deterministic):
+        """Queries + instruction text cross-attending the image -> query outs."""
+        B = image_embeds.shape[0]
+        Q = self.cfg.num_query_token
+        queries = self._queries(B)
+        attn = jnp.concatenate(
+            [jnp.ones((B, Q), dtype=text_mask.dtype), text_mask], axis=1
+        )
+        hidden = self.qformer(
+            input_ids=input_ids,
+            query_embeds=queries,
+            attention_mask=attn,
+            image_embeds=image_embeds,
+            deterministic=deterministic,
+        )
+        return hidden[:, :Q, :]
+
+    def _llm_hidden(self, query_outputs, llm_input_ids, llm_mask):
+        """Prepend projected queries to token embeds; frozen LLaMA forward."""
+        B = query_outputs.shape[0]
+        Q = query_outputs.shape[1]
+        inputs_llm = self.llm_proj(query_outputs)
+        tok_embeds = self.llm.embed(llm_input_ids)
+        inputs_embeds = jnp.concatenate(
+            [inputs_llm.astype(tok_embeds.dtype), tok_embeds], axis=1
+        )
+        mask = jnp.concatenate(
+            [jnp.ones((B, Q), dtype=llm_mask.dtype), llm_mask], axis=1
+        )
+        # the LLM is FROZEN via the optimizer partition (FROZEN_PREFIXES),
+        # not stop_gradient: gradients must flow THROUGH it into llm_proj
+        # (reference freezes llm_model params, :100-101, but backprops
+        # through the LLM to train the projections/Q-Former)
+        hidden = self.llm.hidden_states(inputs_embeds, mask)
+        return hidden, mask
+
+    def _ref_feature(self, query_outputs, llm_input_ids, llm_mask):
+        hidden, _ = self._llm_hidden(query_outputs, llm_input_ids, llm_mask)
+        return l2_normalize(self.l2q_proj(hidden).mean(axis=1))
+
+
+@registry.register_model("blip2_vicuna_instruct", override=True)
+class VicunaInstructCir(_InstructBase):
+    """CIR retrieval through the LLM (blip2_vicuna_instruct.py)."""
+
+    FROZEN_PREFIXES = ("visual_encoder", "llm")
+
+    def __call__(
+        self,
+        reference_images: jnp.ndarray,
+        target_images: jnp.ndarray,
+        input_ids: jnp.ndarray,
+        text_mask: jnp.ndarray,
+        llm_input_ids: jnp.ndarray,
+        llm_mask: jnp.ndarray,
+        *,
+        deterministic: bool = True,
+    ) -> Dict[str, jnp.ndarray]:
+        ref_embeds = self.encode_image(reference_images)
+        query_outputs = self._query_fusion(
+            ref_embeds, input_ids, text_mask, deterministic
+        )
+        ref_feats = self._ref_feature(query_outputs, llm_input_ids, llm_mask)
+
+        tgt_embeds = self.encode_image(target_images)
+        tgt_hidden = self.embed_image_queries(tgt_embeds, deterministic=deterministic)
+        target_feats = l2_normalize(tgt_hidden.mean(axis=1))  # no vision_proj (:230-233)
+
+        sim = (ref_feats.astype(jnp.float32) @ target_feats.astype(jnp.float32).T) / 0.07
+        return {"loss_itc": cross_entropy_diagonal(sim)}
+
+    # eval contract (:246-333): target feats are mean query outputs
+    def extract_target_features(self, images: jnp.ndarray):
+        frozen = self.encode_image(images)
+        hidden = self.embed_image_queries(frozen)
+        return l2_normalize(hidden.mean(axis=1)), frozen
+
+    def inference(
+        self,
+        reference_embeds: jnp.ndarray,
+        target_feats: jnp.ndarray,
+        input_ids: jnp.ndarray,
+        text_mask: jnp.ndarray,
+        llm_input_ids: jnp.ndarray,
+        llm_mask: jnp.ndarray,
+    ) -> jnp.ndarray:
+        query_outputs = self._query_fusion(reference_embeds, input_ids, text_mask, True)
+        ref_feats = self._ref_feature(query_outputs, llm_input_ids, llm_mask)
+        return ref_feats.astype(jnp.float32) @ target_feats.astype(jnp.float32).T
+
+
+@registry.register_model("blip2_instruct_cir", override=True)
+class InstructCir(_InstructBase):
+    """Instruction-tuned LM loss (blip2_instruct_cir.py:139-240).
+
+    ``llm_input_ids`` here is the concatenated [instruction | output] token
+    sequence (the reference's concat_text_input_output); ``target_mask``
+    marks positions that receive LM loss (output tokens only).
+    """
+
+    FROZEN_PREFIXES = ("visual_encoder", "llm")
+
+    def setup(self) -> None:
+        super().setup()
+        # lm head shares the llm's head; nothing extra
+
+    def __call__(
+        self,
+        images: jnp.ndarray,
+        input_ids: jnp.ndarray,
+        text_mask: jnp.ndarray,
+        llm_input_ids: jnp.ndarray,
+        llm_mask: jnp.ndarray,
+        target_mask: jnp.ndarray,
+        *,
+        deterministic: bool = True,
+    ) -> Dict[str, jnp.ndarray]:
+        image_embeds = self.encode_image(images)
+        query_outputs = self._query_fusion(
+            image_embeds, input_ids, text_mask, deterministic
+        )
+        hidden, full_mask = self._llm_hidden(query_outputs, llm_input_ids, llm_mask)
+        logits = self.llm.lm_head(hidden)
+
+        B = llm_input_ids.shape[0]
+        Q = query_outputs.shape[1]
+        # labels: [-100 over queries | llm ids masked outside target span]
+        labels = jnp.where(target_mask.astype(bool), llm_input_ids, -100)
+        labels = jnp.concatenate(
+            [jnp.full((B, Q), -100, labels.dtype), labels], axis=1
+        )
+        shifted_logits = logits[:, :-1, :]
+        shifted_labels = labels[:, 1:]
+        valid = shifted_labels != -100
+        logp = jax.nn.log_softmax(shifted_logits.astype(jnp.float32), axis=-1)
+        safe = jnp.where(valid, shifted_labels, 0)
+        nll = -jnp.take_along_axis(logp, safe[..., None], axis=-1)[..., 0]
+        loss = (nll * valid).sum() / jnp.maximum(valid.sum(), 1)
+        return {"loss": loss}

@@ -1,0 +1,140 @@
+"""Instruct (LLM-backed) CIR variant tests with a tiny LLaMA."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from sprc_tpu.models.cir_base import CirConfig
+from sprc_tpu.models.llama import LlamaConfig
+from sprc_tpu.models.qformer import QFormerConfig
+from sprc_tpu.models.vit import ViTConfig
+from sprc_tpu.registry import registry
+
+IMG, VOCAB, TXT, Q, B = 28, 60, 6, 4, 3
+LLM_VOCAB, LLM_HID = 80, 48
+
+
+def build(name):
+    vcfg = ViTConfig(image_size=IMG, patch_size=14, width=32, depth=2, num_heads=2,
+                     mlp_hidden=64, qkv_fused_no_kbias=True, dtype=jnp.float32)
+    qcfg = QFormerConfig(vocab_size=VOCAB, hidden_size=32, num_layers=2, num_heads=2,
+                         intermediate_size=64, encoder_width=32, query_length=Q,
+                         dropout_rate=0.0)
+    cfg = CirConfig(vit_model="eva_clip_g", image_size=IMG, num_query_token=Q,
+                    max_txt_len=TXT, vocab_size=VOCAB, vit_dtype=jnp.float32,
+                    embed_dim=16, vit_config_override=vcfg,
+                    qformer_config_override=qcfg)
+    lcfg = LlamaConfig(vocab_size=LLM_VOCAB, hidden_size=LLM_HID,
+                       intermediate_size=96, num_layers=2, num_heads=4)
+    return registry.get_model_class(name)(cfg, lcfg)
+
+
+@pytest.fixture(scope="module")
+def batch(rng):
+    return dict(
+        ref=jnp.asarray(rng.rand(B, IMG, IMG, 3), jnp.float32),
+        tgt=jnp.asarray(rng.rand(B, IMG, IMG, 3), jnp.float32),
+        ids=jnp.asarray(rng.randint(0, VOCAB, (B, TXT)), jnp.int32),
+        mask=jnp.asarray(np.ones((B, TXT)), jnp.int32),
+        llm_ids=jnp.asarray(rng.randint(1, LLM_VOCAB, (B, 8)), jnp.int32),
+        llm_mask=jnp.asarray(np.ones((B, 8)), jnp.int32),
+    )
+
+
+def test_vicuna_instruct_forward_and_eval(batch):
+    model = build("blip2_vicuna_instruct")
+    b = batch
+    variables = model.init(
+        jax.random.PRNGKey(0), b["ref"], b["tgt"], b["ids"], b["mask"],
+        b["llm_ids"], b["llm_mask"],
+    )
+    losses = model.apply(
+        variables, b["ref"], b["tgt"], b["ids"], b["mask"], b["llm_ids"], b["llm_mask"]
+    )
+    assert set(losses) == {"loss_itc"}
+    assert np.isfinite(float(losses["loss_itc"]))
+
+    feats, frozen = model.apply(
+        variables, b["tgt"], method=model.extract_target_features
+    )
+    assert feats.shape == (B, 32)  # qformer hidden size, no vision_proj
+    sims = model.apply(
+        variables, frozen, feats, b["ids"], b["mask"], b["llm_ids"], b["llm_mask"],
+        method=model.inference,
+    )
+    assert sims.shape == (B, B)
+    assert np.isfinite(np.asarray(sims)).all()
+
+
+def test_instruct_cir_lm_loss_masks(batch, rng):
+    model = build("blip2_instruct_cir")
+    b = batch
+    # output span = last 4 positions
+    target_mask = np.zeros((B, 8), np.int32)
+    target_mask[:, 4:] = 1
+    variables = model.init(
+        jax.random.PRNGKey(0), b["ref"], b["ids"], b["mask"],
+        b["llm_ids"], b["llm_mask"], jnp.asarray(target_mask),
+    )
+    out = model.apply(
+        variables, b["ref"], b["ids"], b["mask"], b["llm_ids"], b["llm_mask"],
+        jnp.asarray(target_mask),
+    )
+    assert np.isfinite(float(out["loss"]))
+    # all-masked targets -> loss over zero tokens = 0 (guarded denominator)
+    out0 = model.apply(
+        variables, b["ref"], b["ids"], b["mask"], b["llm_ids"], b["llm_mask"],
+        jnp.zeros((B, 8), jnp.int32),
+    )
+    assert float(out0["loss"]) == 0.0
+
+
+def test_llm_frozen_partition(batch):
+    from sprc_tpu.train.loop import TrainConfig, create_train_state, make_train_step
+
+    model = build("blip2_vicuna_instruct")
+    b = batch
+    variables = model.init(
+        jax.random.PRNGKey(0), b["ref"], b["tgt"], b["ids"], b["mask"],
+        b["llm_ids"], b["llm_mask"],
+    )
+    params = variables["params"]
+    cfg = TrainConfig(
+        learning_rate=1e-3, total_steps=10, frozen_prefixes=model.FROZEN_PREFIXES,
+        loss_weights={},
+    )
+    state, tx = create_train_state(params, cfg)
+
+    import optax
+
+    def loss_fn(p):
+        losses = model.apply(
+            {"params": p}, b["ref"], b["tgt"], b["ids"], b["mask"],
+            b["llm_ids"], b["llm_mask"],
+        )
+        return losses["loss_itc"]
+
+    grads = jax.grad(loss_fn)(state.params)
+    updates, _ = tx.update(grads, state.opt_state, state.params)
+    new_params = optax.apply_updates(state.params, updates)
+    # frozen subtrees unchanged
+    for key in ("visual_encoder", "llm"):
+        for a, c in zip(jax.tree.leaves(new_params[key]), jax.tree.leaves(params[key])):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(c))
+    # projections moved (grads flow THROUGH the frozen LLM)
+    moved = any(
+        not np.allclose(np.asarray(a), np.asarray(c))
+        for a, c in zip(
+            jax.tree.leaves(new_params["l2q_proj"]), jax.tree.leaves(params["l2q_proj"])
+        )
+    )
+    assert moved
+    moved_in = any(
+        not np.allclose(np.asarray(a), np.asarray(c))
+        for a, c in zip(
+            jax.tree.leaves(new_params["llm_proj"]), jax.tree.leaves(params["llm_proj"])
+        )
+    )
+    assert moved_in

@@ -202,9 +202,9 @@ def test_circo_map(rng):
     assert res2["map_at5"] == 0.0
 
 
-def test_instruct_stub_errors():
+def test_instruct_models_registered():
     from sprc_tpu.registry import registry
+    from sprc_tpu.models.instruct_cir import InstructCir, VicunaInstructCir
 
-    cls = registry.get_model_class("blip2_vicuna_instruct")
-    with pytest.raises(NotImplementedError):
-        cls()
+    assert registry.get_model_class("blip2_vicuna_instruct") is VicunaInstructCir
+    assert registry.get_model_class("blip2_instruct_cir") is InstructCir
