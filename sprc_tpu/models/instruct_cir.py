@@ -136,6 +136,72 @@ class VicunaInstructCir(_InstructBase):
         return ref_feats.astype(jnp.float32) @ target_feats.astype(jnp.float32).T
 
 
+def instruct_generate(
+    model,
+    params,
+    images: jnp.ndarray,
+    input_ids: jnp.ndarray,
+    text_mask: jnp.ndarray,
+    llm_input_ids: jnp.ndarray,
+    llm_mask: jnp.ndarray,
+    *,
+    eos_token_id: int,
+    pad_token_id: int,
+    max_new_tokens: int = 30,
+):
+    """Greedy LLM generation conditioned on [query prefix | prompt tokens]
+    (the reference's instruct ``generate``; greedy path of num_beams=1).
+
+    Returns generated token ids [B, max_new_tokens].
+    """
+    import numpy as np
+
+    B, L = llm_input_ids.shape
+    Q = model.cfg.num_query_token
+
+    def _logits_method(mdl, images, bert_ids, bert_mask, ids, mask):
+        image_embeds = mdl.encode_image(images)
+        query_outputs = mdl._query_fusion(image_embeds, bert_ids, bert_mask, True)
+        hidden, _ = mdl._llm_hidden(query_outputs, ids, mask)
+        return mdl.llm.lm_head(hidden)
+
+    def hidden_logits(ids, mask):
+        return model.apply(
+            {"params": params}, images, input_ids, text_mask, ids, mask,
+            method=_logits_method,
+        )
+
+    total = L + max_new_tokens
+    ids = np.full((B, total), pad_token_id, np.int32)
+    ids[:, :L] = np.asarray(llm_input_ids)
+    mask = np.zeros((B, total), np.int32)
+    mask[:, :L] = np.asarray(llm_mask)
+    lengths = np.asarray(llm_mask).sum(axis=1)
+    finished = np.zeros((B,), bool)
+
+    logits_fn = jax.jit(hidden_logits)
+    for step in range(max_new_tokens):
+        logits = np.asarray(logits_fn(jnp.asarray(ids), jnp.asarray(mask)))
+        # next-token logits at each row's current end (query prefix offset Q)
+        rows = np.arange(B)
+        next_logits = logits[rows, Q + lengths - 1]
+        next_tok = next_logits.argmax(-1).astype(np.int32)
+        next_tok = np.where(finished, pad_token_id, next_tok)
+        ids[rows, lengths] = next_tok
+        mask[rows, lengths] = (~finished).astype(np.int32)
+        lengths = lengths + (~finished).astype(np.int64)
+        finished |= next_tok == eos_token_id
+        if finished.all():
+            break
+    # return only the generated tail per row, left-aligned
+    out = np.full((B, max_new_tokens), pad_token_id, np.int32)
+    base = np.asarray(llm_mask).sum(axis=1)
+    for b in range(B):
+        gen = ids[b, base[b] : lengths[b]]
+        out[b, : len(gen)] = gen
+    return jnp.asarray(out)
+
+
 @registry.register_model("blip2_instruct_cir", override=True)
 class InstructCir(_InstructBase):
     """Instruction-tuned LM loss (blip2_instruct_cir.py:139-240).

@@ -138,3 +138,56 @@ def test_llm_frozen_partition(batch):
         )
     )
     assert moved_in
+
+
+def test_instruct_generate(batch):
+    from sprc_tpu.models.instruct_cir import instruct_generate
+
+    model = build("blip2_vicuna_instruct")
+    b = batch
+    variables = model.init(
+        jax.random.PRNGKey(0), b["ref"], b["tgt"], b["ids"], b["mask"],
+        b["llm_ids"], b["llm_mask"],
+    )
+    # the retrieval forward never touches the LM head, so its params are not
+    # materialized by init (flax creates used modules only); generation needs
+    # them — graft a freshly initialized head (a real checkpoint includes it)
+    from sprc_tpu.models.llama import LlamaForCausalLM
+
+    lcfg = model.llama_config
+    llm_full = LlamaForCausalLM(lcfg).init(
+        jax.random.PRNGKey(3), jnp.zeros((1, 4), jnp.int32)
+    )["params"]
+    params = dict(variables["params"])
+    params["llm"] = dict(params["llm"])
+    params["llm"]["lm_head"] = llm_full["lm_head"]
+
+    out = instruct_generate(
+        model, params, b["ref"], b["ids"], b["mask"],
+        b["llm_ids"], b["llm_mask"], eos_token_id=2, pad_token_id=0,
+        max_new_tokens=4,
+    )
+    out = np.asarray(out)
+    assert out.shape == (B, 4)
+    assert ((out >= 0) & (out < LLM_VOCAB)).all()
+
+
+def test_determinism_harness(batch):
+    from sprc_tpu.utils.determinism import assert_deterministic, tree_fingerprint
+
+    model = build("blip2_vicuna_instruct")
+    b = batch
+    variables = model.init(
+        jax.random.PRNGKey(0), b["ref"], b["tgt"], b["ids"], b["mask"],
+        b["llm_ids"], b["llm_mask"],
+    )
+
+    def step():
+        return model.apply(
+            variables, b["ref"], b["tgt"], b["ids"], b["mask"],
+            b["llm_ids"], b["llm_mask"],
+        )
+
+    fp = assert_deterministic(step)
+    assert len(fp) == 64
+    assert tree_fingerprint({"a": np.ones(3)}) != tree_fingerprint({"a": np.zeros(3)})
