@@ -151,3 +151,22 @@ class Blip2Stage1(Blip2CirBase, _HardNegMixin):
     def extract_text_features(self, input_ids: jnp.ndarray, text_mask: jnp.ndarray):
         hidden = self.qformer(input_ids=input_ids, attention_mask=text_mask)
         return l2_normalize(self.text_proj(hidden[:, 0, :])), hidden
+
+
+@registry.register_model("blip2_image_text_matching", override=True)
+class Blip2ITM(Blip2Stage1):
+    """Image-text matching scorer (reference blip2_image_text_matching.py):
+    ``itm`` returns the 2-class matching logits via the joint pass;
+    ``itc`` the token-max cosine similarity."""
+
+    def itm(self, images: jnp.ndarray, input_ids: jnp.ndarray, text_mask: jnp.ndarray):
+        image_embeds = self.encode_image(images)
+        return self.compute_itm(image_embeds, input_ids, text_mask)
+
+    def itc(self, images: jnp.ndarray, input_ids: jnp.ndarray, text_mask: jnp.ndarray):
+        feats, _ = self.extract_image_features(images)
+        tfeat, _ = self.extract_text_features(input_ids, text_mask)
+        sims = jnp.einsum(
+            "bqe,be->bq", feats.astype(jnp.float32), tfeat.astype(jnp.float32)
+        )
+        return sims.max(axis=-1)

@@ -63,7 +63,6 @@ _FAMILIES = {
         ("blip2_t5", "blip2_models/blip2_t5.py"),
         ("blip2_t5_instruct", "blip2_models/blip2_t5_instruct.py"),
         ("blip2_opt", "blip2_models/blip2_opt.py"),
-        ("blip2_image_text_matching", "blip2_models/blip2_image_text_matching.py"),
     ],
     "misc": [
         ("pnp_vqa", "pnp_vqa_models/pnp_vqa.py"),
