@@ -85,6 +85,80 @@ class RetrievalEngine:
 
     # ------------------------------------------------------------- index build
 
+    def build_index_raw(
+        self,
+        batches: Iterable[Tuple[Sequence[str], np.ndarray, np.ndarray]],
+        *,
+        decode_size: int = 256,
+        target_ratio: float = 1.25,
+    ) -> "GalleryIndex":
+        """High-throughput index build over RAW uint8 batches.
+
+        batches yield ``(names, images_u8 [b, H, W, 3], sizes [b, 2])`` where
+        images are decoded-but-unresized (uniform buffer, true (h, w) in
+        ``sizes``). The targetpad/bicubic/normalize preprocess runs ON DEVICE
+        fused into the same jitted program as the encoder, so the host only
+        decodes bytes (see data/native.py for the C++ decode path).
+        """
+        import jax.numpy as jnp
+
+        from sprc_tpu.data.transforms import device_preprocess
+
+        pre = device_preprocess(
+            dim=self.model.cfg.image_size, target_ratio=target_ratio
+        )
+
+        def encode_raw(p, raw, sizes):
+            images = pre(raw, sizes)
+            return self.model.apply(
+                {"params": p}, images, method=self.model.extract_target_features
+            )
+
+        encode = jax.jit(encode_raw)
+
+        names: List[str] = []
+        feats_parts: List[np.ndarray] = []
+        frozen_parts: List[np.ndarray] = []
+        for batch_names, raw, sizes in batches:
+            b = raw.shape[0]
+            if b < self.encode_batch:
+                pad = self.encode_batch - b
+                raw = np.concatenate(
+                    [raw, np.zeros((pad,) + raw.shape[1:], raw.dtype)], axis=0
+                )
+                sizes = np.concatenate(
+                    [sizes, np.ones((pad, 2), sizes.dtype)], axis=0
+                )
+            feats, frozen = encode(self.params, jnp.asarray(raw), jnp.asarray(sizes))
+            feats_parts.append(np.asarray(feats[:b]))
+            frozen_parts.append(np.asarray(frozen[:b]))
+            names.extend(batch_names)
+        return self._assemble_index(names, feats_parts, frozen_parts)
+
+    def _assemble_index(self, names, feats_parts, frozen_parts) -> "GalleryIndex":
+        target_feats = np.concatenate(feats_parts, axis=0)
+        frozen = np.concatenate(frozen_parts, axis=0)
+        n = target_feats.shape[0]
+
+        if self.mesh is not None:
+            n_dev = self.mesh.devices.size
+            n_pad = ((n + n_dev - 1) // n_dev) * n_dev
+            if n_pad != n:
+                target_feats = np.concatenate(
+                    [
+                        target_feats,
+                        np.zeros((n_pad - n,) + target_feats.shape[1:], target_feats.dtype),
+                    ]
+                )
+            device_feats = jax.device_put(
+                jnp.asarray(target_feats), data_sharding(self.mesh)
+            )
+        else:
+            device_feats = jnp.asarray(target_feats)
+        return GalleryIndex(
+            names=names, target_feats=device_feats, frozen_embeds=frozen, n=n
+        )
+
     def build_index(
         self,
         batches: Iterable[Tuple[Sequence[str], np.ndarray]],
@@ -108,30 +182,9 @@ class RetrievalEngine:
             feats_parts.append(np.asarray(feats[:b]))
             frozen_parts.append(np.asarray(frozen[:b]))
             names.extend(batch_names)
-
-        target_feats = np.concatenate(feats_parts, axis=0)
-        frozen = np.concatenate(frozen_parts, axis=0)
-        n = target_feats.shape[0]
-
-        if self.mesh is not None:
-            n_dev = self.mesh.devices.size
-            n_pad = ((n + n_dev - 1) // n_dev) * n_dev
-            if n_pad != n:
-                # pad rows score ~-inf-ish: zero feats give sim 0, real sims
-                # can be negative, so padded rows must be masked by callers
-                # that use topk; full-sims callers slice [:n]
-                target_feats = np.concatenate(
-                    [target_feats, np.zeros((n_pad - n,) + target_feats.shape[1:], target_feats.dtype)]
-                )
-            device_feats = jax.device_put(
-                jnp.asarray(target_feats), data_sharding(self.mesh)
-            )
-        else:
-            device_feats = jnp.asarray(target_feats)
-
-        return GalleryIndex(
-            names=names, target_feats=device_feats, frozen_embeds=frozen, n=n
-        )
+        # note: mesh padding rows score 0 (zero feats); full-sims callers
+        # slice [:n], topk callers mask (see topk())
+        return self._assemble_index(names, feats_parts, frozen_parts)
 
     # --------------------------------------------------------------- scoring
 

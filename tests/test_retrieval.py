@@ -208,3 +208,39 @@ def test_instruct_models_registered():
 
     assert registry.get_model_class("blip2_vicuna_instruct") is VicunaInstructCir
     assert registry.get_model_class("blip2_instruct_cir") is InstructCir
+
+
+def test_build_index_raw_device_preprocess(setup, rng):
+    """Raw uint8 + on-device preprocess path produces features close to the
+    host-PIL path."""
+    import PIL.Image
+
+    from sprc_tpu.data.transforms import targetpad_transform
+
+    model, params, tok = setup
+    engine = RetrievalEngine(model, params, tok, encode_batch=4, query_batch=2)
+
+    n, H, W = 6, 40, 56
+    raws = (rng.rand(n, H, W, 3) * 255).astype(np.uint8)
+    sizes = np.tile(np.asarray([[H, W]], np.int32), (n, 1))
+    names = [f"r{i}" for i in range(n)]
+
+    def raw_batches():
+        for s in range(0, n, 4):
+            yield names[s:s+4], raws[s:s+4], sizes[s:s+4]
+
+    index = engine.build_index_raw(raw_batches())
+    assert index.n == n
+
+    # host-PIL reference index
+    tfm = targetpad_transform(1.25, model.cfg.image_size)
+    imgs = np.stack([tfm(PIL.Image.fromarray(r)) for r in raws])
+
+    def host_batches():
+        for s in range(0, n, 4):
+            yield names[s:s+4], imgs[s:s+4]
+
+    host_index = engine.build_index(host_batches())
+    # bicubic impls differ slightly; features must still be close
+    diff = np.abs(np.asarray(index.target_feats)[:n] - np.asarray(host_index.target_feats)[:n])
+    assert float(diff.mean()) < 0.05, float(diff.mean())
