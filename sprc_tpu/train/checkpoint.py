@@ -16,7 +16,7 @@ PyTorch implementation.
 from __future__ import annotations
 
 import os
-from typing import Any
+from typing import Any, Optional
 
 import jax
 import numpy as np
@@ -64,6 +64,64 @@ def restore_state(path: str, state_template):
         opt_state=opt_state,
         rng=jnp.asarray(restored["rng"]),
     )
+
+
+class CheckpointManager:
+    """Preemption-safe periodic checkpointing: orbax-backed step-numbered
+    saves with keep-last-N retention and async (non-blocking) writes —
+    the elastic-recovery piece the reference lacks entirely (SURVEY §5.3).
+    """
+
+    def __init__(self, directory: str, *, keep: int = 3, use_async: bool = True):
+        import orbax.checkpoint as ocp
+
+        self.directory = os.path.abspath(directory)
+        os.makedirs(self.directory, exist_ok=True)
+        options = ocp.CheckpointManagerOptions(
+            max_to_keep=keep, create=True, enable_async_checkpointing=use_async
+        )
+        self._mgr = ocp.CheckpointManager(self.directory, options=options)
+
+    def save(self, step: int, state) -> None:
+        import orbax.checkpoint as ocp
+
+        tree = {
+            "step": np.asarray(state.step),
+            "params": jax.tree.map(np.asarray, state.params),
+            "opt_state": jax.tree.map(np.asarray, state.opt_state),
+            "rng": np.asarray(state.rng),
+        }
+        self._mgr.save(step, args=ocp.args.StandardSave(tree))
+
+    def latest_step(self) -> Optional[int]:
+        return self._mgr.latest_step()
+
+    def restore(self, state_template, step: Optional[int] = None):
+        import jax.numpy as jnp
+        import orbax.checkpoint as ocp
+
+        step = step if step is not None else self._mgr.latest_step()
+        if step is None:
+            return None
+        restored = self._mgr.restore(step)
+        opt_state = jax.tree.unflatten(
+            jax.tree.structure(state_template.opt_state),
+            jax.tree.leaves(restored["opt_state"]),
+        )
+        return state_template.replace(
+            step=jnp.asarray(restored["step"]),
+            params=restored["params"],
+            opt_state=opt_state,
+            rng=jnp.asarray(restored["rng"]),
+        )
+
+    def wait(self) -> None:
+        """Block until in-flight async saves land (call before exit)."""
+        self._mgr.wait_until_finished()
+
+    def close(self) -> None:
+        self.wait()
+        self._mgr.close()
 
 
 class BestCheckpointKeeper:

@@ -218,3 +218,36 @@ def test_train_step_with_layer_decay_runs(rng):
         )
     )
     assert moved
+
+
+def test_checkpoint_manager_keep_n(tmp_path, rng):
+    from sprc_tpu.train.checkpoint import CheckpointManager
+
+    model = tiny_model()
+    params = init_params(model, image_size=28)
+    cfg = TrainConfig(learning_rate=1e-3, total_steps=100)
+    state, tx = create_train_state(params, cfg)
+    step = make_train_step(model, tx, cfg, donate=False)
+    batch = make_batch(rng, b=4)
+
+    mgr = CheckpointManager(str(tmp_path / "ckpts"), keep=2, use_async=False)
+    assert mgr.latest_step() is None
+    assert mgr.restore(state) is None
+
+    for i in range(3):
+        state, _ = step(state, batch)
+        mgr.save(i, state)
+    mgr.wait()
+    assert mgr.latest_step() == 2
+
+    template, _ = create_train_state(params, cfg)
+    restored = mgr.restore(template)
+    assert int(restored.step) == 3
+    for a, b in zip(jax.tree.leaves(restored.params), jax.tree.leaves(state.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # retention: only the last 2 steps kept
+    import os
+
+    kept = sorted(d for d in os.listdir(tmp_path / "ckpts") if d.isdigit())
+    assert kept == ["1", "2"]
+    mgr.close()
