@@ -1,14 +1,16 @@
 """Pallas fused token-max similarity kernel.
 
-``token_max_sim(feats [B,E], targets [N,Q,E]) -> [B,N]`` via one tiled
-matmul whose epilogue folds the max over the Q query tokens in VMEM —
-the XLA path materializes the ``[B, N, Q]`` intermediate in HBM
-(Q=32x more write traffic than the output).
+``token_max_sim(feats [B,E], targets [N,Q,E]) -> [B,N]`` is the hot scoring
+op: for every (query, gallery) pair take the max inner product over the Q
+per-image query tokens (reference …cir_align_prompt.py:353-358). The XLA
+path materializes the ``[B, N, Q]`` intermediate in HBM (Q=32x the output
+traffic); here the max folds into the matmul epilogue in VMEM.
 
-Grid: (B tiles, N tiles). Per program: feats tile [TB, E] x targets block
-[TN*Q, E]^T -> scores [TB, TN*Q] fp32 in VMEM -> reshape [TB, TN, Q] ->
-max -> out tile [TB, TN]. For E=256, TB=128, TN=128, Q=32: targets block
-2 MB bf16, scores 2 MB fp32 — well inside VMEM.
+Kernel geometry: targets are viewed as ``[Q, N, E]`` (token-major); each
+program computes one ``[TB, TN]`` output tile as an elementwise max over Q
+small matmuls ``f[TB,E] @ t[q][E,TN]`` accumulated in registers. (A
+``[TB, TN*Q] -> [TB, TN, Q]`` reshape would be the natural epilogue but
+Mosaic cannot split the lane dimension — learned on hardware.)
 """
 
 from __future__ import annotations
@@ -25,13 +27,14 @@ _TN = 128
 
 def _sim_kernel(f_ref, t_ref, o_ref, *, q: int):
     f = f_ref[...]  # [TB, E]
-    t = t_ref[0]  # [TN*Q, E]
-    scores = jax.lax.dot_general(
-        f, t, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    )  # [TB, TN*Q]
-    tb, nq = scores.shape
-    scores = scores.reshape(tb, nq // q, q)
-    o_ref[...] = jnp.max(scores, axis=-1)
+    acc = None
+    for i in range(q):
+        t = t_ref[i]  # [TN, E]
+        scores = jax.lax.dot_general(
+            f, t, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )  # [TB, TN]
+        acc = scores if acc is None else jnp.maximum(acc, scores)
+    o_ref[...] = acc
 
 
 def token_max_sim_pallas(feats: jax.Array, targets: jax.Array) -> jax.Array:
@@ -46,17 +49,17 @@ def token_max_sim_pallas(feats: jax.Array, targets: jax.Array) -> jax.Array:
     if pad_n:
         targets = jnp.pad(targets, ((0, pad_n), (0, 0), (0, 0)))
     Bp, Np = B + pad_b, N + pad_n
-    targets_flat = targets.reshape(1, Np * Q, E)
+    targets_tok = targets.transpose(1, 0, 2)  # [Q, Np, E]
 
     out = pl.pallas_call(
         functools.partial(_sim_kernel, q=Q),
         grid=(Bp // _TB, Np // _TN),
         in_specs=[
             pl.BlockSpec((_TB, E), lambda i, j: (i, 0)),
-            pl.BlockSpec((1, _TN * Q, E), lambda i, j: (0, j, 0)),
+            pl.BlockSpec((Q, _TN, E), lambda i, j: (0, j, 0)),
         ],
         out_specs=pl.BlockSpec((_TB, _TN), lambda i, j: (i, j)),
         out_shape=jax.ShapeDtypeStruct((Bp, Np), jnp.float32),
         interpret=jax.default_backend() != "tpu",
-    )(feats, targets_flat)
+    )(feats, targets_tok)
     return out[:B, :N]
