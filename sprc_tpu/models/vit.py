@@ -165,10 +165,47 @@ class ViTBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        import os
+
         cfg = self.config
-        act = quick_gelu if cfg.quick_gelu else (lambda h: nn.gelu(h, approximate=False))
         h = LayerNormFP32(epsilon=cfg.layer_norm_eps, name="norm1")(x)
         x = x + ViTAttention(cfg, name="attn")(h)
+
+        # default OFF: measured 480 vs 542 imgs/s on v5e — the weight
+        # re-streaming per row tile loses to XLA's matmul pipelining at these
+        # shapes; kept for larger-batch / multi-slice regimes (opt in with
+        # SPRC_PALLAS_MLP=1, or "force" for interpret-mode tests)
+        flag = os.environ.get("SPRC_PALLAS_MLP", "0")
+        use_fused = (
+            flag == "force"
+            or (
+                flag == "1"
+                and jax.default_backend() == "tpu"
+                and cfg.width % 128 == 0
+                and cfg.mlp_hidden % 128 == 0
+            )
+        )
+        if use_fused:
+            # fused LN -> fc1 -> act -> fc2 -> +residual pallas kernel; the
+            # *Params modules create trees identical to the unfused modules
+            from sprc_tpu.ops.layers import DenseParams, LayerNormParams
+            from sprc_tpu.ops.pallas_mlp import fused_mlp_block
+
+            ln_s, ln_b = LayerNormParams(cfg.width, name="norm2")()
+            w1, b1 = DenseParams(cfg.width, cfg.mlp_hidden, name="mlp_fc1")()
+            w2, b2 = DenseParams(cfg.mlp_hidden, cfg.width, name="mlp_fc2")()
+            return fused_mlp_block(
+                x,
+                ln_s,
+                ln_b,
+                w1.astype(cfg.dtype),
+                b1,
+                w2.astype(cfg.dtype),
+                b2,
+                cfg.layer_norm_eps,
+                cfg.quick_gelu,
+            )
+        act = quick_gelu if cfg.quick_gelu else (lambda h: nn.gelu(h, approximate=False))
         h = LayerNormFP32(epsilon=cfg.layer_norm_eps, name="norm2")(x)
         h = DenseGeneral(cfg.mlp_hidden, dtype=cfg.dtype, name="mlp_fc1")(h)
         h = act(h)

@@ -90,6 +90,46 @@ class MlpBlock(nn.Module):
         )(h)
 
 
+class LayerNormParams(nn.Module):
+    """Materializes LayerNormFP32's (scale, bias) without applying the norm —
+    for fused kernels that consume raw parameters. Param names, shapes and
+    initializers match LayerNormFP32, so a module named identically yields
+    an IDENTICAL param tree."""
+
+    dim: int
+    param_dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self):
+        scale = self.param("scale", nn.initializers.ones, (self.dim,), self.param_dtype)
+        bias = self.param("bias", nn.initializers.zeros, (self.dim,), self.param_dtype)
+        return scale, bias
+
+
+class DenseParams(nn.Module):
+    """Materializes DenseGeneral's (kernel, bias) without applying the layer
+    (fused-kernel counterpart; tree-compatible with DenseGeneral)."""
+
+    in_features: int
+    features: int
+    use_bias: bool = True
+    param_dtype: Dtype = jnp.float32
+    kernel_init: Callable = nn.initializers.normal(stddev=0.02)
+    bias_init: Callable = nn.initializers.zeros
+
+    @nn.compact
+    def __call__(self):
+        kernel = self.param(
+            "kernel", self.kernel_init, (self.in_features, self.features), self.param_dtype
+        )
+        bias = (
+            self.param("bias", self.bias_init, (self.features,), self.param_dtype)
+            if self.use_bias
+            else None
+        )
+        return kernel, bias
+
+
 def l2_normalize(x: jnp.ndarray, axis: int = -1, eps: float = 1e-12) -> jnp.ndarray:
     """Match torch.nn.functional.normalize: x / max(||x||, eps)."""
     norm = jnp.linalg.norm(x.astype(jnp.float32), axis=axis, keepdims=True)

@@ -1,0 +1,145 @@
+"""Pallas fused ViT MLP block: LN -> fc1 -> quickgelu -> fc2 -> +residual.
+
+XLA keeps the ViT MLP's [B*S, 4d] intermediate (and the pre-LN and gelu
+passes) in HBM — ~3.5 ms/layer of traffic at ViT-L batch 256. This kernel
+computes ``x + fc2(act(fc1(LN(x))))`` entirely in VMEM: the hidden dim is
+streamed in chunks (classic K-loop grid with an fp32 accumulator scratch),
+so only x, the weights (once per row tile) and the output touch HBM.
+
+Eval-forward only (custom VJP recomputes through XLA for training).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_TR = 512  # row tile
+_TC = 512  # hidden-dim chunk
+
+
+def _mlp_kernel(
+    x_ref, ln_s_ref, ln_b_ref, w1_ref, b1_ref, w2_ref, b2_ref, o_ref,
+    u_ref, acc_ref, *, eps: float, quick: bool, n_chunks: int,
+):
+    c = pl.program_id(1)
+
+    @pl.when(c == 0)
+    def _():
+        x32 = x_ref[...].astype(jnp.float32)
+        mean = jnp.mean(x32, axis=-1, keepdims=True)
+        var = jnp.mean(jnp.square(x32 - mean), axis=-1, keepdims=True)
+        u = (x32 - mean) * jax.lax.rsqrt(var + eps)
+        u = u * ln_s_ref[...].astype(jnp.float32) + ln_b_ref[...].astype(jnp.float32)
+        u_ref[...] = u.astype(u_ref.dtype)
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    h = jax.lax.dot_general(
+        u_ref[...], w1_ref[...], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) + b1_ref[...].astype(jnp.float32)
+    if quick:
+        h = h * jax.nn.sigmoid(1.702 * h)
+    else:
+        h = jax.nn.gelu(h, approximate=False)
+    acc_ref[...] += jax.lax.dot_general(
+        h.astype(w2_ref.dtype), w2_ref[...], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+    @pl.when(c == n_chunks - 1)
+    def _():
+        out = (
+            acc_ref[...]
+            + b2_ref[...].astype(jnp.float32)
+            + x_ref[...].astype(jnp.float32)
+        )
+        o_ref[...] = out.astype(o_ref.dtype)
+
+
+def _fused_fwd(x, ln_scale, ln_bias, w1, b1, w2, b2, *, eps, quick):
+    B, S, D = x.shape
+    C = w1.shape[1]
+    R = B * S
+    tr = min(_TR, ((R + 7) // 8) * 8)
+    tc = min(_TC, C)
+    if C % tc:
+        return _xla_ref(x, ln_scale, ln_bias, w1, b1, w2, b2, eps=eps, quick=quick)
+    xf = x.reshape(R, D)
+    pad_r = (-R) % tr
+    if pad_r:
+        xf = jnp.pad(xf, ((0, pad_r), (0, 0)))
+    Rp = R + pad_r
+    n_chunks = C // tc
+
+    out = pl.pallas_call(
+        functools.partial(_mlp_kernel, eps=eps, quick=quick, n_chunks=n_chunks),
+        grid=(Rp // tr, n_chunks),
+        in_specs=[
+            pl.BlockSpec((tr, D), lambda r, c: (r, 0)),
+            pl.BlockSpec((1, D), lambda r, c: (0, 0)),
+            pl.BlockSpec((1, D), lambda r, c: (0, 0)),
+            pl.BlockSpec((D, tc), lambda r, c: (0, c)),
+            pl.BlockSpec((1, tc), lambda r, c: (0, c)),
+            pl.BlockSpec((tc, D), lambda r, c: (c, 0)),
+            pl.BlockSpec((1, D), lambda r, c: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec((tr, D), lambda r, c: (r, 0)),
+        out_shape=jax.ShapeDtypeStruct((Rp, D), x.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((tr, D), x.dtype),  # u = LN(x)
+            pltpu.VMEM((tr, D), jnp.float32),  # fp32 accumulator
+        ],
+        interpret=jax.default_backend() != "tpu",
+    )(
+        xf,
+        ln_scale.reshape(1, D),
+        ln_bias.reshape(1, D),
+        w1,
+        b1.reshape(1, C),
+        w2,
+        b2.reshape(1, D),
+    )
+    return out[:R].reshape(B, S, D)
+
+
+def _xla_ref(x, ln_scale, ln_bias, w1, b1, w2, b2, *, eps, quick):
+    x32 = x.astype(jnp.float32)
+    mean = jnp.mean(x32, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(x32 - mean), axis=-1, keepdims=True)
+    u = ((x32 - mean) * jax.lax.rsqrt(var + eps) * ln_scale + ln_bias).astype(x.dtype)
+    h = jnp.dot(u, w1, preferred_element_type=jnp.float32) + b1
+    if quick:
+        h = h * jax.nn.sigmoid(1.702 * h)
+    else:
+        h = jax.nn.gelu(h, approximate=False)
+    y = jnp.dot(h.astype(x.dtype), w2, preferred_element_type=jnp.float32) + b2
+    return x + y.astype(x.dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8))
+def fused_mlp_block(x, ln_scale, ln_bias, w1, b1, w2, b2, eps: float, quick: bool):
+    """x [B,S,D] -> x + fc2(act(fc1(LN(x)))), fused on TPU."""
+    return _fused_fwd(x, ln_scale, ln_bias, w1, b1, w2, b2, eps=eps, quick=quick)
+
+
+def _fwd(x, ln_scale, ln_bias, w1, b1, w2, b2, eps, quick):
+    out = _fused_fwd(x, ln_scale, ln_bias, w1, b1, w2, b2, eps=eps, quick=quick)
+    return out, (x, ln_scale, ln_bias, w1, b1, w2, b2)
+
+
+def _bwd(eps, quick, res, g):
+    x, ln_scale, ln_bias, w1, b1, w2, b2 = res
+    _, vjp = jax.vjp(
+        lambda *a: _xla_ref(*a, eps=eps, quick=quick),
+        x, ln_scale, ln_bias, w1, b1, w2, b2,
+    )
+    return vjp(g)
+
+
+fused_mlp_block.defvjp(_fwd, _bwd)

@@ -61,3 +61,61 @@ def test_token_max_sim_pallas_matches_xla(shape, rng):
     want = _xla_token_max_sim(feats, targets)
     got = token_max_sim_pallas(feats, targets)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5)
+
+
+@pytest.mark.parametrize("quick", [True, False])
+def test_fused_mlp_block_matches_xla(quick, rng):
+    from sprc_tpu.ops.pallas_mlp import _xla_ref, fused_mlp_block
+
+    B, S, D, C = 2, 9, 128, 256
+    x = jnp.asarray(rng.randn(B, S, D).astype(np.float32) * 0.3)
+    ln_s = jnp.asarray(1.0 + 0.1 * rng.randn(D).astype(np.float32))
+    ln_b = jnp.asarray(0.1 * rng.randn(D).astype(np.float32))
+    w1 = jnp.asarray(rng.randn(D, C).astype(np.float32) * 0.05)
+    b1 = jnp.asarray(rng.randn(C).astype(np.float32) * 0.05)
+    w2 = jnp.asarray(rng.randn(C, D).astype(np.float32) * 0.05)
+    b2 = jnp.asarray(rng.randn(D).astype(np.float32) * 0.05)
+    want = _xla_ref(x, ln_s, ln_b, w1, b1, w2, b2, eps=1e-6, quick=quick)
+    got = fused_mlp_block(x, ln_s, ln_b, w1, b1, w2, b2, 1e-6, quick)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5)
+
+
+def test_fused_mlp_grads_match_xla(rng):
+    from sprc_tpu.ops.pallas_mlp import _xla_ref, fused_mlp_block
+
+    B, S, D, C = 1, 4, 128, 256
+    args = [
+        jnp.asarray(rng.randn(B, S, D).astype(np.float32) * 0.3),
+        jnp.asarray(1.0 + 0.1 * rng.randn(D).astype(np.float32)),
+        jnp.asarray(0.1 * rng.randn(D).astype(np.float32)),
+        jnp.asarray(rng.randn(D, C).astype(np.float32) * 0.05),
+        jnp.asarray(rng.randn(C).astype(np.float32) * 0.05),
+        jnp.asarray(rng.randn(C, D).astype(np.float32) * 0.05),
+        jnp.asarray(rng.randn(D).astype(np.float32) * 0.05),
+    ]
+    g_p = jax.grad(lambda *a: jnp.sum(fused_mlp_block(*a, 1e-6, True) ** 2), argnums=tuple(range(7)))(*args)
+    g_x = jax.grad(lambda *a: jnp.sum(_xla_ref(*a, eps=1e-6, quick=True) ** 2), argnums=tuple(range(7)))(*args)
+    for a, b in zip(g_p, g_x):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-4)
+
+
+def test_vit_block_fused_mlp_parity(rng, monkeypatch):
+    """ViTBlock with the fused-MLP path (interpret mode) == unfused, and the
+    param tree is identical."""
+    from sprc_tpu.models.vit import ViTBlock, ViTConfig
+
+    cfg = ViTConfig(image_size=28, patch_size=14, width=128, depth=1, num_heads=2,
+                    mlp_hidden=256, qkv_fused_no_kbias=True, dtype=jnp.float32,
+                    quick_gelu=True)
+    block = ViTBlock(cfg)
+    x = jnp.asarray(rng.randn(2, 9, 128).astype(np.float32) * 0.3)
+
+    monkeypatch.setenv("SPRC_PALLAS_MLP", "0")
+    params = block.init(jax.random.PRNGKey(0), x)["params"]
+    want = block.apply({"params": params}, x)
+
+    monkeypatch.setenv("SPRC_PALLAS_MLP", "force")
+    params_fused = block.init(jax.random.PRNGKey(0), x)["params"]
+    assert jax.tree.structure(params_fused) == jax.tree.structure(params)
+    got = block.apply({"params": params}, x)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5)
