@@ -60,8 +60,6 @@ _FAMILIES = {
         ("timesformer", "timesformer/vit.py"),
     ],
     "BLIP-2 LLM heads": [
-        ("blip2_t5", "blip2_models/blip2_t5.py"),
-        ("blip2_t5_instruct", "blip2_models/blip2_t5_instruct.py"),
     ],
     "misc": [
         ("pnp_vqa", "pnp_vqa_models/pnp_vqa.py"),
