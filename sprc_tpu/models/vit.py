@@ -44,6 +44,8 @@ class ViTConfig:
     use_ln_pre: bool = False  # CLIP-style pre-transformer LN
     qkv_fused_no_kbias: bool = False  # EVA-style q/v bias, zero k bias
     quick_gelu: bool = False
+    final_norm: bool = False  # BLIP-1 ViT applies a final LayerNorm
+    patch_bias: bool = True  # CLIP's conv1 has no bias
     dtype: jnp.dtype = jnp.bfloat16
     remat: bool = False  # activation checkpointing per block
     # compile the block ONCE and lax.scan it over stacked per-layer params
@@ -101,6 +103,29 @@ def clip_vit_l_config(
         use_ln_pre=True,
         qkv_fused_no_kbias=False,
         quick_gelu=True,
+        patch_bias=False,
+        dtype=dtype,
+        remat=remat,
+        scan_blocks=scan_blocks,
+    )
+
+
+def blip_vit_b_config(
+    image_size: int = 224, dtype=jnp.bfloat16, remat: bool = False,
+    scan_blocks: bool = True,
+) -> ViTConfig:
+    """BLIP-1 ViT-B/16 (reference vit.py:476-487): standard timm ViT with a
+    final LayerNorm; packed qkv with bias, exact GELU, no ln_pre."""
+    return ViTConfig(
+        image_size=image_size,
+        patch_size=16,
+        width=768,
+        depth=12,
+        num_heads=12,
+        mlp_hidden=3072,
+        layer_norm_eps=1e-6,
+        qkv_fused_no_kbias=False,
+        final_norm=True,
         dtype=dtype,
         remat=remat,
         scan_blocks=scan_blocks,
@@ -227,12 +252,11 @@ class _ViTTrunk(nn.Module):
     """Shared cls-token + pos-embed + block stack."""
 
     config: ViTConfig
-    patch_bias: bool
 
     @nn.compact
     def __call__(self, images: jnp.ndarray) -> jnp.ndarray:
         cfg = self.config
-        x = PatchEmbed(cfg, use_bias=self.patch_bias, name="patch_embed")(images)
+        x = PatchEmbed(cfg, use_bias=cfg.patch_bias, name="patch_embed")(images)
         B = x.shape[0]
         cls = self.param(
             "cls_token", nn.initializers.normal(0.02), (1, 1, cfg.width), jnp.float32
@@ -266,7 +290,9 @@ class _ViTTrunk(nn.Module):
                 block = nn.remat(ViTBlock)
             for i in range(cfg.depth):
                 x = block(cfg, name=f"block_{i}")(x)
-        return x  # NO final LayerNorm (both towers feed ln_vision downstream)
+        if cfg.final_norm:  # BLIP-1 ViT (reference vit.py:279); BLIP-2 towers
+            x = LayerNormFP32(epsilon=cfg.layer_norm_eps, name="norm")(x)
+        return x  # feed ln_vision downstream (BLIP-2) or projections (BLIP-1)
 
 
 class EvaViT(nn.Module):
@@ -276,7 +302,7 @@ class EvaViT(nn.Module):
 
     @nn.compact
     def __call__(self, images: jnp.ndarray) -> jnp.ndarray:
-        return _ViTTrunk(self.config, patch_bias=True, name="trunk")(images)
+        return _ViTTrunk(self.config, name="trunk")(images)
 
 
 class ClipViT(nn.Module):
@@ -286,4 +312,4 @@ class ClipViT(nn.Module):
 
     @nn.compact
     def __call__(self, images: jnp.ndarray) -> jnp.ndarray:
-        return _ViTTrunk(self.config, patch_bias=False, name="trunk")(images)
+        return _ViTTrunk(self.config, name="trunk")(images)

@@ -148,5 +148,75 @@ def ref_clip_vit_module(ref_eva_vit_module):
 
 
 @pytest.fixture(scope="session")
+def ref_blip_vit_module(ref_qformer_module):
+    """Reference BLIP-1 vit.py, standalone with timm/fairscale shims."""
+    import torch
+    import torch.nn as nn
+
+    class PatchEmbedShim(nn.Module):
+        def __init__(self, img_size=224, patch_size=16, in_chans=3, embed_dim=768):
+            super().__init__()
+            self.num_patches = (img_size // patch_size) ** 2
+            self.proj = nn.Conv2d(in_chans, embed_dim, kernel_size=patch_size, stride=patch_size)
+
+        def forward(self, x):
+            return self.proj(x).flatten(2).transpose(1, 2)
+
+    class DropPathShim(nn.Module):
+        def __init__(self, drop_prob=0.0):
+            super().__init__()
+
+        def forward(self, x):
+            return x
+
+    class BaseEncoderShim(nn.Module):
+        pass
+
+    shims = _timm_shims()
+    shims["timm.models.vision_transformer"] = {
+        "_cfg": lambda url="", **kw: {},
+        "PatchEmbed": PatchEmbedShim,
+    }
+    shims["timm.models.helpers"] = {
+        "named_apply": lambda *a, **k: None,
+        "adapt_input_conv": lambda *a, **k: None,
+    }
+    shims["timm.models.layers"] = dict(shims["timm.models.layers"])
+    shims["timm.models.layers"]["DropPath"] = DropPathShim
+    shims["fairscale.nn.checkpoint.checkpoint_activations"] = {
+        "checkpoint_wrapper": lambda m, *a, **k: m
+    }
+    shims["lavis.models.base_model"] = {"BaseEncoder": BaseEncoderShim}
+    path = REFERENCE_ROOT / "lavis/models/vit.py"
+    if not path.exists():
+        pytest.skip("reference vit.py not present")
+    mod = _load_module_with_shims(path, "ref_blip_vit", shims)
+    if mod is None:
+        pytest.skip("reference blip vit not loadable")
+    return mod
+
+
+@pytest.fixture(scope="session")
+def ref_med_module(ref_qformer_module):
+    """Reference med.py (BLIP-1 BERT fork), standalone."""
+    path = REFERENCE_ROOT / "lavis/models/med.py"
+    if not path.exists():
+        pytest.skip("reference med.py not present")
+    import torch.nn as nn
+
+    mod = _load_module_with_shims(
+        path,
+        "ref_med",
+        {
+            "lavis.common.utils": {"get_abs_path": lambda p: p},
+            "lavis.models.base_model": {"BaseEncoder": nn.Module},
+        },
+    )
+    if mod is None:
+        pytest.skip("reference med not loadable")
+    return mod
+
+
+@pytest.fixture(scope="session")
 def rng():
     return np.random.RandomState(0)

@@ -94,6 +94,7 @@ def test_clip_vit_parity(ref_clip_vit_module, rng):
         use_ln_pre=True,
         qkv_fused_no_kbias=False,
         quick_gelu=True,
+        patch_bias=False,
         dtype=jnp.float32,
     )
     jmodel = ClipViT(cfg)
