@@ -48,10 +48,6 @@ _FAMILIES = {
         ("albef_retrieval", "albef_models/albef_retrieval.py"),
         ("albef_vqa", "albef_models/albef_vqa.py"),
     ],
-    "CLIP": [
-        ("clip", "clip_models/model.py"),
-        ("clip_feature_extractor", "clip_models/model.py"),
-    ],
     "video": [
         ("alpro_qa", "alpro_models/alpro_qa.py"),
         ("alpro_retrieval", "alpro_models/alpro_retrieval.py"),
