@@ -71,3 +71,36 @@ def test_validate_cirr_cli_flow(tiny_engine, cirr_root):
     # 6-image gallery: everything must be found within top-5/top-50
     assert results["recall_at5"] == 100.0
     assert results["group_recall_at3"] == 100.0
+
+
+def test_validate_rerank_cli_flow(tiny_engine, cirr_root, monkeypatch):
+    """Two-stage CLI flow: stage-1 + ITM rerank over synthetic CIRR."""
+    import sprc_tpu.cli.validate_rerank as rcli
+    import sprc_tpu.cli.submission as scli
+
+    model = tiny_engine
+
+    def fake_load_rerank(args, mesh=None):
+        from sprc_tpu.loader import init_params
+        from test_variants import build
+
+        rmodel = build("blip2_cir_rerank")
+        import jax
+
+        b = jax.random.PRNGKey(0)
+        ref = jax.numpy.zeros((2, 28, 28, 3))
+        ids = jax.numpy.zeros((2, 8), "int32")
+        mask = jax.numpy.ones((2, 8), "int32")
+        variables = rmodel.init({"params": b, "sample": jax.random.PRNGKey(1)},
+                                ref, ref, ids, mask)
+        params = rmodel.sync_fformer(dict(variables["params"]))
+        return rmodel, params
+
+    monkeypatch.setattr(scli, "_load_rerank_model", fake_load_rerank)
+
+    args = _args(cirr_root, rerank_top=3, rerank_step=2,
+                 rerank_model_name="blip2_cir_rerank", rerank_model_path=None)
+    results = rcli.validate_rerank_cirr(args)
+    for k in ("recall_at1", "recall_at5", "group_recall_at1"):
+        assert k in results and np.isfinite(results[k])
+    assert results["recall_at5"] == 100.0  # 6-image gallery
