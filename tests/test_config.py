@@ -59,3 +59,28 @@ def test_run_config():
     assert cfg.get("model.image_size") == 112
     assert cfg.run["batch_size"] == 8
     assert cfg.get("missing.key", "fallback") == "fallback"
+
+
+def test_train_cli_yaml_wiring(monkeypatch):
+    """cli.train resolves the YAML recipe into the finetune namespace."""
+    import sprc_tpu.cli.train as tcli
+    import sprc_tpu.cli.finetune as fcli
+
+    captured = {}
+    monkeypatch.setattr(fcli, "finetune", lambda args: captured.update(vars(args)))
+    # cli.train imports finetune by name at call time
+    monkeypatch.setattr(tcli, "main", tcli.main)
+    import sys
+
+    tcli.main([
+        "--cfg-path", "configs/runs/cirr_finetune.yaml",
+        "--data-path", "/data/cirr", "--vocab-path", "/data/vocab.txt",
+        "--options", "run.learning_rate=5e-6", "model.vit_model=clip_L",
+    ])
+    assert captured["dataset"] == "CIRR"
+    assert captured["batch_size"] == 128
+    assert captured["num_epochs"] == 50
+    assert captured["schedule_epochs"] == 80
+    assert captured["learning_rate"] == 5e-6  # dotlist override applied
+    assert captured["model_type"] == "pretrain_vitL"  # vit_model override
+    assert captured["selection_metric"] == "arithmetic_mean"
