@@ -10,6 +10,7 @@ from sprc_tpu.models import blip2_opt as _blip2_opt  # noqa: F401
 from sprc_tpu.models import blip2_t5 as _blip2_t5  # noqa: F401
 from sprc_tpu.models import blip1 as _blip1  # noqa: F401
 from sprc_tpu.models import clip as _clip  # noqa: F401
+from sprc_tpu.models import albef as _albef  # noqa: F401
 from sprc_tpu.models import family_stubs as _family_stubs  # noqa: F401
 
 __all__ = [

@@ -1,0 +1,334 @@
+"""ALBEF retrieval (registry: ``albef_retrieval``, ``albef_feature_extractor``).
+
+TPU-native re-implementation of ``AlbefRetrieval``
+(reference: src/lavis/models/albef_models/albef_retrieval.py:26-306):
+ViT-B + a med-BERT whose first ``fusion_layer`` layers are text-only and
+whose remaining layers cross-attend the image over ALL positions
+(med.py:540-565). Losses: momentum-distilled queue ITC (soft targets mixing
+the momentum model's softmax with multi-positive id targets, ramped by
+``alpha``) and hard-negative ITM over fusion CLS outputs.
+
+TPU-first twist: the reference's momentum encoders, feature queues and
+pointer are module buffers mutated in-place; here they are an EXPLICIT
+functional state threaded through :func:`albef_train_step` — momentum
+update, queue enqueue and the jitted loss all stay pure, so the whole step
+jits/shards like any other.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+from sprc_tpu.models.qformer import (
+    QFormerAttention,
+    QFormerConfig,
+    QFormerFFN,
+    make_additive_mask,
+)
+from sprc_tpu.models.vit import ClipViT, ViTConfig, blip_vit_b_config
+from sprc_tpu.ops.layers import DenseGeneral, LayerNormFP32, l2_normalize
+from sprc_tpu.registry import registry
+
+
+class MedEncoder(nn.Module):
+    """ALBEF-style BERT: text layers [0, fusion) then fusion layers
+    [fusion, n) with cross-attention over all positions (med.py modes)."""
+
+    config: QFormerConfig
+    fusion_layer: int
+
+    @nn.compact
+    def __call__(
+        self,
+        input_ids: Optional[jnp.ndarray] = None,
+        inputs_embeds: Optional[jnp.ndarray] = None,
+        attention_mask: Optional[jnp.ndarray] = None,
+        image_embeds: Optional[jnp.ndarray] = None,
+        *,
+        mode: str = "multimodal",
+        deterministic: bool = True,
+    ) -> jnp.ndarray:
+        cfg = self.config
+        if inputs_embeds is None:
+            word = nn.Embed(
+                cfg.vocab_size, cfg.hidden_size, param_dtype=jnp.float32,
+                embedding_init=nn.initializers.normal(cfg.initializer_range),
+                name="word_embeddings",
+            )(input_ids)
+            pos = nn.Embed(
+                cfg.max_position_embeddings, cfg.hidden_size, param_dtype=jnp.float32,
+                embedding_init=nn.initializers.normal(cfg.initializer_range),
+                name="position_embeddings",
+            )(jnp.arange(input_ids.shape[1]))
+            hidden = LayerNormFP32(epsilon=cfg.layer_norm_eps, name="embeddings_ln")(
+                word + pos[None]
+            ).astype(cfg.dtype)
+        else:
+            hidden = inputs_embeds.astype(cfg.dtype)
+
+        bias = None
+        if attention_mask is not None:
+            bias = make_additive_mask(attention_mask)
+
+        if mode == "text":
+            start, end = 0, self.fusion_layer
+        elif mode == "fusion":
+            start, end = self.fusion_layer, cfg.num_layers
+        else:  # multimodal
+            start, end = 0, cfg.num_layers
+
+        for i in range(start, end):
+            hidden = QFormerAttention(cfg, name=f"layer_{i}_self")(
+                hidden, hidden, bias, deterministic=deterministic
+            )
+            if i >= self.fusion_layer and image_embeds is not None:
+                hidden = QFormerAttention(cfg, is_cross=True, name=f"layer_{i}_cross")(
+                    hidden, image_embeds.astype(cfg.dtype), None,
+                    deterministic=deterministic,
+                )
+            hidden = QFormerFFN(cfg, name=f"layer_{i}_ffn")(
+                hidden, deterministic=deterministic
+            )
+        return hidden
+
+
+@dataclasses.dataclass(frozen=True)
+class AlbefConfig:
+    image_size: int = 384
+    embed_dim: int = 256
+    max_txt_len: int = 30
+    vocab_size: int = 30523
+    fusion_layer: int = 6
+    queue_size: int = 65536
+    momentum: float = 0.995
+    alpha: float = 0.4
+    temp_init: float = 0.07
+    use_distill: bool = True
+    vit_dtype: Any = jnp.bfloat16
+    text_dtype: Any = jnp.float32
+    vit_config_override: Optional[ViTConfig] = None
+    text_config_override: Optional[QFormerConfig] = None
+
+    def vit_config(self) -> ViTConfig:
+        return self.vit_config_override or blip_vit_b_config(
+            self.image_size, dtype=self.vit_dtype
+        )
+
+    def text_config(self) -> QFormerConfig:
+        return self.text_config_override or QFormerConfig(
+            vocab_size=self.vocab_size,
+            encoder_width=self.vit_config().width,
+            dtype=self.text_dtype,
+        )
+
+
+@registry.register_model("albef_retrieval", override=True)
+@registry.register_model("albef_feature_extractor", override=True)
+class AlbefRetrieval(nn.Module):
+    cfg: AlbefConfig
+
+    # the subtrees mirrored into the momentum copy (reference model_pairs)
+    MOMENTUM_KEYS = ("visual_encoder", "text_encoder", "vision_proj", "text_proj")
+
+    def setup(self) -> None:
+        cfg = self.cfg
+        self.visual_encoder = ClipViT(cfg.vit_config())
+        self.text_encoder = MedEncoder(cfg.text_config(), cfg.fusion_layer)
+        self.vision_proj = DenseGeneral(cfg.embed_dim, dtype=cfg.text_dtype)
+        self.text_proj = DenseGeneral(cfg.embed_dim, dtype=cfg.text_dtype)
+        self.itm_head = DenseGeneral(2, dtype=cfg.text_dtype)
+        self.temp = self.param(
+            "temp", nn.initializers.constant(cfg.temp_init), (), jnp.float32
+        )
+
+    # ------------------------------------------------------------- features
+
+    def unimodal(self, images, input_ids, text_mask, *, deterministic=True):
+        """-> (image_embeds, image_feat, text_embeds, text_feat)."""
+        image_embeds = self.visual_encoder(images).astype(jnp.float32)
+        image_feat = l2_normalize(self.vision_proj(image_embeds[:, 0, :]))
+        text_embeds = self.text_encoder(
+            input_ids=input_ids, attention_mask=text_mask, mode="text",
+            deterministic=deterministic,
+        )
+        text_feat = l2_normalize(self.text_proj(text_embeds[:, 0, :]))
+        return image_embeds, image_feat, text_embeds, text_feat
+
+    def fusion_cls(self, text_embeds, text_mask, image_embeds, *, deterministic=True):
+        out = self.text_encoder(
+            inputs_embeds=text_embeds, attention_mask=text_mask,
+            image_embeds=image_embeds, mode="fusion", deterministic=deterministic,
+        )
+        return out[:, 0, :]
+
+    # ----------------------------------------------------------------- loss
+
+    def __call__(
+        self,
+        images: jnp.ndarray,
+        input_ids: jnp.ndarray,
+        text_mask: jnp.ndarray,
+        image_ids: jnp.ndarray,
+        image_feat_m: jnp.ndarray,
+        text_feat_m: jnp.ndarray,
+        image_queue: jnp.ndarray,  # [E, Qs]
+        text_queue: jnp.ndarray,
+        idx_queue: jnp.ndarray,  # [Qs]
+        alpha: jnp.ndarray,
+        *,
+        deterministic: bool = True,
+    ) -> Dict[str, jnp.ndarray]:
+        cfg = self.cfg
+        bs = images.shape[0]
+        temp = jnp.clip(self.temp, 0.001, 0.5)
+
+        image_embeds, image_feat, text_embeds, text_feat = self.unimodal(
+            images, input_ids, text_mask, deterministic=deterministic
+        )
+
+        idx = image_ids.reshape(-1, 1)
+        idx_all = jnp.concatenate([image_ids, idx_queue])  # [bs+Qs]
+        pos_idx = (idx == idx_all[None, :]).astype(jnp.float32)
+        sim_targets = pos_idx / pos_idx.sum(axis=1, keepdims=True)
+
+        image_feat_all = jnp.concatenate([image_feat_m.T, image_queue], axis=1)
+        text_feat_all = jnp.concatenate([text_feat_m.T, text_queue], axis=1)
+
+        sim_i2t = image_feat @ text_feat_all / temp
+        sim_t2i = text_feat @ image_feat_all / temp
+
+        if cfg.use_distill:
+            sim_i2t_m = jax.lax.stop_gradient(image_feat_m @ text_feat_all / temp)
+            sim_t2i_m = jax.lax.stop_gradient(text_feat_m @ image_feat_all / temp)
+            i2t_targets = alpha * jax.nn.softmax(sim_i2t_m, -1) + (1 - alpha) * sim_targets
+            t2i_targets = alpha * jax.nn.softmax(sim_t2i_m, -1) + (1 - alpha) * sim_targets
+        else:
+            i2t_targets = t2i_targets = sim_targets
+        loss_i2t = -jnp.mean(
+            jnp.sum(jax.nn.log_softmax(sim_i2t, -1) * i2t_targets, axis=1)
+        )
+        loss_t2i = -jnp.mean(
+            jnp.sum(jax.nn.log_softmax(sim_t2i, -1) * t2i_targets, axis=1)
+        )
+        loss_itc = (loss_i2t + loss_t2i) / 2
+
+        # ---- hard-negative ITM (:218-283)
+        same = idx == image_ids[None, :]
+        w_i2t = jax.nn.softmax(sim_i2t[:, :bs] + 1e-4, axis=1)
+        w_t2i = jax.nn.softmax(sim_t2i[:, :bs] + 1e-4, axis=1)
+        w_i2t = jnp.where(same, 0.0, w_i2t)
+        w_t2i = jnp.where(same, 0.0, w_t2i)
+        if self.has_rng("sample"):
+            r1, r2 = jax.random.split(self.make_rng("sample"))
+            neg_img = jax.random.categorical(r1, jnp.log(w_t2i + 1e-9), axis=1)
+            neg_txt = jax.random.categorical(r2, jnp.log(w_i2t + 1e-9), axis=1)
+        else:
+            neg_img = jnp.argmax(w_t2i, axis=1)
+            neg_txt = jnp.argmax(w_i2t, axis=1)
+
+        pos_cls = self.fusion_cls(
+            text_embeds, text_mask, image_embeds, deterministic=deterministic
+        )
+        text_embeds_all = jnp.concatenate(
+            [text_embeds, text_embeds[neg_txt]], axis=0
+        )
+        text_mask_all = jnp.concatenate([text_mask, text_mask[neg_txt]], axis=0)
+        image_embeds_all = jnp.concatenate(
+            [image_embeds[neg_img], image_embeds], axis=0
+        )
+        neg_cls = self.fusion_cls(
+            text_embeds_all, text_mask_all, image_embeds_all,
+            deterministic=deterministic,
+        )
+        logits = self.itm_head(jnp.concatenate([pos_cls, neg_cls], axis=0))
+        labels = jnp.concatenate(
+            [jnp.ones((bs,), jnp.int32), jnp.zeros((2 * bs,), jnp.int32)]
+        )
+        logp = jax.nn.log_softmax(logits.astype(jnp.float32), -1)
+        loss_itm = -jnp.mean(jnp.take_along_axis(logp, labels[:, None], axis=-1))
+
+        return {"loss_itc": loss_itc, "loss_itm": loss_itm}
+
+
+# ------------------------------------------------- functional momentum state
+
+
+def init_albef_state(params, cfg: AlbefConfig, seed: int = 0) -> Dict[str, Any]:
+    """Momentum params + normalized feature queues + id queue + pointer."""
+    rng = np.random.RandomState(seed)
+    iq = rng.randn(cfg.embed_dim, cfg.queue_size).astype(np.float32)
+    tq = rng.randn(cfg.embed_dim, cfg.queue_size).astype(np.float32)
+    iq /= np.linalg.norm(iq, axis=0, keepdims=True)
+    tq /= np.linalg.norm(tq, axis=0, keepdims=True)
+    return {
+        "params_m": {k: jax.tree.map(jnp.asarray, params[k])
+                     for k in AlbefRetrieval.MOMENTUM_KEYS},
+        "image_queue": jnp.asarray(iq),
+        "text_queue": jnp.asarray(tq),
+        "idx_queue": jnp.full((cfg.queue_size,), -100, jnp.int32),
+        "ptr": jnp.zeros((), jnp.int32),
+    }
+
+
+def momentum_update(params, state, momentum: float):
+    new_m = {
+        k: jax.tree.map(
+            lambda m, p: momentum * m + (1.0 - momentum) * p,
+            state["params_m"][k],
+            params[k],
+        )
+        for k in AlbefRetrieval.MOMENTUM_KEYS
+    }
+    return {**state, "params_m": new_m}
+
+
+def enqueue(state, image_feat_m, text_feat_m, image_ids):
+    """Ring-buffer enqueue (reference SharedQueueMixin._dequeue_and_enqueue)."""
+    bs = image_feat_m.shape[0]
+    qs = state["image_queue"].shape[1]
+    ptr = state["ptr"]
+    cols = (ptr + jnp.arange(bs)) % qs
+    return {
+        **state,
+        "image_queue": state["image_queue"].at[:, cols].set(image_feat_m.T),
+        "text_queue": state["text_queue"].at[:, cols].set(text_feat_m.T),
+        "idx_queue": state["idx_queue"].at[cols].set(image_ids.astype(jnp.int32)),
+        "ptr": (ptr + bs) % qs,
+    }
+
+
+def albef_train_step(model, params, state, batch, *, alpha, rng):
+    """One pure ALBEF forward: momentum update -> momentum feats -> losses ->
+    queue enqueue. Returns (losses, new_state). Wrap in jax.grad over a
+    closure on ``params`` for training."""
+    cfg = model.cfg
+    state = momentum_update(params, state, cfg.momentum)
+    params_m_full = {**params, **state["params_m"]}
+    _, image_feat_m, _, text_feat_m = model.apply(
+        {"params": params_m_full},
+        batch["images"], batch["input_ids"], batch["text_mask"],
+        method=model.unimodal,
+    )
+    image_feat_m = jax.lax.stop_gradient(image_feat_m)
+    text_feat_m = jax.lax.stop_gradient(text_feat_m)
+    losses = model.apply(
+        {"params": params},
+        batch["images"], batch["input_ids"], batch["text_mask"],
+        batch["image_ids"], image_feat_m, text_feat_m,
+        state["image_queue"], state["text_queue"], state["idx_queue"],
+        jnp.asarray(alpha, jnp.float32),
+        rngs={"sample": rng},
+    )
+    state = enqueue(state, image_feat_m, text_feat_m, batch["image_ids"])
+    return losses, state
+
+
+def rampup_alpha(cfg: AlbefConfig, epoch: int, iters: int, iters_per_epoch: int) -> float:
+    """alpha ramp (reference :104-105)."""
+    return cfg.alpha * min(1.0, (epoch * iters_per_epoch + iters) / (2 * iters_per_epoch))

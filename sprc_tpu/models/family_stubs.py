@@ -42,10 +42,8 @@ _FAMILIES = {
     ],
     "ALBEF": [
         ("albef_classification", "albef_models/albef_classification.py"),
-        ("albef_feature_extractor", "albef_models/albef_feature_extractor.py"),
         ("albef_nlvr", "albef_models/albef_nlvr.py"),
         ("albef_pretrain", "albef_models/albef_pretrain.py"),
-        ("albef_retrieval", "albef_models/albef_retrieval.py"),
         ("albef_vqa", "albef_models/albef_vqa.py"),
     ],
     "video": [
