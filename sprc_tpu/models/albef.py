@@ -37,11 +37,18 @@ from sprc_tpu.registry import registry
 
 
 class MedEncoder(nn.Module):
-    """ALBEF-style BERT: text layers [0, fusion) then fusion layers
-    [fusion, n) with cross-attention over all positions (med.py modes)."""
+    """ALBEF/BLIP med-BERT (med.py modes):
+
+    - mode 'text' runs layers [0, fusion_layer) without cross-attention,
+    - mode 'fusion' runs layers [fusion_layer, n) with cross-attention,
+    - mode 'multimodal' runs all layers, cross-attending from
+      ``cross_from`` (ALBEF: cross_from == fusion_layer; BLIP: every layer
+      has cross-attention — fusion_layer = n, cross_from = 0, med.py:406-420).
+    """
 
     config: QFormerConfig
     fusion_layer: int
+    cross_from: Optional[int] = None
 
     @nn.compact
     def __call__(
@@ -83,11 +90,12 @@ class MedEncoder(nn.Module):
         else:  # multimodal
             start, end = 0, cfg.num_layers
 
+        cross_from = self.fusion_layer if self.cross_from is None else self.cross_from
         for i in range(start, end):
             hidden = QFormerAttention(cfg, name=f"layer_{i}_self")(
                 hidden, hidden, bias, deterministic=deterministic
             )
-            if i >= self.fusion_layer and image_embeds is not None:
+            if i >= cross_from and image_embeds is not None:
                 hidden = QFormerAttention(cfg, is_cross=True, name=f"layer_{i}_cross")(
                     hidden, image_embeds.astype(cfg.dtype), None,
                     deterministic=deterministic,
@@ -266,9 +274,9 @@ def init_albef_state(params, cfg: AlbefConfig, seed: int = 0) -> Dict[str, Any]:
     tq = rng.randn(cfg.embed_dim, cfg.queue_size).astype(np.float32)
     iq /= np.linalg.norm(iq, axis=0, keepdims=True)
     tq /= np.linalg.norm(tq, axis=0, keepdims=True)
+    keys = getattr(cfg, "momentum_keys", AlbefRetrieval.MOMENTUM_KEYS)
     return {
-        "params_m": {k: jax.tree.map(jnp.asarray, params[k])
-                     for k in AlbefRetrieval.MOMENTUM_KEYS},
+        "params_m": {k: jax.tree.map(jnp.asarray, params[k]) for k in keys},
         "image_queue": jnp.asarray(iq),
         "text_queue": jnp.asarray(tq),
         "idx_queue": jnp.full((cfg.queue_size,), -100, jnp.int32),
@@ -276,14 +284,15 @@ def init_albef_state(params, cfg: AlbefConfig, seed: int = 0) -> Dict[str, Any]:
     }
 
 
-def momentum_update(params, state, momentum: float):
+def momentum_update(params, state, momentum: float, keys=None):
+    keys = keys or tuple(state["params_m"].keys())
     new_m = {
         k: jax.tree.map(
             lambda m, p: momentum * m + (1.0 - momentum) * p,
             state["params_m"][k],
             params[k],
         )
-        for k in AlbefRetrieval.MOMENTUM_KEYS
+        for k in keys
     }
     return {**state, "params_m": new_m}
 

@@ -208,3 +208,203 @@ def blip_cir_base_params_from_torch(sd, model) -> dict:
         "temp": np.asarray(sd["temp"]),
     }
     return params
+
+
+# --------------------------------------------------------------- retrieval
+
+
+@dataclasses.dataclass(frozen=True)
+class BlipRetrievalConfig:
+    image_size: int = 384
+    embed_dim: int = 256
+    max_txt_len: int = 35
+    vocab_size: int = 30524  # bert-base + [DEC] + [ENC]
+    queue_size: int = 57600
+    momentum: float = 0.995
+    alpha: float = 0.4
+    temp_init: float = 0.07
+    vit_dtype: jnp.dtype = jnp.bfloat16
+    text_dtype: jnp.dtype = jnp.float32
+    vit_config_override: Optional[ViTConfig] = None
+    text_config_override: Optional[QFormerConfig] = None
+
+    def vit_config(self) -> ViTConfig:
+        return self.vit_config_override or blip_vit_b_config(
+            self.image_size, dtype=self.vit_dtype
+        )
+
+    def text_config(self) -> QFormerConfig:
+        return self.text_config_override or QFormerConfig(
+            vocab_size=self.vocab_size,
+            encoder_width=self.vit_config().width,
+            dtype=self.text_dtype,
+        )
+
+
+@registry.register_model("blip_retrieval", override=True)
+class BlipRetrieval(nn.Module):
+    """BLIP-1 retrieval (reference blip_models/blip_retrieval.py:47-330):
+    ALBEF-style momentum-distilled queue ITC + hard-negative ITM, but with
+    cross-attention on EVERY med layer (med.py:406-420 BLIP branch) and the
+    ITM pass re-encoding the text with an [ENC]-prefixed input (:221-233).
+
+    Momentum/queue state is functional — reuse
+    :func:`sprc_tpu.models.albef.init_albef_state` /
+    :func:`~sprc_tpu.models.albef.momentum_update` /
+    :func:`~sprc_tpu.models.albef.enqueue` and
+    :func:`blip_retrieval_train_step`.
+    """
+
+    cfg: BlipRetrievalConfig
+
+    MOMENTUM_KEYS = ("visual_encoder", "text_encoder", "vision_proj", "text_proj")
+
+    def setup(self) -> None:
+        from sprc_tpu.models.albef import MedEncoder
+
+        cfg = self.cfg
+        tcfg = cfg.text_config()
+        self.visual_encoder = ClipViT(cfg.vit_config())
+        # BLIP med: cross on all layers; 'text' mode spans all layers
+        self.text_encoder = MedEncoder(tcfg, fusion_layer=tcfg.num_layers, cross_from=0)
+        self.vision_proj = DenseGeneral(cfg.embed_dim, dtype=cfg.text_dtype)
+        self.text_proj = DenseGeneral(cfg.embed_dim, dtype=cfg.text_dtype)
+        self.itm_head = DenseGeneral(2, dtype=cfg.text_dtype)
+        self.temp = self.param(
+            "temp", nn.initializers.constant(cfg.temp_init), (), jnp.float32
+        )
+
+    def unimodal(self, images, input_ids, text_mask, *, deterministic=True):
+        import jax
+
+        image_embeds = self.visual_encoder(images).astype(jnp.float32)
+        image_feat = l2_normalize(self.vision_proj(image_embeds[:, 0, :]))
+        text_embeds = self.text_encoder(
+            input_ids=input_ids, attention_mask=text_mask, mode="text",
+            deterministic=deterministic,
+        )
+        text_feat = l2_normalize(self.text_proj(text_embeds[:, 0, :]))
+        return image_embeds, image_feat, text_embeds, text_feat
+
+    def itm_logits(self, enc_input_ids, text_mask, image_embeds, *, deterministic=True):
+        """Multimodal pass over [ENC]-prefixed ids -> itm head on CLS."""
+        hidden = self.text_encoder(
+            input_ids=enc_input_ids, attention_mask=text_mask,
+            image_embeds=image_embeds, mode="multimodal",
+            deterministic=deterministic,
+        )
+        return self.itm_head(hidden[:, 0, :])
+
+    def __call__(
+        self,
+        images,
+        input_ids,
+        text_mask,
+        enc_input_ids,
+        image_ids,
+        image_feat_m,
+        text_feat_m,
+        image_queue,
+        text_queue,
+        idx_queue,
+        alpha,
+        *,
+        deterministic: bool = True,
+    ):
+        import jax
+
+        bs = images.shape[0]
+        temp = jnp.clip(self.temp, 0.001, 0.5)
+        image_embeds, image_feat, _, text_feat = self.unimodal(
+            images, input_ids, text_mask, deterministic=deterministic
+        )
+
+        idx = image_ids.reshape(-1, 1)
+        idx_all = jnp.concatenate([image_ids, idx_queue])
+        pos_idx = (idx == idx_all[None, :]).astype(jnp.float32)
+        sim_targets = pos_idx / pos_idx.sum(axis=1, keepdims=True)
+
+        image_feat_all = jnp.concatenate([image_feat_m.T, image_queue], axis=1)
+        text_feat_all = jnp.concatenate([text_feat_m.T, text_queue], axis=1)
+        sim_i2t = image_feat @ text_feat_all / temp
+        sim_t2i = text_feat @ image_feat_all / temp
+        sim_i2t_m = jax.lax.stop_gradient(image_feat_m @ text_feat_all / temp)
+        sim_t2i_m = jax.lax.stop_gradient(text_feat_m @ image_feat_all / temp)
+        i2t_t = alpha * jax.nn.softmax(sim_i2t_m, -1) + (1 - alpha) * sim_targets
+        t2i_t = alpha * jax.nn.softmax(sim_t2i_m, -1) + (1 - alpha) * sim_targets
+        loss_itc = 0.5 * (
+            -jnp.mean(jnp.sum(jax.nn.log_softmax(sim_i2t, -1) * i2t_t, axis=1))
+            - jnp.mean(jnp.sum(jax.nn.log_softmax(sim_t2i, -1) * t2i_t, axis=1))
+        )
+
+        # local hard negatives (negative_all_rank=False path, :290-311)
+        same = idx == image_ids[None, :]
+        w_i2t = jnp.where(same, 0.0, jax.nn.softmax(sim_i2t[:, :bs] + 1e-4, axis=1))
+        w_t2i = jnp.where(same, 0.0, jax.nn.softmax(sim_t2i[:, :bs] + 1e-4, axis=1))
+        if self.has_rng("sample"):
+            r1, r2 = jax.random.split(self.make_rng("sample"))
+            neg_img = jax.random.categorical(r1, jnp.log(w_t2i + 1e-9), axis=1)
+            neg_txt = jax.random.categorical(r2, jnp.log(w_i2t + 1e-9), axis=1)
+        else:
+            neg_img = jnp.argmax(w_t2i, axis=1)
+            neg_txt = jnp.argmax(w_i2t, axis=1)
+
+        ids_all = jnp.concatenate(
+            [enc_input_ids, enc_input_ids, enc_input_ids[neg_txt]], axis=0
+        )
+        mask_all = jnp.concatenate([text_mask, text_mask, text_mask[neg_txt]], axis=0)
+        images_all = jnp.concatenate(
+            [image_embeds, image_embeds[neg_img], image_embeds], axis=0
+        )
+        logits = self.itm_logits(
+            ids_all, mask_all, images_all, deterministic=deterministic
+        )
+        labels = jnp.concatenate(
+            [jnp.ones((bs,), jnp.int32), jnp.zeros((2 * bs,), jnp.int32)]
+        )
+        logp = jax.nn.log_softmax(logits.astype(jnp.float32), -1)
+        loss_itm = -jnp.mean(jnp.take_along_axis(logp, labels[:, None], axis=-1))
+        return {"loss_itc": loss_itc, "loss_itm": loss_itm}
+
+
+def blip_retrieval_train_step(model, params, state, batch, *, alpha, rng):
+    """Pure BLIP-retrieval forward (mirrors albef_train_step)."""
+    import jax
+
+    from sprc_tpu.models.albef import enqueue, momentum_update
+
+    state = momentum_update(params, state, model.cfg.momentum)
+    params_m_full = {**params, **state["params_m"]}
+    _, image_feat_m, _, text_feat_m = model.apply(
+        {"params": params_m_full},
+        batch["images"], batch["input_ids"], batch["text_mask"],
+        method=model.unimodal,
+    )
+    image_feat_m = jax.lax.stop_gradient(image_feat_m)
+    text_feat_m = jax.lax.stop_gradient(text_feat_m)
+    losses = model.apply(
+        {"params": params},
+        batch["images"], batch["input_ids"], batch["text_mask"],
+        batch["enc_input_ids"], batch["image_ids"],
+        image_feat_m, text_feat_m,
+        state["image_queue"], state["text_queue"], state["idx_queue"],
+        jnp.asarray(alpha, jnp.float32),
+        rngs={"sample": rng},
+    )
+    state = enqueue(state, image_feat_m, text_feat_m, batch["image_ids"])
+    return losses, state
+
+
+@registry.register_model("blip_image_text_matching", override=True)
+class BlipITM(BlipRetrieval):
+    """BLIP-1 ITM/ITC scorer (reference blip_models/blip_image_text_matching.py):
+    ``itm`` = multimodal med pass -> itm_head CLS logits; ``itc`` = cosine of
+    unimodal projections / temp."""
+
+    def itm(self, images, enc_input_ids, text_mask):
+        image_embeds = self.visual_encoder(images).astype(jnp.float32)
+        return self.itm_logits(enc_input_ids, text_mask, image_embeds)
+
+    def itc(self, images, input_ids, text_mask):
+        _, image_feat, _, text_feat = self.unimodal(images, input_ids, text_mask)
+        return jnp.sum(image_feat * text_feat, axis=-1) / jnp.clip(self.temp, 0.001, 0.5)

@@ -34,10 +34,8 @@ _FAMILIES = {
     "BLIP-1": [
         ("blip_caption", "blip_models/blip_caption.py"),
         ("blip_classification", "blip_models/blip_classification.py"),
-        ("blip_image_text_matching", "blip_models/blip_image_text_matching.py"),
         ("blip_nlvr", "blip_models/blip_nlvr.py"),
         ("blip_pretrain", "blip_models/blip_pretrain.py"),
-        ("blip_retrieval", "blip_models/blip_retrieval.py"),
         ("blip_vqa", "blip_models/blip_vqa.py"),
     ],
     "ALBEF": [

@@ -187,3 +187,88 @@ def test_med_fusion_mode_parity(ref_med_module, rng):
         mode="fusion",
     )
     np.testing.assert_allclose(np.asarray(got), want, atol=3e-5)
+
+
+def test_blip_retrieval_step(rng):
+    from sprc_tpu.models.albef import init_albef_state
+    from sprc_tpu.models.blip1 import (
+        BlipRetrieval,
+        BlipRetrievalConfig,
+        blip_retrieval_train_step,
+    )
+    from sprc_tpu.models.vit import ViTConfig
+    from sprc_tpu.models.qformer import QFormerConfig
+
+    vcfg = ViTConfig(image_size=IMG, patch_size=PATCH, width=VW, depth=VDEPTH,
+                     num_heads=HEADS, mlp_hidden=VW * 4, qkv_fused_no_kbias=False,
+                     final_norm=True, dtype=jnp.float32)
+    tcfg = QFormerConfig(vocab_size=VOCAB, hidden_size=TH, num_layers=2,
+                         num_heads=HEADS, intermediate_size=TINTER,
+                         encoder_width=VW, dropout_rate=0.0)
+    cfg = BlipRetrievalConfig(image_size=IMG, embed_dim=E, vocab_size=VOCAB,
+                              queue_size=QS, momentum=0.9, vit_dtype=jnp.float32,
+                              vit_config_override=vcfg, text_config_override=tcfg)
+    model = BlipRetrieval(cfg)
+    batch = {
+        "images": jnp.asarray(rng.rand(B, IMG, IMG, 3), jnp.float32),
+        "input_ids": jnp.asarray(rng.randint(0, VOCAB, (B, TXT)), jnp.int32),
+        "text_mask": jnp.asarray(np.ones((B, TXT)), jnp.int32),
+        "image_ids": jnp.asarray([5, 6, 6], jnp.int32),
+    }
+    batch["enc_input_ids"] = batch["input_ids"].at[:, 0].set(VOCAB - 1)
+
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0), "sample": jax.random.PRNGKey(1)},
+        batch["images"], batch["input_ids"], batch["text_mask"],
+        batch["enc_input_ids"], batch["image_ids"],
+        jnp.zeros((B, E)), jnp.zeros((B, E)),
+        jnp.zeros((E, QS)), jnp.zeros((E, QS)),
+        jnp.full((QS,), -100, jnp.int32), jnp.asarray(0.4),
+    )
+    params = variables["params"]
+    state = init_albef_state(params, model.cfg)
+    losses, new_state = blip_retrieval_train_step(
+        model, params, state, batch, alpha=0.4, rng=jax.random.PRNGKey(3)
+    )
+    assert set(losses) == {"loss_itc", "loss_itm"}
+    for v in losses.values():
+        assert np.isfinite(float(v))
+    assert int(new_state["ptr"]) == B
+    # the BLIP med has cross-attention params on EVERY layer
+    assert "layer_0_cross" in params["text_encoder"]
+    assert "layer_1_cross" in params["text_encoder"]
+
+    from sprc_tpu.registry import registry
+
+    assert registry.get_model_class("blip_retrieval") is BlipRetrieval
+
+
+def test_blip_itm_scorer(rng):
+    from sprc_tpu.models.blip1 import BlipITM, BlipRetrievalConfig
+    from sprc_tpu.models.vit import ViTConfig
+    from sprc_tpu.models.qformer import QFormerConfig
+
+    vcfg = ViTConfig(image_size=IMG, patch_size=PATCH, width=VW, depth=VDEPTH,
+                     num_heads=HEADS, mlp_hidden=VW * 4, qkv_fused_no_kbias=False,
+                     final_norm=True, dtype=jnp.float32)
+    tcfg = QFormerConfig(vocab_size=VOCAB, hidden_size=TH, num_layers=2,
+                         num_heads=HEADS, intermediate_size=TINTER,
+                         encoder_width=VW, dropout_rate=0.0)
+    cfg = BlipRetrievalConfig(image_size=IMG, embed_dim=E, vocab_size=VOCAB,
+                              queue_size=QS, vit_dtype=jnp.float32,
+                              vit_config_override=vcfg, text_config_override=tcfg)
+    model = BlipITM(cfg)
+    images = jnp.asarray(rng.rand(B, IMG, IMG, 3), jnp.float32)
+    ids = jnp.asarray(rng.randint(0, VOCAB, (B, TXT)), jnp.int32)
+    mask = jnp.asarray(np.ones((B, TXT)), jnp.int32)
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0)}, images, ids, mask, method=model.itm
+    )
+    itm = model.apply(variables, images, ids, mask, method=model.itm)
+    assert itm.shape == (B, 2)
+    # itc needs unimodal params too — materialize with its own init
+    variables2 = model.init({"params": jax.random.PRNGKey(0)}, images, ids, mask,
+                            method=model.itc)
+    itc = model.apply(variables2, images, ids, mask, method=model.itc)
+    assert itc.shape == (B,)
+    assert np.isfinite(np.asarray(itc)).all()

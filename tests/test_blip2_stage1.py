@@ -72,9 +72,15 @@ def test_stage1_feature_extractor(model_and_batch):
 
 
 def test_family_stub_errors():
-    cls = registry.get_model_class("albef_retrieval")
+    cls = registry.get_model_class("alpro_qa")
     with pytest.raises(NotImplementedError):
         cls()
-    registry.get_model_class("blip_retrieval")
-    registry.get_model_class("alpro_qa")
+    registry.get_model_class("timesformer")
+    registry.get_model_class("pnp_vqa")
     registry.get_model_class("gpt_dialogue")
+    # implemented-for-real families resolve to real classes
+    from sprc_tpu.models.albef import AlbefRetrieval
+    from sprc_tpu.models.blip1 import BlipRetrieval
+
+    assert registry.get_model_class("albef_retrieval") is AlbefRetrieval
+    assert registry.get_model_class("blip_retrieval") is BlipRetrieval
