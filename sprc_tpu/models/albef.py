@@ -59,6 +59,7 @@ class MedEncoder(nn.Module):
         image_embeds: Optional[jnp.ndarray] = None,
         *,
         mode: str = "multimodal",
+        is_decoder: bool = False,
         deterministic: bool = True,
     ) -> jnp.ndarray:
         cfg = self.config
@@ -82,6 +83,11 @@ class MedEncoder(nn.Module):
         bias = None
         if attention_mask is not None:
             bias = make_additive_mask(attention_mask)
+        if is_decoder:
+            S = hidden.shape[1]
+            causal = jnp.tril(jnp.ones((S, S), jnp.float32))
+            causal_bias = ((1.0 - causal) * -10000.0)[None, None]
+            bias = causal_bias if bias is None else bias + causal_bias
 
         if mode == "text":
             start, end = 0, self.fusion_layer

@@ -408,3 +408,135 @@ class BlipITM(BlipRetrieval):
     def itc(self, images, input_ids, text_mask):
         _, image_feat, _, text_feat = self.unimodal(images, input_ids, text_mask)
         return jnp.sum(image_feat * text_feat, axis=-1) / jnp.clip(self.temp, 0.001, 0.5)
+
+
+@dataclasses.dataclass(frozen=True)
+class BlipCaptionConfig:
+    image_size: int = 384
+    max_txt_len: int = 40
+    vocab_size: int = 30524
+    prompt_length: int = 4  # tokens of "a picture of " minus the final [SEP]
+    vit_dtype: jnp.dtype = jnp.bfloat16
+    text_dtype: jnp.dtype = jnp.float32
+    vit_config_override: Optional[ViTConfig] = None
+    text_config_override: Optional[QFormerConfig] = None
+
+    def vit_config(self) -> ViTConfig:
+        return self.vit_config_override or blip_vit_b_config(
+            self.image_size, dtype=self.vit_dtype
+        )
+
+    def text_config(self) -> QFormerConfig:
+        return self.text_config_override or QFormerConfig(
+            vocab_size=self.vocab_size,
+            encoder_width=self.vit_config().width,
+            dtype=self.text_dtype,
+        )
+
+
+@registry.register_model("blip_caption", override=True)
+class BlipCaption(nn.Module):
+    """BLIP-1 captioner (reference blip_models/blip_caption.py:40-135):
+    ViT-B + med decoder (causal, cross-attention to the image on every
+    layer) + BERT LM head; next-token CE with label smoothing 0.1, pads and
+    the prompt prefix masked (:68-73, med.py:1246)."""
+
+    cfg: BlipCaptionConfig
+
+    def setup(self) -> None:
+        from sprc_tpu.models.albef import MedEncoder
+        from sprc_tpu.models.lm import QFormerLMHead
+
+        cfg = self.cfg
+        tcfg = cfg.text_config()
+        self.visual_encoder = ClipViT(cfg.vit_config())
+        self.text_decoder = MedEncoder(tcfg, fusion_layer=tcfg.num_layers, cross_from=0)
+        self.lm_head = QFormerLMHead(tcfg)
+
+    def decode_logits(self, input_ids, text_mask, image_embeds, *, deterministic=True):
+        hidden = self.text_decoder(
+            input_ids=input_ids, attention_mask=text_mask,
+            image_embeds=image_embeds, mode="multimodal", is_decoder=True,
+            deterministic=deterministic,
+        )
+        return self.lm_head(hidden)
+
+    def __call__(
+        self,
+        images: jnp.ndarray,
+        input_ids: jnp.ndarray,  # bos-prefixed caption ids (:67)
+        text_mask: jnp.ndarray,
+        *,
+        pad_token_id: int = 0,
+        deterministic: bool = True,
+    ):
+        import jax
+
+        cfg = self.cfg
+        image_embeds = self.visual_encoder(images).astype(jnp.float32)
+        logits = self.decode_logits(
+            input_ids, text_mask, image_embeds, deterministic=deterministic
+        )
+        labels = jnp.where(input_ids == pad_token_id, -100, input_ids)
+        pos = jnp.arange(input_ids.shape[1])[None, :]
+        labels = jnp.where(pos < cfg.prompt_length, -100, labels)
+
+        shifted_logits = logits[:, :-1, :]
+        shifted_labels = labels[:, 1:]
+        valid = shifted_labels != -100
+        logp = jax.nn.log_softmax(shifted_logits.astype(jnp.float32), axis=-1)
+        safe = jnp.where(valid, shifted_labels, 0)
+        nll = -jnp.take_along_axis(logp, safe[..., None], axis=-1)[..., 0]
+        smooth = -logp.mean(axis=-1)
+        per_tok = 0.9 * nll + 0.1 * smooth  # med.py:1246 label smoothing
+        loss = (per_tok * valid).sum() / jnp.maximum(valid.sum(), 1)
+        return {"loss": loss, "loss_lm": loss}
+
+    def generate_ids(
+        self,
+        params,
+        images: jnp.ndarray,
+        prompt_ids: jnp.ndarray,
+        *,
+        eos_token_id: int,
+        pad_token_id: int = 0,
+        max_new_tokens: int = 30,
+    ) -> jnp.ndarray:
+        """Greedy caption decode from the prompt prefix (:175-220 greedy)."""
+        import jax
+        import numpy as np
+
+        B, L = prompt_ids.shape
+
+        def _logits(mdl, images, ids, mask):
+            image_embeds = mdl.visual_encoder(images).astype(jnp.float32)
+            return mdl.decode_logits(ids, mask, image_embeds)
+
+        logits_fn = jax.jit(
+            lambda ids, mask: self.apply(
+                {"params": params}, images, ids, mask, method=_logits
+            )
+        )
+        total = L + max_new_tokens
+        ids = np.full((B, total), pad_token_id, np.int32)
+        ids[:, :L] = np.asarray(prompt_ids)
+        mask = np.zeros((B, total), np.int32)
+        mask[:, :L] = 1
+        lengths = np.full((B,), L, np.int64)
+        finished = np.zeros((B,), bool)
+        for _ in range(max_new_tokens):
+            logits = np.asarray(logits_fn(jnp.asarray(ids), jnp.asarray(mask)))
+            rows = np.arange(B)
+            nxt = logits[rows, lengths - 1].argmax(-1).astype(np.int32)
+            nxt = np.where(finished, pad_token_id, nxt)
+            ids[rows, lengths] = nxt
+            mask[rows, lengths] = (~finished).astype(np.int32)
+            lengths = lengths + (~finished).astype(np.int64)
+            finished |= nxt == eos_token_id
+            if finished.all():
+                break
+        out = np.full((B, max_new_tokens), pad_token_id, np.int32)
+        for b in range(B):
+            gen = ids[b, L : lengths[b]]
+            out[b, : len(gen)] = gen
+        return jnp.asarray(out)

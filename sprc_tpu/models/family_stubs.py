@@ -32,7 +32,6 @@ def _stub(name: str, ref_file: str, family: str):
 
 _FAMILIES = {
     "BLIP-1": [
-        ("blip_caption", "blip_models/blip_caption.py"),
         ("blip_classification", "blip_models/blip_classification.py"),
         ("blip_nlvr", "blip_models/blip_nlvr.py"),
         ("blip_pretrain", "blip_models/blip_pretrain.py"),

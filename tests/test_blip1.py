@@ -179,3 +179,125 @@ def test_blip_cir_base_end_to_end(rng):
 
     assert registry.get_model_class("blip_cir_base") is BlipCirBase
     assert registry.get_model_class("blip_feature_extractor") is BlipCirBase
+
+
+def test_med_decoder_lm_parity(ref_med_module, rng):
+    """MedEncoder decoder mode + LM head == reference med BertLMHeadModel."""
+    import torch
+
+    mod = ref_med_module
+    cfg = mod.BertConfig(
+        vocab_size=VOCAB, hidden_size=TH, num_hidden_layers=TLAYERS,
+        num_attention_heads=HEADS, intermediate_size=TINTER,
+        hidden_dropout_prob=0.0, attention_probs_dropout_prob=0.0,
+    )
+    cfg.encoder_width = VW
+    cfg.add_cross_attention = True
+    cfg.add_type_embeddings = False
+    torch.manual_seed(12)
+    tmodel = mod.BertLMHeadModel(cfg).eval()
+
+    from sprc_tpu.models.albef import MedEncoder
+    from sprc_tpu.models.lm import QFormerLMHead
+    from sprc_tpu.interop.torch_import import _layernorm, _linear
+
+    jcfg = QFormerConfig(vocab_size=VOCAB, hidden_size=TH, num_layers=TLAYERS,
+                         num_heads=HEADS, intermediate_size=TINTER,
+                         encoder_width=VW, dropout_rate=0.0)
+    dec = MedEncoder(jcfg, fusion_layer=TLAYERS, cross_from=0)
+    head = QFormerLMHead(jcfg)
+
+    sd = {k: v.detach().numpy() for k, v in tmodel.state_dict().items()}
+    t = "bert."
+    dparams = {
+        "word_embeddings": {"embedding": sd[f"{t}embeddings.word_embeddings.weight"]},
+        "position_embeddings": {"embedding": sd[f"{t}embeddings.position_embeddings.weight"]},
+        "embeddings_ln": _layernorm(sd, f"{t}embeddings.LayerNorm"),
+    }
+    for i in range(TLAYERS):
+        lp = f"{t}encoder.layer.{i}."
+        dparams[f"layer_{i}_self"] = {
+            "query": _linear(sd, f"{lp}attention.self.query"),
+            "key": _linear(sd, f"{lp}attention.self.key"),
+            "value": _linear(sd, f"{lp}attention.self.value"),
+            "out": _linear(sd, f"{lp}attention.output.dense"),
+            "ln": _layernorm(sd, f"{lp}attention.output.LayerNorm"),
+        }
+        dparams[f"layer_{i}_cross"] = {
+            "query": _linear(sd, f"{lp}crossattention.self.query"),
+            "key": _linear(sd, f"{lp}crossattention.self.key"),
+            "value": _linear(sd, f"{lp}crossattention.self.value"),
+            "out": _linear(sd, f"{lp}crossattention.output.dense"),
+            "ln": _layernorm(sd, f"{lp}crossattention.output.LayerNorm"),
+        }
+        dparams[f"layer_{i}_ffn"] = {
+            "fc1": _linear(sd, f"{lp}intermediate.dense"),
+            "fc2": _linear(sd, f"{lp}output.dense"),
+            "ln": _layernorm(sd, f"{lp}output.LayerNorm"),
+        }
+    hparams = {
+        "transform": _linear(sd, "cls.predictions.transform.dense"),
+        "ln": _layernorm(sd, "cls.predictions.transform.LayerNorm"),
+        "decoder": {
+            "kernel": np.ascontiguousarray(np.asarray(sd["cls.predictions.decoder.weight"]).T),
+            "bias": np.asarray(sd["cls.predictions.bias"]),
+        },
+    }
+
+    ids = rng.randint(0, VOCAB, (B, TXT)).astype(np.int32)
+    mask = np.ones((B, TXT), np.int32)
+    mask[0, -2:] = 0
+    img = rng.randn(B, 5, VW).astype(np.float32)
+
+    with torch.no_grad():
+        want = tmodel(
+            input_ids=torch.from_numpy(ids).long(),
+            attention_mask=torch.from_numpy(mask).long(),
+            encoder_hidden_states=torch.from_numpy(img),
+            return_dict=True,
+        ).logits.numpy()
+    hidden = dec.apply(
+        {"params": dparams}, input_ids=jnp.asarray(ids),
+        attention_mask=jnp.asarray(mask), image_embeds=jnp.asarray(img),
+        mode="multimodal", is_decoder=True,
+    )
+    got = np.asarray(head.apply({"params": hparams}, hidden))
+    # compare only attended positions (mask padding)
+    m = mask.astype(bool)
+    np.testing.assert_allclose(got[m], want[m], atol=ATOL)
+
+
+def test_blip_caption_loss_and_generate(rng):
+    from sprc_tpu.models.blip1 import BlipCaption, BlipCaptionConfig
+
+    tcfg = QFormerConfig(vocab_size=VOCAB, hidden_size=TH, num_layers=TLAYERS,
+                         num_heads=HEADS, intermediate_size=TINTER,
+                         encoder_width=VW, dropout_rate=0.0)
+    cfg = BlipCaptionConfig(image_size=IMG, vocab_size=VOCAB, prompt_length=2,
+                            vit_dtype=jnp.float32,
+                            vit_config_override=_tiny_vit_cfg(),
+                            text_config_override=tcfg)
+    model = BlipCaption(cfg)
+    images = jnp.asarray(rng.rand(B, IMG, IMG, 3), jnp.float32)
+    ids = np.asarray(rng.randint(3, VOCAB, (B, TXT)), np.int32)
+    ids[0, -1] = 0  # pad
+    mask = np.ones((B, TXT), np.int32)
+    mask[0, -1] = 0
+    variables = model.init(
+        jax.random.PRNGKey(0), images, jnp.asarray(ids), jnp.asarray(mask)
+    )
+    out = model.apply(variables, images, jnp.asarray(ids), jnp.asarray(mask))
+    assert np.isfinite(float(out["loss"]))
+    assert 1.0 < float(out["loss"]) < 12.0
+
+    gen = model.generate_ids(
+        variables["params"], images, jnp.asarray(ids[:, :2]),
+        eos_token_id=2, pad_token_id=0, max_new_tokens=3,
+    )
+    gen = np.asarray(gen)
+    assert gen.shape == (B, 3)
+    assert ((gen >= 0) & (gen < VOCAB)).all()
+
+    from sprc_tpu.registry import registry
+
+    assert registry.get_model_class("blip_caption") is BlipCaption
