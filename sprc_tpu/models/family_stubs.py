@@ -53,7 +53,7 @@ _FAMILIES = {
     "misc": [
         ("pnp_vqa", "pnp_vqa_models/pnp_vqa.py"),
         ("img2prompt_vqa", "img2prompt_models/img2prompt_vqa.py"),
-        ("gpt_dialogue", "gpt_models/gpt_dialogue.py"),
+        # gpt_dialogue: implemented for real in models/gpt_dialogue.py
     ],
 }
 

@@ -77,10 +77,11 @@ def test_family_stub_errors():
         cls()
     registry.get_model_class("timesformer")
     registry.get_model_class("pnp_vqa")
-    registry.get_model_class("gpt_dialogue")
     # implemented-for-real families resolve to real classes
     from sprc_tpu.models.albef import AlbefRetrieval
     from sprc_tpu.models.blip1 import BlipRetrieval
+    from sprc_tpu.models.gpt_dialogue import GPTDialogue
 
     assert registry.get_model_class("albef_retrieval") is AlbefRetrieval
     assert registry.get_model_class("blip_retrieval") is BlipRetrieval
+    assert registry.get_model_class("gpt_dialogue") is GPTDialogue
