@@ -32,13 +32,13 @@ def _stub(name: str, ref_file: str, family: str):
 
 _FAMILIES = {
     "BLIP-1": [
-        ("blip_classification", "blip_models/blip_classification.py"),
+        # blip_classification: implemented in models/classification.py
         ("blip_nlvr", "blip_models/blip_nlvr.py"),
         ("blip_pretrain", "blip_models/blip_pretrain.py"),
         ("blip_vqa", "blip_models/blip_vqa.py"),
     ],
     "ALBEF": [
-        ("albef_classification", "albef_models/albef_classification.py"),
+        # albef_classification: implemented in models/classification.py
         ("albef_nlvr", "albef_models/albef_nlvr.py"),
         ("albef_pretrain", "albef_models/albef_pretrain.py"),
         ("albef_vqa", "albef_models/albef_vqa.py"),
