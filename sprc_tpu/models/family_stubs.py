@@ -33,13 +33,13 @@ def _stub(name: str, ref_file: str, family: str):
 _FAMILIES = {
     "BLIP-1": [
         # blip_classification: implemented in models/classification.py
-        ("blip_nlvr", "blip_models/blip_nlvr.py"),
+        # blip_nlvr: implemented in models/nlvr.py
         ("blip_pretrain", "blip_models/blip_pretrain.py"),
         ("blip_vqa", "blip_models/blip_vqa.py"),
     ],
     "ALBEF": [
         # albef_classification: implemented in models/classification.py
-        ("albef_nlvr", "albef_models/albef_nlvr.py"),
+        # albef_nlvr: implemented in models/nlvr.py
         ("albef_pretrain", "albef_models/albef_pretrain.py"),
         ("albef_vqa", "albef_models/albef_vqa.py"),
     ],
