@@ -14,6 +14,7 @@ from sprc_tpu.models import albef as _albef  # noqa: F401
 from sprc_tpu.models import gpt_dialogue as _gpt_dialogue  # noqa: F401
 from sprc_tpu.models import classification as _classification  # noqa: F401
 from sprc_tpu.models import nlvr as _nlvr  # noqa: F401
+from sprc_tpu.models import vqa as _vqa  # noqa: F401
 from sprc_tpu.models import family_stubs as _family_stubs  # noqa: F401
 
 __all__ = [

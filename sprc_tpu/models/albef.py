@@ -57,6 +57,7 @@ class MedEncoder(nn.Module):
         inputs_embeds: Optional[jnp.ndarray] = None,
         attention_mask: Optional[jnp.ndarray] = None,
         image_embeds: Optional[jnp.ndarray] = None,
+        image_mask: Optional[jnp.ndarray] = None,
         *,
         mode: str = "multimodal",
         is_decoder: bool = False,
@@ -83,6 +84,9 @@ class MedEncoder(nn.Module):
         bias = None
         if attention_mask is not None:
             bias = make_additive_mask(attention_mask)
+        # mask over cross-attended positions (padded encoder states, e.g. the
+        # VQA question states; reference encoder_attention_mask)
+        cross_bias = None if image_mask is None else make_additive_mask(image_mask)
         if is_decoder:
             S = hidden.shape[1]
             causal = jnp.tril(jnp.ones((S, S), jnp.float32))
@@ -103,7 +107,7 @@ class MedEncoder(nn.Module):
             )
             if i >= cross_from and image_embeds is not None:
                 hidden = QFormerAttention(cfg, is_cross=True, name=f"layer_{i}_cross")(
-                    hidden, image_embeds.astype(cfg.dtype), None,
+                    hidden, image_embeds.astype(cfg.dtype), cross_bias,
                     deterministic=deterministic,
                 )
             hidden = QFormerFFN(cfg, name=f"layer_{i}_ffn")(

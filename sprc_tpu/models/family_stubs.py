@@ -35,13 +35,13 @@ _FAMILIES = {
         # blip_classification: implemented in models/classification.py
         # blip_nlvr: implemented in models/nlvr.py
         ("blip_pretrain", "blip_models/blip_pretrain.py"),
-        ("blip_vqa", "blip_models/blip_vqa.py"),
+        # blip_vqa: implemented in models/vqa.py
     ],
     "ALBEF": [
         # albef_classification: implemented in models/classification.py
         # albef_nlvr: implemented in models/nlvr.py
         ("albef_pretrain", "albef_models/albef_pretrain.py"),
-        ("albef_vqa", "albef_models/albef_vqa.py"),
+        # albef_vqa: implemented in models/vqa.py
     ],
     "video": [
         ("alpro_qa", "alpro_models/alpro_qa.py"),
