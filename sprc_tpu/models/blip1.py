@@ -540,3 +540,117 @@ class BlipCaption(nn.Module):
             gen = ids[b, L : lengths[b]]
             out[b, : len(gen)] = gen
         return jnp.asarray(out)
+
+
+@registry.register_model("blip_pretrain", override=True)
+class BlipPretrain(BlipRetrieval):
+    """BLIP-1 pretraining (reference blip_models/blip_pretrain.py:114-345):
+    the retrieval losses (momentum-queue ITC with PLAIN diagonal targets,
+    :226-234, + hard-negative ITM) plus a captioning LM loss from a med
+    DECODER cross-attending the image (:317-333).
+
+    Diagonal-target note: the reference fills the diagonal directly; here the
+    idx-based multi-positive targets of :class:`BlipRetrieval` reduce to that
+    exact diagonal as long as callers pass GLOBALLY UNIQUE ``image_ids``
+    (e.g. ``step * B + arange(B)``) so no queue entry ever matches —
+    :func:`blip_pretrain_train_step` documents the contract.
+    """
+
+    def setup(self) -> None:
+        from sprc_tpu.models.albef import MedEncoder
+        from sprc_tpu.models.lm import QFormerLMHead
+
+        super().setup()
+        tcfg = self.cfg.text_config()
+        self.text_decoder = MedEncoder(tcfg, fusion_layer=tcfg.num_layers, cross_from=0)
+        self.lm_head = QFormerLMHead(tcfg)
+
+    def lm_loss(
+        self,
+        images,
+        dec_input_ids,
+        text_mask,
+        *,
+        pad_token_id: int = 0,
+        deterministic: bool = True,
+    ):
+        """Smoothed next-token CE over bos-prefixed captions (:317-333)."""
+        import jax
+
+        image_embeds = self.visual_encoder(images).astype(jnp.float32)
+        hidden = self.text_decoder(
+            input_ids=dec_input_ids, attention_mask=text_mask,
+            image_embeds=image_embeds, mode="multimodal", is_decoder=True,
+            deterministic=deterministic,
+        )
+        logits = self.lm_head(hidden)
+        labels = jnp.where(dec_input_ids == pad_token_id, -100, dec_input_ids)
+        shifted_logits = logits[:, :-1, :].astype(jnp.float32)
+        shifted_labels = labels[:, 1:]
+        valid = shifted_labels != -100
+        logp = jax.nn.log_softmax(shifted_logits, axis=-1)
+        safe = jnp.where(valid, shifted_labels, 0)
+        nll = -jnp.take_along_axis(logp, safe[..., None], axis=-1)[..., 0]
+        smooth = -logp.mean(axis=-1)
+        per_tok = 0.9 * nll + 0.1 * smooth  # med.py:1246 label smoothing
+        return (per_tok * valid).sum() / jnp.maximum(valid.sum(), 1)
+
+    def __call__(
+        self,
+        images,
+        input_ids,
+        text_mask,
+        enc_input_ids,
+        dec_input_ids,
+        image_ids,
+        image_feat_m,
+        text_feat_m,
+        image_queue,
+        text_queue,
+        idx_queue,
+        alpha,
+        *,
+        pad_token_id: int = 0,
+        deterministic: bool = True,
+    ):
+        losses = super().__call__(
+            images, input_ids, text_mask, enc_input_ids, image_ids,
+            image_feat_m, text_feat_m, image_queue, text_queue, idx_queue,
+            alpha, deterministic=deterministic,
+        )
+        # the duplicate ViT pass CSEs away under jit (same fn of same inputs)
+        losses["loss_lm"] = self.lm_loss(
+            images, dec_input_ids, text_mask,
+            pad_token_id=pad_token_id, deterministic=deterministic,
+        )
+        losses["loss"] = losses["loss_itc"] + losses["loss_itm"] + losses["loss_lm"]
+        return losses
+
+
+def blip_pretrain_train_step(model, params, state, batch, *, alpha, rng):
+    """Pure BLIP-pretrain forward. ``batch['image_ids']`` MUST be globally
+    unique across steps (never re-enqueued), so ITC targets stay diagonal."""
+    import jax
+
+    from sprc_tpu.models.albef import enqueue, momentum_update
+
+    state = momentum_update(params, state, model.cfg.momentum)
+    params_m_full = {**params, **state["params_m"]}
+    _, image_feat_m, _, text_feat_m = model.apply(
+        {"params": params_m_full},
+        batch["images"], batch["input_ids"], batch["text_mask"],
+        method=model.unimodal,
+    )
+    image_feat_m = jax.lax.stop_gradient(image_feat_m)
+    text_feat_m = jax.lax.stop_gradient(text_feat_m)
+    losses = model.apply(
+        {"params": params},
+        batch["images"], batch["input_ids"], batch["text_mask"],
+        batch["enc_input_ids"], batch["dec_input_ids"], batch["image_ids"],
+        image_feat_m, text_feat_m,
+        state["image_queue"], state["text_queue"], state["idx_queue"],
+        jnp.asarray(alpha, jnp.float32),
+        rngs={"sample": rng},
+    )
+    state = enqueue(state, image_feat_m, text_feat_m, batch["image_ids"])
+    return losses, state

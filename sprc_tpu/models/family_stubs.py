@@ -34,7 +34,7 @@ _FAMILIES = {
     "BLIP-1": [
         # blip_classification: implemented in models/classification.py
         # blip_nlvr: implemented in models/nlvr.py
-        ("blip_pretrain", "blip_models/blip_pretrain.py"),
+        # blip_pretrain: implemented in models/blip1.py
         # blip_vqa: implemented in models/vqa.py
     ],
     "ALBEF": [

@@ -301,3 +301,61 @@ def test_blip_caption_loss_and_generate(rng):
     from sprc_tpu.registry import registry
 
     assert registry.get_model_class("blip_caption") is BlipCaption
+
+
+def test_blip_pretrain_losses(rng):
+    """ITC+ITM+LM pretrain step with functional queue state."""
+    from sprc_tpu.models.albef import init_albef_state
+    from sprc_tpu.models.blip1 import (
+        BlipPretrain,
+        BlipRetrievalConfig,
+        blip_pretrain_train_step,
+    )
+    from sprc_tpu.registry import registry as _reg
+
+    assert _reg.get_model_class("blip_pretrain") is BlipPretrain
+
+    IMG2, VOCAB2, TXT2, B2 = 32, 60, 6, 3
+    vcfg = ViTConfig(image_size=IMG2, patch_size=16, width=32, depth=2,
+                     num_heads=2, mlp_hidden=64, qkv_fused_no_kbias=False,
+                     final_norm=True, dtype=jnp.float32)
+    tcfg = QFormerConfig(vocab_size=VOCAB2, hidden_size=32, num_layers=2,
+                         num_heads=2, intermediate_size=64, encoder_width=32,
+                         dropout_rate=0.0)
+    cfg = BlipRetrievalConfig(image_size=IMG2, embed_dim=16, vocab_size=VOCAB2,
+                              queue_size=8, momentum=0.9, vit_dtype=jnp.float32,
+                              vit_config_override=vcfg, text_config_override=tcfg)
+    model = BlipPretrain(cfg)
+
+    ids = rng.randint(4, VOCAB2, (B2, TXT2)).astype(np.int32)
+    batch = {
+        "images": jnp.asarray(rng.rand(B2, IMG2, IMG2, 3), jnp.float32),
+        "input_ids": jnp.asarray(ids),
+        "text_mask": jnp.ones((B2, TXT2), jnp.int32),
+        "enc_input_ids": jnp.asarray(np.where(np.arange(TXT2) == 0, 2, ids)),
+        "dec_input_ids": jnp.asarray(np.where(np.arange(TXT2) == 0, 1, ids)),
+        "image_ids": jnp.arange(B2, dtype=jnp.int32),
+    }
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0), "sample": jax.random.PRNGKey(1)},
+        batch["images"], batch["input_ids"], batch["text_mask"],
+        batch["enc_input_ids"], batch["dec_input_ids"], batch["image_ids"],
+        jnp.zeros((B2, 16)), jnp.zeros((B2, 16)),
+        jnp.zeros((16, 8)), jnp.zeros((16, 8)),
+        jnp.full((8,), -100, jnp.int32), jnp.asarray(0.4),
+    )
+    params = variables["params"]
+    state = init_albef_state(params, cfg)
+    losses, state = blip_pretrain_train_step(
+        model, params, state, batch, alpha=0.4, rng=jax.random.PRNGKey(2)
+    )
+    assert set(losses) == {"loss_itc", "loss_itm", "loss_lm", "loss"}
+    for k, v in losses.items():
+        assert np.isfinite(float(v)), k
+    np.testing.assert_allclose(
+        float(losses["loss"]),
+        float(losses["loss_itc"]) + float(losses["loss_itm"]) + float(losses["loss_lm"]),
+        rtol=1e-6,
+    )
+    # queue advanced by B entries
+    assert int(state["ptr"]) == B2
