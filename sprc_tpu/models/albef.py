@@ -351,3 +351,148 @@ def albef_train_step(model, params, state, batch, *, alpha, rng):
 def rampup_alpha(cfg: AlbefConfig, epoch: int, iters: int, iters_per_epoch: int) -> float:
     """alpha ramp (reference :104-105)."""
     return cfg.alpha * min(1.0, (epoch * iters_per_epoch + iters) / (2 * iters_per_epoch))
+
+
+@registry.register_model("albef_pretrain", override=True)
+class AlbefPretrain(AlbefRetrieval):
+    """ALBEF pretraining (reference albef_models/albef_pretrain.py:33-330):
+    the retrieval losses (queue ITC with diagonal targets + hard-neg ITM)
+    plus momentum-distilled MLM over the multimodal encoder (:282-314,
+    med.py:1085-1099): CE on masked positions mixed with
+    -E[logp · softmax(logits_m)] by ``alpha``.
+
+    Masking (80% [MASK] / 10% random / 10% keep, :340-370) happens host-side
+    via :func:`mlm_mask`; the diagonal-ITC contract matches
+    :class:`~sprc_tpu.models.blip1.BlipPretrain` — pass globally unique
+    ``image_ids``.
+    """
+
+    def setup(self) -> None:
+        from sprc_tpu.models.lm import QFormerLMHead
+
+        super().setup()
+        self.mlm_head = QFormerLMHead(self.cfg.text_config())
+
+    def mlm_logits(self, masked_ids, text_mask, image_embeds, *, deterministic=True):
+        hidden = self.text_encoder(
+            input_ids=masked_ids, attention_mask=text_mask,
+            image_embeds=image_embeds, mode="multimodal",
+            deterministic=deterministic,
+        )
+        return self.mlm_head(hidden)
+
+    def mlm_loss(
+        self,
+        images,
+        masked_ids,
+        text_mask,
+        mlm_labels,  # [B, L], -100 = unmasked position
+        logits_m,  # momentum model's MLM logits, or None
+        alpha,
+        *,
+        deterministic: bool = True,
+    ):
+        image_embeds = self.visual_encoder(images).astype(jnp.float32)
+        logits = self.mlm_logits(
+            masked_ids, text_mask, image_embeds, deterministic=deterministic
+        ).astype(jnp.float32)
+        valid = mlm_labels != -100
+        denom = jnp.maximum(valid.sum(), 1)
+        logp = jax.nn.log_softmax(logits, axis=-1)
+        safe = jnp.where(valid, mlm_labels, 0)
+        nll = -jnp.take_along_axis(logp, safe[..., None], axis=-1)[..., 0]
+        loss = (nll * valid).sum() / denom
+        if logits_m is not None:
+            soft = jax.nn.softmax(jax.lax.stop_gradient(logits_m), axis=-1)
+            distill = (-(logp * soft).sum(-1) * valid).sum() / denom
+            loss = (1.0 - alpha) * loss + alpha * distill
+        return loss
+
+    def __call__(
+        self,
+        images,
+        input_ids,
+        text_mask,
+        masked_ids,
+        mlm_labels,
+        image_ids,
+        image_feat_m,
+        text_feat_m,
+        image_queue,
+        text_queue,
+        idx_queue,
+        mlm_logits_m,
+        alpha,
+        *,
+        deterministic: bool = True,
+    ):
+        losses = super().__call__(
+            images, input_ids, text_mask, image_ids, image_feat_m, text_feat_m,
+            image_queue, text_queue, idx_queue, alpha,
+            deterministic=deterministic,
+        )
+        losses["loss_mlm"] = self.mlm_loss(
+            images, masked_ids, text_mask, mlm_labels, mlm_logits_m, alpha,
+            deterministic=deterministic,
+        )
+        losses["loss"] = losses["loss_itc"] + losses["loss_itm"] + losses["loss_mlm"]
+        return losses
+
+
+def mlm_mask(
+    rng: np.random.RandomState,
+    input_ids: np.ndarray,
+    vocab_size: int,
+    mask_token_id: int,
+    *,
+    pad_token_id: int = 0,
+    cls_token_id: int = 2,
+    probability: float = 0.15,
+):
+    """Host-side BERT masking (reference :340-370): select ``probability`` of
+    non-special tokens; 80% -> [MASK], 10% -> random, 10% keep. Returns
+    (masked_ids, labels) with -100 on unselected positions."""
+    ids = np.array(input_ids, np.int32)
+    special = (ids == pad_token_id) | (ids == cls_token_id)
+    picked = (rng.rand(*ids.shape) < probability) & ~special
+    labels = np.where(picked, ids, -100).astype(np.int32)
+    r = rng.rand(*ids.shape)
+    masked = np.where(picked & (r < 0.8), mask_token_id, ids)
+    masked = np.where(
+        picked & (r >= 0.8) & (r < 0.9),
+        rng.randint(0, vocab_size, ids.shape),
+        masked,
+    ).astype(np.int32)
+    return masked, labels
+
+
+def albef_pretrain_train_step(model, params, state, batch, *, alpha, rng):
+    """Pure ALBEF-pretrain forward: momentum feats + momentum MLM logits ->
+    losses -> enqueue. ``batch['image_ids']`` must be globally unique."""
+    cfg = model.cfg
+    state = momentum_update(params, state, cfg.momentum)
+    params_m_full = {**params, **state["params_m"]}
+    image_embeds_m, image_feat_m, _, text_feat_m = model.apply(
+        {"params": params_m_full},
+        batch["images"], batch["input_ids"], batch["text_mask"],
+        method=model.unimodal,
+    )
+    mlm_logits_m = model.apply(
+        {"params": params_m_full},
+        batch["masked_ids"], batch["text_mask"], image_embeds_m,
+        method=model.mlm_logits,
+    )
+    image_feat_m = jax.lax.stop_gradient(image_feat_m)
+    text_feat_m = jax.lax.stop_gradient(text_feat_m)
+    mlm_logits_m = jax.lax.stop_gradient(mlm_logits_m)
+    losses = model.apply(
+        {"params": params},
+        batch["images"], batch["input_ids"], batch["text_mask"],
+        batch["masked_ids"], batch["mlm_labels"], batch["image_ids"],
+        image_feat_m, text_feat_m,
+        state["image_queue"], state["text_queue"], state["idx_queue"],
+        mlm_logits_m, jnp.asarray(alpha, jnp.float32),
+        rngs={"sample": rng},
+    )
+    state = enqueue(state, image_feat_m, text_feat_m, batch["image_ids"])
+    return losses, state

@@ -40,7 +40,7 @@ _FAMILIES = {
     "ALBEF": [
         # albef_classification: implemented in models/classification.py
         # albef_nlvr: implemented in models/nlvr.py
-        ("albef_pretrain", "albef_models/albef_pretrain.py"),
+        # albef_pretrain: implemented in models/albef.py
         # albef_vqa: implemented in models/vqa.py
     ],
     "video": [

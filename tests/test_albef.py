@@ -272,3 +272,56 @@ def test_blip_itm_scorer(rng):
     itc = model.apply(variables2, images, ids, mask, method=model.itc)
     assert itc.shape == (B,)
     assert np.isfinite(np.asarray(itc)).all()
+
+
+def test_albef_pretrain_losses(rng):
+    """ITC+ITM+MLM pretrain step with host-side masking + momentum distill."""
+    from sprc_tpu.models.albef import (
+        AlbefPretrain,
+        albef_pretrain_train_step,
+        init_albef_state,
+        mlm_mask,
+    )
+    from sprc_tpu.registry import registry as _reg
+
+    assert _reg.get_model_class("albef_pretrain") is AlbefPretrain
+
+    model = AlbefPretrain(build().cfg)
+    B2 = 3
+    ids = rng.randint(4, VOCAB, (B2, TXT)).astype(np.int32)
+    ids[:, 0] = 2  # CLS
+    masked, labels = mlm_mask(rng, ids, VOCAB, mask_token_id=3)
+    assert ((labels == -100) | (labels == ids)).all()
+    assert (labels[:, 0] == -100).all()  # CLS never masked
+    assert (labels != -100).any()
+
+    batch = {
+        "images": jnp.asarray(rng.rand(B2, IMG, IMG, 3), jnp.float32),
+        "input_ids": jnp.asarray(ids),
+        "text_mask": jnp.ones((B2, TXT), jnp.int32),
+        "masked_ids": jnp.asarray(masked),
+        "mlm_labels": jnp.asarray(labels),
+        "image_ids": jnp.arange(B2, dtype=jnp.int32),
+    }
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0), "sample": jax.random.PRNGKey(1)},
+        batch["images"], batch["input_ids"], batch["text_mask"],
+        batch["masked_ids"], batch["mlm_labels"], batch["image_ids"],
+        jnp.zeros((B2, E)), jnp.zeros((B2, E)),
+        jnp.zeros((E, QS)), jnp.zeros((E, QS)),
+        jnp.full((QS,), -100, jnp.int32), None, jnp.asarray(0.4),
+    )
+    params = variables["params"]
+    state = init_albef_state(params, model.cfg)
+    losses, state = albef_pretrain_train_step(
+        model, params, state, batch, alpha=0.4, rng=jax.random.PRNGKey(2)
+    )
+    assert set(losses) == {"loss_itc", "loss_itm", "loss_mlm", "loss"}
+    for k, v in losses.items():
+        assert np.isfinite(float(v)), k
+    assert int(state["ptr"]) == B2
+    # alpha=0 -> plain masked CE, positive
+    losses0, _ = albef_pretrain_train_step(
+        model, params, state, batch, alpha=0.0, rng=jax.random.PRNGKey(2)
+    )
+    assert float(losses0["loss_mlm"]) > 0
