@@ -18,7 +18,8 @@ def _png(path, rng, w=40, h=30):
 
 
 @pytest.fixture(scope="module")
-def cirr_root(tmp_path_factory, rng):
+def cirr_root(tmp_path_factory):
+    rng = np.random.RandomState(11)  # own seed: content must not depend on test order
     root = tmp_path_factory.mktemp("cirr_dataset")
     (root / "cirr" / "captions").mkdir(parents=True)
     (root / "cirr" / "image_splits").mkdir(parents=True)
@@ -46,7 +47,8 @@ def cirr_root(tmp_path_factory, rng):
 
 
 @pytest.fixture(scope="module")
-def fiq_root(tmp_path_factory, rng):
+def fiq_root(tmp_path_factory):
+    rng = np.random.RandomState(12)
     root = tmp_path_factory.mktemp("fashionIQ_dataset")
     (root / "captions").mkdir()
     (root / "image_splits").mkdir()
@@ -134,7 +136,8 @@ def test_skip_errors(cirr_root, caplog):
 
 
 @pytest.fixture(scope="module")
-def circo_root(tmp_path_factory, rng):
+def circo_root(tmp_path_factory):
+    rng = np.random.RandomState(13)
     root = tmp_path_factory.mktemp("circo")
     (root / "COCO2017_unlabeled" / "annotations").mkdir(parents=True)
     (root / "COCO2017_unlabeled" / "unlabeled2017").mkdir()

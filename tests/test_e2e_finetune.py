@@ -67,7 +67,6 @@ def test_finetune_e2e(cirr_root, tmp_path):
         model, state, tx, step, task,
         RunnerConfig(output_dir=str(tmp_path), max_epochs=4, evaluate_every=2),
     )
-    initial = evaluate(model, params)
     best = runner.train()
 
     rows = [json.loads(l) for l in open(tmp_path / "log.jsonl")]
@@ -78,8 +77,27 @@ def test_finetune_e2e(cirr_root, tmp_path):
     # evaluation ran and produced the metric suite
     val_rows = [r for r in rows if r["kind"] == "val"]
     assert val_rows and "recall_at1" in val_rows[0]
-    # with 4 triplets and a high LR the model should memorize: final recall@1
-    # at least matches the random-init starting point
-    final = evaluate(model, runner.state.params)
-    assert final["recall_at1"] >= initial["recall_at1"]
+    # with 4 triplets and a high LR the model should memorize. recall@1 over
+    # 4 queries has 25-point granularity (one unlucky run flips it), so
+    # assert on the continuous analogue instead: the mean rank of the true
+    # target did not get worse than at random init.
+    def mean_target_rank(eval_params):
+        engine = RetrievalEngine(model, eval_params, tok, encode_batch=4, query_batch=4)
+        classic = CIRRDataset(cirr_root, "val", "classic", tfm)
+        loader = DataLoader(classic, batch_size=4, num_workers=1)
+        index = engine.build_index(
+            (b["image_name"], b["image"].astype(np.float32)) for b in loader
+        )
+        relative = CIRRDataset(cirr_root, "val", "relative")
+        refs = [relative[i]["reference_name"] for i in range(len(relative))]
+        targets = [relative[i]["target_name"] for i in range(len(relative))]
+        caps = [relative[i]["caption"] for i in range(len(relative))]
+        sims = np.asarray(engine.score_queries(index, refs, caps), np.float64)
+        ranks = []
+        for i, (r, t) in enumerate(zip(refs, targets)):
+            order = [index.names[j] for j in np.argsort(-sims[i]) if index.names[j] != r]
+            ranks.append(order.index(t))
+        return float(np.mean(ranks))
+
+    assert mean_target_rank(runner.state.params) <= mean_target_rank(params)
     assert os.path.isdir(tmp_path / "last_state")
