@@ -1,0 +1,187 @@
+"""Round-2 perf ablations on the real chip. One mode per process (the
+tunnel allows one client at a time); the runner script sequences them.
+
+Modes:
+  mm        - chained 4096^3 matmul peak: bf16 TFLOPs and int8 TOPS
+  attn      - attention micro at ViT-L shapes (impl via SPRC_ATTN_* env)
+  block     - per-block ablation at b256 (variant via SPRC_ABL_VARIANT)
+
+Tunnel rules (MEASUREMENTS.md): scalar readback per step, distinct
+device-generated inputs, everything amortized inside jit.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, "/root/repo")
+
+
+def _t(fn, *args):
+    """Time one jitted call with a forced scalar readback."""
+    t0 = time.perf_counter()
+    out = fn(*args)
+    leaf = out if not isinstance(out, tuple) else out[0]
+    _ = float(np.asarray(leaf.ravel()[0] if leaf.ndim else leaf))
+    return time.perf_counter() - t0
+
+
+def mode_mm():
+    import jax
+    import jax.numpy as jnp
+
+    n, K = 4096, 64
+    rs = np.random.RandomState(0)
+
+    # bf16 control
+    b16 = jnp.asarray(rs.randn(n, n), jnp.bfloat16)
+
+    @jax.jit
+    def chain_bf16(x):
+        def body(i, c):
+            return jax.lax.dot(c, b16, preferred_element_type=jnp.bfloat16)
+        return jax.lax.fori_loop(0, K, body, x)
+
+    x0 = jnp.asarray(rs.randn(n, n), jnp.bfloat16)
+    _t(chain_bf16, x0)  # compile+warm
+    dt = min(_t(chain_bf16, x0) for _ in range(3))
+    print(json.dumps({"mode": "mm_bf16", "tflops": round(2 * n**3 * K / dt / 1e12, 1)}))
+
+    # int8: s8 x s8 -> s32 on the MXU; keep the chain data-dependent by
+    # truncating the accumulator back to int8 each round
+    b8 = jnp.asarray(rs.randint(-4, 4, (n, n)), jnp.int8)
+
+    @jax.jit
+    def chain_int8(x):
+        def body(i, c):
+            a = (c % 5).astype(jnp.int8)
+            return jax.lax.dot(a, b8, preferred_element_type=jnp.int32)
+        return jax.lax.fori_loop(0, K, body, x)
+
+    x8 = jnp.asarray(rs.randint(-4, 4, (n, n)), jnp.int32)
+    _t(chain_int8, x8)
+    dt = min(_t(chain_int8, x8) for _ in range(3))
+    print(json.dumps({"mode": "mm_int8", "tops": round(2 * n**3 * K / dt / 1e12, 1)}))
+
+
+def mode_attn():
+    """Attention-only at ViT-L/b256 shapes; impl selected by env before
+    import (SPRC_PALLAS_ATTN / SPRC_ATTN_V)."""
+    import os
+
+    import jax
+    import jax.numpy as jnp
+
+    from sprc_tpu.ops.attention import dot_product_attention
+
+    B, S, H, D = 256, 257, 16, 64
+    K = 20
+    label = f"pallas{os.environ.get('SPRC_ATTN_V','4')}" if os.environ.get(
+        "SPRC_PALLAS_ATTN", "1") == "1" else "xla"
+
+    @jax.jit
+    def chain(q, k, v):
+        def body(i, q):
+            return dot_product_attention(q, k, v)
+        return jax.lax.fori_loop(0, K, body, q)
+
+    gen = jax.jit(lambda key: tuple(
+        jax.random.normal(k_, (B, S, H, D), jnp.bfloat16)
+        for k_ in jax.random.split(key, 3)))
+    q, k, v = gen(jax.random.PRNGKey(0))
+    jax.block_until_ready((q, k, v))
+    _t(chain, q, k, v)
+    dt = min(_t(chain, q, k, v) for _ in range(3))
+    print(json.dumps({"mode": f"attn_{label}", "ms_per_call": round(dt / K * 1e3, 3)}))
+
+
+def mode_block():
+    """One ViT-L block chained K times; variant via SPRC_ABL_VARIANT."""
+    import os
+
+    import jax
+    import jax.numpy as jnp
+
+    from sprc_tpu.ops.attention import dot_product_attention
+
+    variant = os.environ.get("SPRC_ABL_VARIANT", "full")
+    assert variant in ("full", "noln", "noattn", "nomlp", "mmonly", "int8")
+    B, S, W, Hd, M = 256, 257, 1024, 16, 4096
+    K = 12
+    rs = np.random.RandomState(0)
+    p = {
+        "wqkv": jnp.asarray(rs.randn(W, 3 * W) * 0.02, jnp.bfloat16),
+        "bqkv": jnp.zeros((3 * W,), jnp.bfloat16),
+        "wproj": jnp.asarray(rs.randn(W, W) * 0.02, jnp.bfloat16),
+        "w1": jnp.asarray(rs.randn(W, M) * 0.02, jnp.bfloat16),
+        "w2": jnp.asarray(rs.randn(M, W) * 0.02, jnp.bfloat16),
+        "s1": jnp.ones((W,), jnp.float32),
+        "b1": jnp.zeros((W,), jnp.float32),
+        "s2": jnp.ones((W,), jnp.float32),
+        "b2": jnp.zeros((W,), jnp.float32),
+    }
+
+    def ln(x, s, b, eps=1e-5, io_bf16=False):
+        x32 = x.astype(jnp.float32)
+        m = x32.mean(-1, keepdims=True)
+        v = jnp.square(x32 - m).mean(-1, keepdims=True)
+        y = (x32 - m) * jax.lax.rsqrt(v + eps) * s + b
+        return y.astype(jnp.bfloat16)
+
+    use_ln = variant not in ("noln", "mmonly")
+    use_attn = variant not in ("noattn", "mmonly")
+    use_mlp = variant != "nomlp"
+    mm_only = variant == "mmonly"
+    int8 = variant == "int8"
+
+    if int8:
+        from sprc_tpu.ops.quant import int8_dense_from_fp
+
+        mm = lambda h, w, b=None: int8_dense_from_fp(h, w, b)
+    else:
+        mm = lambda h, w, b=None: (h @ w + b if b is not None else h @ w)
+
+    def block(x):
+        h = ln(x, p["s1"], p["b1"]) if use_ln else x
+        qkv = mm(h, p["wqkv"], p["bqkv"])
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+        if use_attn:
+            q = q.reshape(B, S, Hd, W // Hd)
+            k = k.reshape(B, S, Hd, W // Hd)
+            v = v.reshape(B, S, Hd, W // Hd)
+            ctx = dot_product_attention(q, k, v).reshape(B, S, W)
+        else:
+            ctx = v
+        x = x + mm(ctx, p["wproj"])
+        if use_mlp:
+            h = ln(x, p["s2"], p["b2"]) if use_ln else x
+            h = mm(h, p["w1"])
+            if not mm_only:
+                h = h * jax.nn.sigmoid(1.702 * h)  # quickgelu
+            x = x + mm(h, p["w2"])
+        return x.astype(jnp.bfloat16)
+
+    @jax.jit
+    def chain(x):
+        def body(i, x):
+            return block(x)
+        return jax.lax.fori_loop(0, K, body, x)
+
+    gen = jax.jit(lambda key: jax.random.normal(key, (B, S, W), jnp.bfloat16))
+    x = gen(jax.random.PRNGKey(0))
+    jax.block_until_ready(x)
+    _t(chain, x)
+    dt = min(_t(chain, x) for _ in range(3))
+    print(json.dumps({"mode": f"block_{variant}", "ms_per_block": round(dt / K * 1e3, 3)}))
+
+
+if __name__ == "__main__":
+    ap = argparse.ArgumentParser()
+    ap.add_argument("mode", choices=["mm", "attn", "block"])
+    args = ap.parse_args()
+    {"mm": mode_mm, "attn": mode_attn, "block": mode_block}[args.mode]()

@@ -49,18 +49,24 @@ class CirConfig:
     vit_dtype: Any = jnp.bfloat16
     qformer_dtype: Any = jnp.float32
     vit_remat: bool = False
+    # "int8": frozen-tower int8 MXU path (see ViTConfig.quant); serving only
+    vit_quant: Optional[str] = None
     # test-size overrides (None = full size)
     vit_config_override: Optional[ViTConfig] = None
     qformer_config_override: Optional[QFormerConfig] = None
 
     def vit_config(self) -> ViTConfig:
         if self.vit_config_override is not None:
-            return self.vit_config_override
-        if self.vit_model == "eva_clip_g":
-            return eva_vit_g_config(self.image_size, dtype=self.vit_dtype, remat=self.vit_remat)
-        if self.vit_model == "clip_L":
-            return clip_vit_l_config(self.image_size, dtype=self.vit_dtype, remat=self.vit_remat)
-        raise ValueError(f"unknown vit_model {self.vit_model!r}")
+            cfg = self.vit_config_override
+        elif self.vit_model == "eva_clip_g":
+            cfg = eva_vit_g_config(self.image_size, dtype=self.vit_dtype, remat=self.vit_remat)
+        elif self.vit_model == "clip_L":
+            cfg = clip_vit_l_config(self.image_size, dtype=self.vit_dtype, remat=self.vit_remat)
+        else:
+            raise ValueError(f"unknown vit_model {self.vit_model!r}")
+        if self.vit_quant:
+            cfg = dataclasses.replace(cfg, quant=self.vit_quant)
+        return cfg
 
     def qformer_config(self) -> QFormerConfig:
         if self.qformer_config_override is not None:

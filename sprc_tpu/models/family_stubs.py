@@ -44,9 +44,8 @@ _FAMILIES = {
         # albef_vqa: implemented in models/vqa.py
     ],
     "video": [
-        ("alpro_qa", "alpro_models/alpro_qa.py"),
-        ("alpro_retrieval", "alpro_models/alpro_retrieval.py"),
-        ("timesformer", "timesformer/vit.py"),
+        # alpro_qa / alpro_retrieval / timesformer: implemented in
+        # models/alpro.py and models/timesformer.py
     ],
     "BLIP-2 LLM heads": [
     ],

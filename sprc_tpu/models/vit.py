@@ -20,7 +20,7 @@ reference's fp16 + fp32-LN bridge), and Pallas flash attention for the
 from __future__ import annotations
 
 import dataclasses
-from typing import Any
+from typing import Any, Optional
 
 import jax
 import jax.numpy as jnp
@@ -52,6 +52,12 @@ class ViTConfig:
     # instead of unrolling depth copies — shrinks the XLA module (and its
     # compile time) by ~depth; numerically identical
     scan_blocks: bool = False
+    # "int8": run the big matmuls (qkv/proj/fc1/fc2) on the int8 MXU path
+    # (dynamic per-token activation scales, per-channel weight scales —
+    # sprc_tpu.ops.quant). Param tree is UNCHANGED (fp32 masters quantized
+    # on the fly), so checkpoints/interop are unaffected. Serving-only: the
+    # tower is frozen, so PTQ is low-risk; accuracy A/B in tests/test_quant.py.
+    quant: Optional[str] = None
 
     @property
     def num_patches(self) -> int:
@@ -155,6 +161,22 @@ class PatchEmbed(nn.Module):
         return x.reshape(B, H * W, C)
 
 
+def _block_dense(
+    cfg: "ViTConfig", x: jnp.ndarray, features: int, name: str, use_bias: bool = True
+) -> jnp.ndarray:
+    """DenseGeneral, or its int8-MXU twin when ``cfg.quant == 'int8'``.
+
+    Both create an identical param tree (fp32 kernel/bias under ``name``),
+    so quantization is a pure serving-mode switch."""
+    if cfg.quant == "int8":
+        from sprc_tpu.ops.layers import DenseParams
+        from sprc_tpu.ops.quant import int8_dense_from_fp
+
+        w, b = DenseParams(x.shape[-1], features, use_bias=use_bias, name=name)()
+        return int8_dense_from_fp(x, w, b, out_dtype=cfg.dtype)
+    return DenseGeneral(features, use_bias=use_bias, dtype=cfg.dtype, name=name)(x)
+
+
 class ViTAttention(nn.Module):
     config: ViTConfig
 
@@ -166,14 +188,14 @@ class ViTAttention(nn.Module):
 
         if cfg.qkv_fused_no_kbias:
             # EVA: one fused qkv matmul without bias, then add q/v bias only
-            qkv = DenseGeneral(3 * C, use_bias=False, dtype=cfg.dtype, name="qkv")(x)
+            qkv = _block_dense(cfg, x, 3 * C, "qkv", use_bias=False)
             q, k, v = jnp.split(qkv, 3, axis=-1)
             q_bias = self.param("q_bias", nn.initializers.zeros, (C,), jnp.float32)
             v_bias = self.param("v_bias", nn.initializers.zeros, (C,), jnp.float32)
             q = q + q_bias.astype(q.dtype)
             v = v + v_bias.astype(v.dtype)
         else:
-            qkv = DenseGeneral(3 * C, use_bias=True, dtype=cfg.dtype, name="qkv")(x)
+            qkv = _block_dense(cfg, x, 3 * C, "qkv", use_bias=True)
             q, k, v = jnp.split(qkv, 3, axis=-1)
 
         # BSHD layout end-to-end: no physical head transpose
@@ -182,7 +204,7 @@ class ViTAttention(nn.Module):
         v = v.reshape(B, S, H, D)
         ctx = dot_product_attention(q, k, v)
         ctx = ctx.reshape(B, S, C)
-        return DenseGeneral(C, dtype=cfg.dtype, name="proj")(ctx)
+        return _block_dense(cfg, ctx, C, "proj")
 
 
 class ViTBlock(nn.Module):
@@ -232,9 +254,9 @@ class ViTBlock(nn.Module):
             )
         act = quick_gelu if cfg.quick_gelu else (lambda h: nn.gelu(h, approximate=False))
         h = LayerNormFP32(epsilon=cfg.layer_norm_eps, name="norm2")(x)
-        h = DenseGeneral(cfg.mlp_hidden, dtype=cfg.dtype, name="mlp_fc1")(h)
+        h = _block_dense(cfg, h, cfg.mlp_hidden, "mlp_fc1")
         h = act(h)
-        h = DenseGeneral(cfg.width, dtype=cfg.dtype, name="mlp_fc2")(h)
+        h = _block_dense(cfg, h, cfg.width, "mlp_fc2")
         return x + h
 
 

@@ -32,9 +32,18 @@ def _xla_attention(
 ) -> jnp.ndarray:
     import os
 
-    if os.environ.get("SPRC_ATTN_IMPL", "einsum") == "jnn" and bias is None:
+    impl = os.environ.get("SPRC_ATTN_IMPL", "einsum")
+    if impl == "jnn" and bias is None:
         # jax.nn.dot_product_attention takes BTNH == our BSHD layout
         return jax.nn.dot_product_attention(q, k, v, scale=scale)
+    if impl == "einsum_bf16" and bias is None:
+        # halve the score-tensor HBM traffic: scores materialized bf16,
+        # softmax still reduced in fp32 (eval-path option; ~3 digits of
+        # score precision, fine after the max-subtraction)
+        scores = jnp.einsum("bqhd,bkhd->bhqk", q, k,
+                            preferred_element_type=jnp.bfloat16)
+        probs = jax.nn.softmax(scores.astype(jnp.float32) * scale, axis=-1)
+        return jnp.einsum("bhqk,bkhd->bqhd", probs.astype(v.dtype), v)
     scores = jnp.einsum("bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32)
     scores = scores * scale
     if bias is not None:

@@ -49,7 +49,134 @@ def _attn_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, chunk: int):
 _BH_CHUNK = 16
 
 
+def _attn_kernel_v4(q_ref, k_ref, v_ref, o_ref, *, scale: float, heads: int):
+    """One batch element per program, heads unrolled with static slices.
+
+    Blocks stay ``[1, S, H, D]`` — the raw layout coming out of the QKV
+    matmul — so NO HBM transpose is materialized (v3 paid 8 full-activation
+    transposes per layer to reach ``[B*H, S, D]``). Head extraction is a
+    static middle-dim slice of the VMEM-resident block. (A lane-dim
+    ``reshape(S, H, D)`` inside the kernel is rejected by Mosaic's layout
+    inference — hence slices, not reshapes.)
+    """
+    outs = []
+    for h in range(heads):
+        q = q_ref[0, :, h, :]  # [S, D]
+        k = k_ref[0, :, h, :]
+        v = v_ref[0, :, h, :]
+        scores = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        scores = scores * scale
+        m = jnp.max(scores, axis=-1, keepdims=True)
+        e = jnp.exp(scores - m)
+        probs = (e / jnp.sum(e, axis=-1, keepdims=True)).astype(v.dtype)
+        out = jax.lax.dot_general(
+            probs, v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        outs.append(out.astype(o_ref.dtype))
+    # single full-block store as [S, H*D]: per-head strided stores need a
+    # (S,D) -> (1,S,1,D) shape cast Mosaic rejects; a lane concat stays in
+    # VMEM and the [S, H*D] row layout IS [S,H,D] flattened
+    o_ref[0] = jnp.concatenate(outs, axis=-1)
+
+
+def _flash_fwd_v4(q: jax.Array, k: jax.Array, v: jax.Array, scale: float) -> jax.Array:
+    """q,k,v: [B, S, H, D] -> [B, S, H, D], zero HBM transposes."""
+    B, Sq, H, D = q.shape
+    Sk = k.shape[1]
+    out = pl.pallas_call(
+        functools.partial(_attn_kernel_v4, scale=scale, heads=H),
+        grid=(B,),
+        in_specs=[
+            pl.BlockSpec((1, Sq, H, D), lambda b: (b, 0, 0, 0)),
+            pl.BlockSpec((1, Sk, H, D), lambda b: (b, 0, 0, 0)),
+            pl.BlockSpec((1, Sk, H, D), lambda b: (b, 0, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, Sq, H * D), lambda b: (b, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((B, Sq, H * D), q.dtype),
+        interpret=jax.default_backend() != "tpu",
+    )(q, k, v)
+    return out.reshape(B, Sq, H, D)
+
+
+def _attn_kernel_v5(q_ref, k_ref, v_ref, o_ref, *, scale: float, heads: int):
+    """Like v4 but stores per-head into a [B, H, S, D]-shaped output whose
+    block layout makes the store a plain leading-index write."""
+    for h in range(heads):
+        q = q_ref[0, :, h, :]  # [S, D]
+        k = k_ref[0, :, h, :]
+        v = v_ref[0, :, h, :]
+        scores = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        scores = scores * scale
+        m = jnp.max(scores, axis=-1, keepdims=True)
+        e = jnp.exp(scores - m)
+        probs = (e / jnp.sum(e, axis=-1, keepdims=True)).astype(v.dtype)
+        out = jax.lax.dot_general(
+            probs, v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        o_ref[0, h] = out.astype(o_ref.dtype)
+
+
+def _flash_fwd_v5(q: jax.Array, k: jax.Array, v: jax.Array, scale: float) -> jax.Array:
+    """q,k,v: [B, S, H, D] -> [B, S, H, D]; inputs read transpose-free, the
+    [B,H,S,D] kernel output transposed back by XLA (2 activation copies vs
+    v3's 8)."""
+    B, Sq, H, D = q.shape
+    Sk = k.shape[1]
+    out = pl.pallas_call(
+        functools.partial(_attn_kernel_v5, scale=scale, heads=H),
+        grid=(B,),
+        in_specs=[
+            pl.BlockSpec((1, Sq, H, D), lambda b: (b, 0, 0, 0)),
+            pl.BlockSpec((1, Sk, H, D), lambda b: (b, 0, 0, 0)),
+            pl.BlockSpec((1, Sk, H, D), lambda b: (b, 0, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, H, Sq, D), lambda b: (b, 0, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((B, H, Sq, D), q.dtype),
+        interpret=jax.default_backend() != "tpu",
+    )(q, k, v)
+    return out.transpose(0, 2, 1, 3)
+
+
 def _flash_fwd(q: jax.Array, k: jax.Array, v: jax.Array, scale: float) -> jax.Array:
+    """Dispatch to a kernel version (SPRC_ATTN_V; see MEASUREMENTS.md)."""
+    import os
+
+    v_ = os.environ.get("SPRC_ATTN_V", "3")  # 3 = proven default; 4/5/6 experimental
+    if v_ == "4":
+        return _flash_fwd_v4(q, k, v, scale)
+    if v_ == "5":
+        return _flash_fwd_v5(q, k, v, scale)
+    if v_ == "6":
+        return _flash_fwd_v6(q, k, v, scale)
+    return _flash_fwd_v3(q, k, v, scale)
+
+
+def _flash_fwd_v6(q: jax.Array, k: jax.Array, v: jax.Array, scale: float) -> jax.Array:
+    """Stock TPU flash attention (double-buffered, 128-blocked) on BHSD with
+    the 257-token sequence padded to a 128 multiple; padding is masked out
+    via segment ids (pad tokens get segment 0, real tokens 1)."""
+    from jax.experimental.pallas.ops.tpu import flash_attention as fa
+
+    B, S, H, D = q.shape
+    Sp = -(-S // 128) * 128
+    pad = Sp - S
+    qt = jnp.pad(q.transpose(0, 2, 1, 3), ((0, 0), (0, 0), (0, pad), (0, 0)))
+    kt = jnp.pad(k.transpose(0, 2, 1, 3), ((0, 0), (0, 0), (0, pad), (0, 0)))
+    vt = jnp.pad(v.transpose(0, 2, 1, 3), ((0, 0), (0, 0), (0, pad), (0, 0)))
+    seg = jnp.concatenate(
+        [jnp.ones((B, S), jnp.int32), jnp.zeros((B, pad), jnp.int32)], axis=1
+    )
+    out = fa.flash_attention(
+        qt, kt, vt, segment_ids=fa.SegmentIds(q=seg, kv=seg), sm_scale=scale
+    )
+    return out[:, :, :S].transpose(0, 2, 1, 3)
+
+
+def _flash_fwd_v3(q: jax.Array, k: jax.Array, v: jax.Array, scale: float) -> jax.Array:
     """q,k,v: [B, S, H, D] -> [B, Sq, H, D]; one program per batch-head chunk.
 
     The TPU lowering requires the last two block dims to be (8,128)-aligned
