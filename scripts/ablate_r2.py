@@ -110,7 +110,7 @@ def mode_block():
     from sprc_tpu.ops.attention import dot_product_attention
 
     variant = os.environ.get("SPRC_ABL_VARIANT", "full")
-    assert variant in ("full", "noln", "noattn", "nomlp", "mmonly", "int8")
+    assert variant in ("full", "noln", "noattn", "nomlp", "mmonly", "int8", "int8s")
     B, S, W, Hd, M = 256, 257, 1024, 16, 4096
     K = 12
     rs = np.random.RandomState(0)
@@ -139,7 +139,13 @@ def mode_block():
     mm_only = variant == "mmonly"
     int8 = variant == "int8"
 
-    if int8:
+    if variant == "int8s":
+        from sprc_tpu.ops.quant import int8_dense_static
+
+        # perf-only ablation: a constant per-tensor act scale (value is
+        # irrelevant to throughput; calibration sets real values)
+        mm = lambda h, w, b=None: int8_dense_static(h, w, 0.05, b)
+    elif int8:
         from sprc_tpu.ops.quant import int8_dense_from_fp
 
         mm = lambda h, w, b=None: int8_dense_from_fp(h, w, b)

@@ -62,6 +62,8 @@ class MedEncoder(nn.Module):
         mode: str = "multimodal",
         is_decoder: bool = False,
         deterministic: bool = True,
+        gradcam_layer: Optional[int] = None,
+        gradcam_probe: Optional[jnp.ndarray] = None,
     ) -> jnp.ndarray:
         cfg = self.config
         if inputs_embeds is None:
@@ -101,18 +103,33 @@ class MedEncoder(nn.Module):
             start, end = 0, cfg.num_layers
 
         cross_from = self.fusion_layer if self.cross_from is None else self.cross_from
+        gradcam_probs = None
         for i in range(start, end):
             hidden = QFormerAttention(cfg, name=f"layer_{i}_self")(
                 hidden, hidden, bias, deterministic=deterministic
             )
             if i >= cross_from and image_embeds is not None:
-                hidden = QFormerAttention(cfg, is_cross=True, name=f"layer_{i}_cross")(
-                    hidden, image_embeds.astype(cfg.dtype), cross_bias,
-                    deterministic=deterministic,
-                )
+                cross = QFormerAttention(cfg, is_cross=True, name=f"layer_{i}_cross")
+                if gradcam_layer == i:
+                    # GradCAM probe (reference blip_image_text_matching.py
+                    # compute_gradcam :151-199): expose this layer's
+                    # cross-attention probs and add a zero-valued offset so
+                    # jax.grad w.r.t. the offset yields d loss / d probs
+                    hidden, gradcam_probs = cross(
+                        hidden, image_embeds.astype(cfg.dtype), cross_bias,
+                        deterministic=deterministic, return_probs=True,
+                        probs_offset=gradcam_probe,
+                    )
+                else:
+                    hidden = cross(
+                        hidden, image_embeds.astype(cfg.dtype), cross_bias,
+                        deterministic=deterministic,
+                    )
             hidden = QFormerFFN(cfg, name=f"layer_{i}_ffn")(
                 hidden, deterministic=deterministic
             )
+        if gradcam_layer is not None:
+            return hidden, gradcam_probs
         return hidden
 
 

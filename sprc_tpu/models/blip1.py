@@ -19,6 +19,7 @@ from __future__ import annotations
 
 from typing import Optional, Tuple
 
+import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
@@ -408,6 +409,25 @@ class BlipITM(BlipRetrieval):
     def itc(self, images, input_ids, text_mask):
         _, image_feat, _, text_feat = self.unimodal(images, input_ids, text_mask)
         return jnp.sum(image_feat * text_feat, axis=-1) / jnp.clip(self.temp, 0.001, 0.5)
+
+    def itm_gradcam(self, images, enc_input_ids, text_mask, probe, block_num):
+        """ITM 'match' logit sum + the cross-attn probs at ``block_num``,
+        with a zero-valued ``probe`` added to the probs so callers can take
+        grads w.r.t. them (GradCAM; reference compute_gradcam :151-199)."""
+        image_embeds = self.visual_encoder(images).astype(jnp.float32)
+        hidden, probs = self.text_encoder(
+            input_ids=enc_input_ids, attention_mask=text_mask,
+            image_embeds=image_embeds, mode="multimodal",
+            gradcam_layer=block_num, gradcam_probe=probe,
+        )
+        logits = self.itm_head(hidden[:, 0, :])
+        return jnp.sum(logits[:, 1]), probs
+
+    def itm_embeds(self, enc_input_ids, text_mask, image_embeds):
+        """ITM match probability for precomputed image embeds (the
+        Img2Prompt caption filter, img2prompt_vqa.py:103-128 itm_rank)."""
+        logits = self.itm_logits(enc_input_ids, text_mask, image_embeds)
+        return jax.nn.softmax(logits, axis=-1)[:, 1]
 
 
 @dataclasses.dataclass(frozen=True)

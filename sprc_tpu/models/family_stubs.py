@@ -50,8 +50,7 @@ _FAMILIES = {
     "BLIP-2 LLM heads": [
     ],
     "misc": [
-        ("pnp_vqa", "pnp_vqa_models/pnp_vqa.py"),
-        ("img2prompt_vqa", "img2prompt_models/img2prompt_vqa.py"),
+        # pnp_vqa / img2prompt_vqa: implemented in models/pnp_vqa.py
         # gpt_dialogue: implemented for real in models/gpt_dialogue.py
     ],
 }

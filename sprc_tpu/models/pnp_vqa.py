@@ -1,0 +1,444 @@
+"""PNP-VQA and Img2Prompt-VQA zero-shot pipelines — TPU-native.
+
+Re-implementations (not ports) of the two plug-and-play VQA pipelines:
+
+- ``pnp_vqa`` (reference src/lavis/models/pnp_vqa_models/pnp_vqa.py:20-339):
+  (1) GradCAM from BLIP-ITM localizes question-relevant patches,
+  (2) BLIP-Caption samples stochastic captions from gradcam-weighted patch
+  subsets, (3) a UnifiedQA-style T5 answers with Fusion-in-Decoder over
+  question+caption contexts.
+- ``img2prompt_vqa`` (img2prompt_models/img2prompt_vqa.py:30-587): same
+  localization + captioning (with an ITM filter), then exemplar-prompt
+  construction (answer extraction, T5 question generation, context/task
+  prompts) for an external LLM.
+
+TPU-first notes: patch sampling uses Gumbel top-k (`jax.random`) instead of
+host-side ``torch.multinomial`` — sampling without replacement stays on
+device; caption sampling uses the fixed-shape jitted decode of
+models/generation.py. The pipelines hold (model, params) pairs — they are
+eval orchestrators, not trainable modules, matching the reference's
+composition of three pretrained submodels.
+
+Deviations (documented): Img2Prompt's answer extraction uses spaCy POS tags
+in the reference; spaCy isn't in this image, so a frequency/stopword
+heuristic is the fallback (a ``tagger`` callable can restore exact
+behavior). Question generation decodes greedily (reference: beam 3).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, Dict, List, Optional, Sequence
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from sprc_tpu.models.generation import greedy_generate_fn, sample_generate
+from sprc_tpu.registry import registry
+from sprc_tpu.utils.gradcam import compute_gradcam
+
+# --------------------------------------------------------------------- utils
+
+
+def prepare_qa_input(
+    questions: Sequence[str],
+    captions: Sequence[Sequence[str]],
+    *,
+    num_captions: int,
+    num_captions_fid: int,
+) -> List[List[str]]:
+    """question+caption FiD contexts (reference pnp_vqa_models/__init__.py)."""
+    out = []
+    for question, caps in zip(questions, captions):
+        contexts, chunk = [], ""
+        for cap_id, cap in enumerate(list(caps)[:num_captions]):
+            chunk += cap.strip() + ". "
+            last = (cap_id + 1) == num_captions
+            if last or (cap_id + 1) % num_captions_fid == 0:
+                contexts.append(
+                    question.lower().strip() + " \\n " + chunk.lower().strip()
+                )
+                chunk = ""
+            if last:
+                break
+        out.append(contexts)
+    return out
+
+
+_STOPWORDS = frozenset(
+    """a an the is are was were be been being am do does did have has had i you
+    he she it we they this that these those there here of in on at to for with
+    from by and or not no nor but if then else when what which who whom how why
+    where can could may might shall should will would must as its his her their
+    our your my me him them us very so such than too also just only even still
+    about into over under again further once during both each few more most
+    other some any all own same s t don now d ll m o re ve y ain aren couldn
+    didn doesn hadn hasn haven isn ma mightn mustn needn shan shouldn wasn
+    weren won wouldn""".split()
+)
+
+
+def _heuristic_answer_candidates(caption: str) -> List[str]:
+    """Stopword-filtered unigrams + bigrams, a spaCy-free stand-in for the
+    reference's POS/NER/noun-chunk extraction (img2prompt_vqa.py:252-295)."""
+    words = [w.strip(".,!?'\"").lower() for w in caption.split()]
+    words = [w for w in words if w]
+    cands = [w for w in words if w not in _STOPWORDS and not w.isdigit()]
+    for i in range(len(words) - 1):
+        if words[i] not in _STOPWORDS and words[i + 1] not in _STOPWORDS:
+            cands.append(f"{words[i]} {words[i + 1]}")
+    return cands
+
+
+def sample_patches(
+    rng: jax.Array, weights: jnp.ndarray, num_patches: int, num_samples: int
+) -> jnp.ndarray:
+    """Gumbel top-k sampling without replacement from per-patch weights.
+
+    weights: [B, P] (unnormalized, nonnegative). -> sorted indices
+    [B, num_samples, num_patches] into the patch axis (0-based; callers add
+    1 to skip the CLS row like the reference's ``patch_id + 1``).
+    """
+    B, P = weights.shape
+    logw = jnp.log(jnp.maximum(weights, 1e-12))
+    g = jax.random.gumbel(rng, (B, num_samples, P))
+    scores = logw[:, None, :] + g
+    idx = jax.lax.top_k(scores, num_patches)[1]  # [B, ns, np]
+    return jnp.sort(idx, axis=-1)
+
+
+# ----------------------------------------------------------------- pipelines
+
+
+@dataclasses.dataclass
+class PnpVqaPipeline:
+    """PNP-VQA (reference pnp_vqa.py). Holds (model, params) for the three
+    submodels plus their tokenizers.
+
+    itm_model: BlipITM; cap_model: BlipCaption; qa_model:
+    T5ForConditionalGeneration (UnifiedQA-v2 weights in deployment).
+    """
+
+    itm_model: object
+    itm_params: Dict
+    cap_model: object
+    cap_params: Dict
+    qa_model: object
+    qa_params: Dict
+    tokenizer: object  # BERT wordpiece (ITM + caption)
+    qa_tokenizer: object  # T5 sentencepiece-style, with encode/decode
+    prompt: str = "a picture of "
+
+    # -- stage 1: localization ------------------------------------------
+    def forward_itm(self, images, questions: Sequence[str], *, block_num=7):
+        """-> gradcams [B, num_patches] (token-averaged map)."""
+        q = [t.strip("?") for t in questions]
+        enc = self.tokenizer(q, max_length=35, enc_token=True)
+        avg, _ = compute_gradcam(
+            self.itm_model, self.itm_params, jnp.asarray(images),
+            jnp.asarray(enc["input_ids"]), jnp.asarray(enc["attention_mask"]),
+            block_num=block_num,
+        )
+        return avg
+
+    # -- stage 2: stochastic captioning ----------------------------------
+    def forward_cap(
+        self,
+        rng: jax.Array,
+        images,
+        gradcams: np.ndarray,
+        *,
+        num_captions: int = 100,
+        num_patches: int = 20,
+        cap_max_length: int = 20,
+        cap_min_length: int = 0,
+        top_k: int = 50,
+        top_p: float = 1.0,
+        repetition_penalty: float = 1.0,
+        max_rounds: int = 5,
+    ) -> List[List[str]]:
+        model, params = self.cap_model, self.cap_params
+        encoder_out = model.apply(
+            {"params": params}, jnp.asarray(images),
+            method=lambda m, im: m.visual_encoder(im).astype(jnp.float32),
+        )
+        B, S, D = encoder_out.shape
+        prompt_ids = self.tokenizer.caption_prompt_ids(self.prompt)  # [P]
+        captions: List[List[str]] = [[] for _ in range(B)]
+
+        for _ in range(max_rounds):
+            if min(len(c) for c in captions) >= num_captions:
+                break
+            rng, r1, r2 = jax.random.split(rng, 3)
+            idx = sample_patches(
+                r1, jnp.asarray(gradcams), num_patches, num_captions
+            ) + 1  # skip CLS (reference pnp_vqa.py:128)
+            gathered = jnp.take_along_axis(
+                encoder_out[:, None], idx[..., None], axis=2
+            ).reshape(B * num_captions, num_patches, D)
+
+            prompts = jnp.broadcast_to(
+                jnp.asarray(prompt_ids, jnp.int32)[None],
+                (B * num_captions, len(prompt_ids)),
+            )
+
+            def logits_fn(ids):
+                mask = jnp.ones_like(ids)
+                return model.apply(
+                    {"params": params}, ids, mask, gathered,
+                    method=model.decode_logits,
+                )
+
+            out = sample_generate(
+                logits_fn, prompts, rng=r2,
+                eos_token_id=self.tokenizer.sep_id,
+                pad_token_id=self.tokenizer.pad_id,
+                max_length=cap_max_length, min_length=cap_min_length,
+                top_k=top_k, top_p=top_p,
+                repetition_penalty=repetition_penalty,
+            )
+            texts = [self.tokenizer.decode(row) for row in np.asarray(out)]
+            for counter, text in enumerate(texts):
+                ind = counter // num_captions
+                cap = text[len(self.prompt):] if text.startswith(self.prompt) else text
+                if len(captions[ind]) < num_captions and cap:
+                    if not any(cap in c for c in captions[ind]):
+                        captions[ind].append(cap)
+        return captions
+
+    # -- stage 3: FiD question answering ---------------------------------
+    def forward_qa(
+        self,
+        questions: Sequence[str],
+        captions: Sequence[Sequence[str]],
+        *,
+        num_captions: int = 100,
+        num_captions_fid: int = 1,
+        max_len: int = 20,
+        min_len: int = 0,
+        ctx_max_length: int = 64,
+    ) -> List[str]:
+        contexts = prepare_qa_input(
+            questions, captions,
+            num_captions=num_captions, num_captions_fid=num_captions_fid,
+        )
+        model, params = self.qa_model, self.qa_params
+        answers = []
+        for ctxs in contexts:
+            enc = self.qa_tokenizer(ctxs, max_length=ctx_max_length)
+            ids = jnp.asarray(enc["input_ids"], jnp.int32)  # [n_ctx, L]
+            mask = jnp.asarray(enc["attention_mask"], jnp.int32)
+            enc_out = model.apply(
+                {"params": params}, ids, mask, method=model.encode_ids
+            )
+            n_ctx, L, D = enc_out.shape
+            # Fusion-in-Decoder: contexts encoded independently, decoder
+            # cross-attends over their concatenation (pnp_unifiedqav2_fid.py)
+            enc_flat = enc_out.reshape(1, n_ctx * L, D)
+            mask_flat = mask.reshape(1, n_ctx * L)
+
+            def logits_fn(dec_ids):
+                return model.apply(
+                    {"params": params}, dec_ids, enc_flat, mask_flat,
+                    method=model.decode,
+                )
+
+            bos = jnp.asarray([[self.qa_tokenizer.pad_id]], jnp.int32)  # T5 starts at pad
+            out = greedy_generate_fn(
+                logits_fn, bos,
+                eos_token_id=self.qa_tokenizer.eos_id,
+                pad_token_id=self.qa_tokenizer.pad_id,
+                max_length=max_len, min_length=min_len,
+            )
+            answers.append(self.qa_tokenizer.decode(np.asarray(out)[0][1:]))
+        return answers
+
+    # -- full pipeline ----------------------------------------------------
+    def predict_answers(
+        self, images, questions: Sequence[str], *, seed: int = 0,
+        num_captions: int = 50, num_captions_fid: int = 1,
+        num_patches: int = 50, block_num: int = 7, **kw,
+    ):
+        """-> (answers, captions, gradcams) (reference pnp_vqa.py:233-339)."""
+        if isinstance(questions, str):
+            questions = [questions]
+        assert len(questions) == np.asarray(images).shape[0]
+        gradcams = self.forward_itm(images, questions, block_num=block_num)
+        captions = self.forward_cap(
+            jax.random.PRNGKey(seed), images, gradcams,
+            num_captions=num_captions, num_patches=num_patches,
+            **{k: v for k, v in kw.items() if k in (
+                "cap_max_length", "cap_min_length", "top_k", "top_p",
+                "repetition_penalty")},
+        )
+        answers = self.forward_qa(
+            questions, captions,
+            num_captions=num_captions, num_captions_fid=num_captions_fid,
+            **{k: v for k, v in kw.items() if k in ("max_len", "min_len")},
+        )
+        return answers, captions, gradcams
+
+
+@dataclasses.dataclass
+class Img2PromptVqaPipeline(PnpVqaPipeline):
+    """Img2Prompt-VQA (reference img2prompt_vqa.py): PNP localization +
+    filtered captioning, then LLM prompt construction. ``qa_model`` here is
+    the question-generation T5."""
+
+    tagger: Optional[Callable[[str], List[str]]] = None
+    itm_filter_threshold: float = 0.5
+
+    def forward_cap(self, rng, images, gradcams, **kw):
+        """Caption sampling + ITM match filter (img2prompt_vqa.py:228-246:
+        captions kept only when P(match) >= 0.5)."""
+        threshold = self.itm_filter_threshold
+        caps = super().forward_cap(rng, images, gradcams, **kw)
+        kept: List[List[str]] = []
+        for b, group in enumerate(caps):
+            if not group:
+                kept.append(group)
+                continue
+            enc = self.tokenizer(group, max_length=35, enc_token=True)
+            img = jnp.asarray(np.asarray(images)[b])[None]
+            image_embeds = self.itm_model.apply(
+                {"params": self.itm_params}, img,
+                method=lambda m, im: m.visual_encoder(im).astype(jnp.float32),
+            )
+            image_embeds = jnp.broadcast_to(
+                image_embeds, (len(group),) + image_embeds.shape[1:]
+            )
+            p_match = self.itm_model.apply(
+                {"params": self.itm_params},
+                jnp.asarray(enc["input_ids"]),
+                jnp.asarray(enc["attention_mask"]),
+                image_embeds,
+                method=self.itm_model.itm_embeds,
+            )
+            kept.append(
+                [c for c, p in zip(group, np.asarray(p_match)) if p >= threshold]
+            )
+        return kept
+
+    def answer_extraction(self, captions: Sequence[str], *,
+                          num_question_generation: int = 30):
+        """-> (qg contexts, answers, answer->caption map)
+        (img2prompt_vqa.py:252-310)."""
+        extract = self.tagger or _heuristic_answer_candidates
+        cap_use = ""
+        answers: List[str] = []
+        ans_to_cap: Dict[str, List[int]] = {}
+        for cap_idx, cap in enumerate(captions):
+            cap_use += cap
+            for cand in extract(cap):
+                key = cand.lower()
+                ans_to_cap.setdefault(key, [])
+                if cap_idx not in ans_to_cap[key]:
+                    ans_to_cap[key].append(cap_idx)
+                answers.append(cand)
+        answers = sorted(answers, key=answers.count, reverse=True)
+        real = []
+        for a in answers:
+            a = a + "."
+            if a not in real:
+                real.append(a)
+        contexts = [
+            "answer: %s  context: %s." % (a, cap_use)
+            for a in real[:num_question_generation]
+        ]
+        contexts.append("answer: %s  context: %s." % ("yes.", cap_use))
+        return contexts, real[:num_question_generation] + ["yes."], ans_to_cap
+
+    def forward_qa_generation(self, captions: Sequence[str], *,
+                              max_length: int = 30, ctx_max_length: int = 128):
+        """T5 question generation per extracted answer
+        (img2prompt_vqa.py:312-348; greedy decode — see module deviations)."""
+        contexts, answers, ans_to_cap = self.answer_extraction(captions)
+        model, params = self.qa_model, self.qa_params
+        questions = []
+        for i in range(0, len(contexts), 10):
+            enc = self.qa_tokenizer(contexts[i:i + 10], max_length=ctx_max_length)
+            ids = jnp.asarray(enc["input_ids"], jnp.int32)
+            mask = jnp.asarray(enc["attention_mask"], jnp.int32)
+            enc_out = model.apply(
+                {"params": params}, ids, mask, method=model.encode_ids
+            )
+
+            def logits_fn(dec_ids):
+                return model.apply(
+                    {"params": params}, dec_ids, enc_out, mask,
+                    method=model.decode,
+                )
+
+            bos = jnp.full((ids.shape[0], 1), self.qa_tokenizer.pad_id, jnp.int32)
+            out = greedy_generate_fn(
+                logits_fn, bos, eos_token_id=self.qa_tokenizer.eos_id,
+                pad_token_id=self.qa_tokenizer.pad_id, max_length=max_length,
+            )
+            questions += [
+                self.qa_tokenizer.decode(row[1:]) for row in np.asarray(out)
+            ]
+        return {"questions": questions, "answers": answers,
+                "ans_to_cap_dict": ans_to_cap}
+
+    # -- prompt construction (pure string logic, :349-463) ----------------
+    @staticmethod
+    def create_context_prompt(sample: Dict, num_caps_per_img: int = 30) -> str:
+        ans_to_cap = sample["ans_to_cap_dict"]
+        caption = sample["captions"]
+        answers = sample["answers"]
+        out, used = "", []
+        for idx in range(num_caps_per_img):
+            key = answers[(len(answers) - 1 - idx) % len(answers)][:-1].lower()
+            for cap_id in ans_to_cap.get(key, [0]):
+                if cap_id not in used and cap_id < len(caption):
+                    out += caption[cap_id]
+                    used.append(cap_id)
+                    break
+        return out
+
+    @staticmethod
+    def create_task_prompt(sample: Dict, num_question_per_img: int = 30) -> str:
+        questions, answers = sample["questions"], sample["answers"]
+        out = ""
+        for idx in range(min(num_question_per_img, 1)):
+            # the reference's non-'rule' branch emits one yes/no exemplar
+            # pair (:390-404); its rule branch is dead code ('question_type'
+            # string compared to 'rule')
+            out += "Question:" + questions[-1] + "\n" + "Answer:yes\n"
+            out += "Question:Is this a toilet?\nAnswer:no\n"
+        del answers
+        return out
+
+    def prompts_construction(
+        self, sample: Dict, *, num_caps_per_img: int = 30,
+        num_question_per_img: int = 30,
+    ) -> str:
+        head = ("Please reason the answer of the questions according to the "
+                "given contexts.\n")
+        ctx = self.create_context_prompt(sample, num_caps_per_img)
+        task = self.create_task_prompt(sample, num_question_per_img)
+        return (head + "Contexts:" + ctx + "\n" + task + "Question:" +
+                sample["text_input"] + "\nAnswer:")
+
+    def predict_prompts(self, images, questions: Sequence[str], *,
+                        seed: int = 0, block_num: int = 7, **kw):
+        """-> list of LLM prompts, one per image/question."""
+        gradcams = self.forward_itm(images, questions, block_num=block_num)
+        captions = self.forward_cap(
+            jax.random.PRNGKey(seed), images, gradcams, **kw
+        )
+        prompts = []
+        for b, question in enumerate(questions):
+            qa = self.forward_qa_generation(captions[b])
+            sample = {"captions": captions[b], "text_input": question, **qa}
+            prompts.append(self.prompts_construction(sample))
+        return prompts
+
+
+# Registry entries: the pipelines are constructed from submodels, so the
+# registry exposes the classes themselves (reference from_config builds the
+# three submodels from sub-configs the same way).
+registry.register_model("pnp_vqa", override=True)(PnpVqaPipeline)
+registry.register_model("img2prompt_vqa", override=True)(Img2PromptVqaPipeline)

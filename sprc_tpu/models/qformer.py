@@ -168,6 +168,7 @@ class QFormerAttention(nn.Module):
         *,
         deterministic: bool = True,
         return_probs: bool = False,
+        probs_offset=None,
     ):
         cfg = self.config
         B, S, _ = hidden.shape
@@ -192,6 +193,10 @@ class QFormerAttention(nn.Module):
             if bias is not None:
                 scores = scores + bias.astype(scores.dtype)
             probs = jax.nn.softmax(scores, axis=-1)
+            if probs_offset is not None:
+                # zero-valued probe: grads w.r.t. it equal grads w.r.t. the
+                # attention probs (GradCAM, utils/gradcam.py)
+                probs = probs + probs_offset
             ctx = jnp.einsum("bhqk,bkhd->bqhd", probs.astype(v.dtype), v)
         else:
             ctx = dot_product_attention(q, k, v, bias=bias)

@@ -52,12 +52,23 @@ class ViTConfig:
     # instead of unrolling depth copies — shrinks the XLA module (and its
     # compile time) by ~depth; numerically identical
     scan_blocks: bool = False
-    # "int8": run the big matmuls (qkv/proj/fc1/fc2) on the int8 MXU path
-    # (dynamic per-token activation scales, per-channel weight scales —
-    # sprc_tpu.ops.quant). Param tree is UNCHANGED (fp32 masters quantized
-    # on the fly), so checkpoints/interop are unaffected. Serving-only: the
-    # tower is frozen, so PTQ is low-risk; accuracy A/B in tests/test_quant.py.
+    # int8 MXU path for the big matmuls (qkv/proj/fc1/fc2); param tree is
+    # UNCHANGED (fp32 masters quantized on the fly), so checkpoints/interop
+    # are unaffected. Serving-only (the tower is frozen); A/B in
+    # tests/test_quant.py.
+    #   "int8"        - dynamic per-token activation scales (accurate but the
+    #                   amax pass costs a full HBM round trip per matmul)
+    #   "int8_static" - calibrated per-tensor scales baked as compile-time
+    #                   constants (quantize fuses into the producer; the fast
+    #                   path). Scales come from ``act_scales``; calibrate with
+    #                   :func:`calibrate_act_scales`.
+    #   "int8_calib"  - dynamic path that also sows per-matmul amax values
+    #                   (used by calibration)
     quant: Optional[str] = None
+    # (("mlp_fc1", s), ("mlp_fc2", s), ("proj", s), ("qkv", s)) — shared across
+    # blocks (scan-over-layers compiles one block body, so per-layer scales
+    # would need scanned inputs; the max over layers is used instead)
+    act_scales: Optional[tuple] = None
 
     @property
     def num_patches(self) -> int:
@@ -162,19 +173,52 @@ class PatchEmbed(nn.Module):
 
 
 def _block_dense(
-    cfg: "ViTConfig", x: jnp.ndarray, features: int, name: str, use_bias: bool = True
+    cfg: "ViTConfig", mod: nn.Module, x: jnp.ndarray, features: int, name: str,
+    use_bias: bool = True,
 ) -> jnp.ndarray:
-    """DenseGeneral, or its int8-MXU twin when ``cfg.quant == 'int8'``.
+    """DenseGeneral, or its int8-MXU twin when ``cfg.quant`` is set.
 
-    Both create an identical param tree (fp32 kernel/bias under ``name``),
-    so quantization is a pure serving-mode switch."""
-    if cfg.quant == "int8":
+    All modes create an identical param tree (fp32 kernel/bias under
+    ``name``), so quantization is a pure serving-mode switch. ``mod`` is the
+    calling module (used to sow calibration stats)."""
+    if cfg.quant in ("int8", "int8_calib", "int8_static"):
         from sprc_tpu.ops.layers import DenseParams
-        from sprc_tpu.ops.quant import int8_dense_from_fp
+        from sprc_tpu.ops.quant import int8_dense_from_fp, int8_dense_static
 
         w, b = DenseParams(x.shape[-1], features, use_bias=use_bias, name=name)()
+        if cfg.quant == "int8_static":
+            scale = dict(cfg.act_scales or ())[name]
+            return int8_dense_static(x, w, float(scale), b, out_dtype=cfg.dtype)
+        if cfg.quant == "int8_calib":
+            mod.sow(
+                "intermediates", f"{name}_amax",
+                jnp.max(jnp.abs(x.astype(jnp.float32))),
+                reduce_fn=jnp.maximum, init_fn=lambda: jnp.asarray(0.0),
+            )
         return int8_dense_from_fp(x, w, b, out_dtype=cfg.dtype)
     return DenseGeneral(features, use_bias=use_bias, dtype=cfg.dtype, name=name)(x)
+
+
+def calibrate_act_scales(model, params, images, **apply_kwargs) -> tuple:
+    """Run one calibration batch through the dynamic-int8 tower (build the
+    model with ``quant='int8_calib'``) and return
+    ``(("mlp_fc1", s), ..., ("qkv", s))`` static scales (amax/127, maxed
+    over blocks/batches). Extra kwargs (e.g. ``method=``) forward to
+    ``model.apply``."""
+    import numpy as np
+
+    _, state = model.apply(
+        {"params": params}, images, mutable=["intermediates"], **apply_kwargs
+    )
+    flat = jax.tree_util.tree_leaves_with_path(state["intermediates"])
+    best: dict = {}
+    for path, leaf in flat:
+        key = "".join(str(p) for p in path)
+        for name in ("qkv", "proj", "mlp_fc1", "mlp_fc2"):
+            if f"{name}_amax" in key:
+                val = float(np.max(np.asarray(leaf)))
+                best[name] = max(best.get(name, 0.0), val)
+    return tuple(sorted((k, v / 127.0) for k, v in best.items()))
 
 
 class ViTAttention(nn.Module):
@@ -188,14 +232,14 @@ class ViTAttention(nn.Module):
 
         if cfg.qkv_fused_no_kbias:
             # EVA: one fused qkv matmul without bias, then add q/v bias only
-            qkv = _block_dense(cfg, x, 3 * C, "qkv", use_bias=False)
+            qkv = _block_dense(cfg, self, x, 3 * C, "qkv", use_bias=False)
             q, k, v = jnp.split(qkv, 3, axis=-1)
             q_bias = self.param("q_bias", nn.initializers.zeros, (C,), jnp.float32)
             v_bias = self.param("v_bias", nn.initializers.zeros, (C,), jnp.float32)
             q = q + q_bias.astype(q.dtype)
             v = v + v_bias.astype(v.dtype)
         else:
-            qkv = _block_dense(cfg, x, 3 * C, "qkv", use_bias=True)
+            qkv = _block_dense(cfg, self, x, 3 * C, "qkv", use_bias=True)
             q, k, v = jnp.split(qkv, 3, axis=-1)
 
         # BSHD layout end-to-end: no physical head transpose
@@ -204,7 +248,7 @@ class ViTAttention(nn.Module):
         v = v.reshape(B, S, H, D)
         ctx = dot_product_attention(q, k, v)
         ctx = ctx.reshape(B, S, C)
-        return _block_dense(cfg, ctx, C, "proj")
+        return _block_dense(cfg, self, ctx, C, "proj")
 
 
 class ViTBlock(nn.Module):
@@ -254,9 +298,9 @@ class ViTBlock(nn.Module):
             )
         act = quick_gelu if cfg.quick_gelu else (lambda h: nn.gelu(h, approximate=False))
         h = LayerNormFP32(epsilon=cfg.layer_norm_eps, name="norm2")(x)
-        h = _block_dense(cfg, h, cfg.mlp_hidden, "mlp_fc1")
+        h = _block_dense(cfg, self, h, cfg.mlp_hidden, "mlp_fc1")
         h = act(h)
-        h = _block_dense(cfg, h, cfg.width, "mlp_fc2")
+        h = _block_dense(cfg, self, h, cfg.width, "mlp_fc2")
         return x + h
 
 

@@ -145,14 +145,70 @@ def _flash_fwd(q: jax.Array, k: jax.Array, v: jax.Array, scale: float) -> jax.Ar
     """Dispatch to a kernel version (SPRC_ATTN_V; see MEASUREMENTS.md)."""
     import os
 
-    v_ = os.environ.get("SPRC_ATTN_V", "3")  # 3 = proven default; 4/5/6 experimental
+    v_ = os.environ.get("SPRC_ATTN_V", "3")  # 3 = proven default; experiments 4-7
     if v_ == "4":
         return _flash_fwd_v4(q, k, v, scale)
     if v_ == "5":
         return _flash_fwd_v5(q, k, v, scale)
     if v_ == "6":
         return _flash_fwd_v6(q, k, v, scale)
+    if v_ == "7":
+        return _flash_fwd_v7(q, k, v, scale)
     return _flash_fwd_v3(q, k, v, scale)
+
+
+_LOG2E = 1.4426950408889634
+
+
+def _attn_kernel_v7(q_ref, k_ref, v_ref, o_ref, *, chunk: int):
+    """Softmax-lean attention: q arrives pre-scaled by ``scale*log2(e)`` so
+    scores live in the exp2 domain (exp2 is the native VPU op and the scale
+    multiply is folded away); V carries an appended ones-column so the MXU
+    produces the softmax denominator as output column D (no separate fp32
+    sum pass); probs stay bf16; the division happens on the [S, D] output
+    instead of the [S, Sk] prob matrix (4x fewer elements at D=64, S=257)."""
+    for h in range(chunk):
+        q = q_ref[h]  # [Sq, D] (pre-scaled)
+        k = k_ref[h]  # [Sk, D]
+        v = v_ref[h]  # [Sk, D+1], last column ones
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        m = jnp.max(s, axis=-1, keepdims=True)
+        p = jnp.exp2(s - m).astype(v.dtype)  # unnormalized bf16 probs
+        o = jax.lax.dot_general(
+            p, v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )  # [Sq, D+1]; o[:, D] = sum(p)
+        o_ref[h] = (o[:, :-1] / o[:, -1:]).astype(o_ref.dtype)
+
+
+def _flash_fwd_v7(q: jax.Array, k: jax.Array, v: jax.Array, scale: float) -> jax.Array:
+    B, Sq, H, D = q.shape
+    Sk = k.shape[1]
+    BH = B * H
+    chunk = _BH_CHUNK
+    while BH % chunk:
+        chunk //= 2
+    qf = (q * (scale * _LOG2E)).astype(q.dtype)
+    qf = qf.transpose(0, 2, 1, 3).reshape(BH, Sq, D)
+    kf = k.transpose(0, 2, 1, 3).reshape(BH, Sk, D)
+    vf = v.transpose(0, 2, 1, 3).reshape(BH, Sk, D)
+    # ones column fused into the same XLA copy that materializes the transpose
+    vf = jnp.concatenate([vf, jnp.ones((BH, Sk, 1), vf.dtype)], axis=-1)
+
+    out = pl.pallas_call(
+        functools.partial(_attn_kernel_v7, chunk=chunk),
+        grid=(BH // chunk,),
+        in_specs=[
+            pl.BlockSpec((chunk, Sq, D), lambda b: (b, 0, 0)),
+            pl.BlockSpec((chunk, Sk, D), lambda b: (b, 0, 0)),
+            pl.BlockSpec((chunk, Sk, D + 1), lambda b: (b, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((chunk, Sq, D), lambda b: (b, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((BH, Sq, D), q.dtype),
+        interpret=jax.default_backend() != "tpu",
+    )(qf, kf, vf)
+    return out.reshape(B, H, Sq, D).transpose(0, 2, 1, 3)
 
 
 def _flash_fwd_v6(q: jax.Array, k: jax.Array, v: jax.Array, scale: float) -> jax.Array:

@@ -203,15 +203,31 @@ class BertWordPieceTokenizer:
         ids = ids[: max_length - 2]
         return [self.cls_id] + ids + [self.sep_id]
 
+    def caption_prompt_ids(self, prompt: str) -> List[int]:
+        """BOS-prefixed prompt ids without the trailing [SEP] — the decode
+        prefix of the BLIP captioner (reference pnp_vqa.py:145-149:
+        ``input_ids[:, 0] = bos``, last token dropped). Falls back to [CLS]
+        as BOS when no extra special tokens were configured."""
+        bos = self.bos_id if self.bos_id is not None else self.cls_id
+        ids = [self.vocab.get(t, self.vocab[self.UNK]) for t in self.tokenize(prompt)]
+        return [bos] + ids
+
     def __call__(
         self,
         texts: Iterable[str] | str,
         max_length: int = 32,
         padding: str = "max_length",
+        enc_token: bool = False,
     ) -> Dict[str, np.ndarray]:
         if isinstance(texts, str):
             texts = [texts]
         encoded = [self.encode(t, max_length) for t in texts]
+        if enc_token:
+            # multimodal-mode marker: [ENC] replaces [CLS] at position 0
+            # (reference blip ITM path); falls back to [CLS] when the vocab
+            # carries no [ENC]
+            enc_id = self.vocab.get("[ENC]", self.cls_id)
+            encoded = [[enc_id] + e[1:] for e in encoded]
         if padding == "max_length":
             width = max_length
         else:  # "longest"

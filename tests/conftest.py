@@ -75,7 +75,12 @@ def _load_module_with_shims(path, name, shims):
             for i in range(1, len(parts) + 1):
                 prefix = ".".join(parts[:i])
                 if prefix not in sys.modules:
-                    sys.modules[prefix] = types.ModuleType(prefix)
+                    fake = types.ModuleType(prefix)
+                    # a real ModuleSpec so importlib.util.find_spec (used by
+                    # transformers' _is_package_available) doesn't raise on
+                    # the shim and break later reference-module loads
+                    fake.__spec__ = importlib.machinery.ModuleSpec(prefix, None)
+                    sys.modules[prefix] = fake
                     added.append(prefix)
                 if i > 1:
                     setattr(sys.modules[".".join(parts[: i - 1])], parts[i - 1], sys.modules[prefix])

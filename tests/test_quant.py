@@ -106,3 +106,37 @@ def test_int8_encode_close_and_rank_preserving(tiny_pair):
     top1_fp = np.argmax(np.asarray(s_fp), axis=1)
     top1_q = np.argmax(np.asarray(s_q), axis=1)
     assert (top1_fp == top1_q).mean() >= 0.75
+
+
+def test_int8_static_calibrated_close(tiny_pair):
+    import dataclasses
+
+    m_fp, m_q, params = tiny_pair
+    from sprc_tpu.models.vit import calibrate_act_scales
+    from sprc_tpu.models.cir_base import CirConfig
+    from sprc_tpu.registry import registry
+
+    rs = np.random.RandomState(5)
+    gallery = jnp.asarray(rs.rand(6, 28, 28, 3), jnp.float32)
+
+    vcfg = m_q.cfg.vit_config()
+    calib_cfg = dataclasses.replace(m_q.cfg, vit_config_override=dataclasses.replace(vcfg, quant="int8_calib"))
+    cls = registry.get_model_class("blip2_cir_align_prompt")
+    m_cal = cls(calib_cfg)
+    scales = calibrate_act_scales(
+        m_cal, params, gallery, method=m_cal.extract_target_features
+    )
+    assert {k for k, _ in scales} == {"qkv", "proj", "mlp_fc1", "mlp_fc2"}
+    assert all(v > 0 for _, v in scales)
+
+    static_cfg = dataclasses.replace(
+        m_q.cfg,
+        vit_config_override=dataclasses.replace(
+            vcfg, quant="int8_static", act_scales=scales
+        ),
+    )
+    m_st = cls(static_cfg)
+    f_fp, _ = m_fp.apply({"params": params}, gallery, method=m_fp.extract_target_features)
+    f_st, _ = m_st.apply({"params": params}, gallery, method=m_st.extract_target_features)
+    cos = jnp.sum(f_fp * f_st, axis=-1)
+    assert float(cos.min()) > 0.98, float(cos.min())
