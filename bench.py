@@ -1,16 +1,24 @@
-"""Headline benchmark: gallery-encode throughput (images/sec/chip, ViT-L).
+"""Headline benchmarks for the three hot paths (BASELINE.md targets).
 
-Measures the hot eval path — ``extract_target_features`` (frozen ViT-L ->
-ln_vision -> Q-Former queries -> vision_proj) in bf16 under jit — against
-the driver target of 5000 imgs/sec/chip (BASELINE.json).
+Modes (env SPRC_BENCH_MODE or --mode; default "all"):
+  encode      - gallery encode, ViT-L bf16 (imgs/sec/chip)
+  encode_int8 - gallery encode, calibrated static-int8 tower
+  query       - composed-query scoring: fuse_reference + token-max sim
+                against a 10k gallery (queries/sec/chip)
+  train       - full SPRC train step fwd+bwd+update (imgs/sec/chip)
 
-Prints ONE JSON line:
-  {"metric": ..., "value": N, "unit": "imgs/sec/chip", "vs_baseline": N}
+Prints ONE JSON line; the headline metric/value is the best encode path,
+with every measured number under "extras".
+
+Tunnel rules (MEASUREMENTS.md): scalar readback per step (block_until_ready
+does not wait through the relay), distinct device-generated inputs
+(identical inputs get deduped), eval_shape+fill instead of real init.
 """
 
 from __future__ import annotations
 
 import json
+import os
 import time
 
 import numpy as np
@@ -18,74 +26,242 @@ import numpy as np
 BASELINE_IMGS_PER_SEC = 5000.0
 
 
-def main() -> None:
+def _fill_params(model, *example_args):
     import jax
+    import jax.numpy as jnp
+
+    shapes = jax.eval_shape(model.init, jax.random.PRNGKey(0), *example_args)[
+        "params"
+    ]
+    return jax.jit(
+        lambda: jax.tree.map(lambda s: jnp.full(s.shape, 0.02, s.dtype), shapes)
+    )()
+
+
+def _readback(x):
+    return float(np.asarray(x.ravel()[0] if x.ndim else x))
+
+
+def _build(vit_quant=None, act_scales=None):
+    import dataclasses
+
     import jax.numpy as jnp
 
     import sprc_tpu  # noqa: F401
     from sprc_tpu.models.cir_base import CirConfig
     from sprc_tpu.registry import registry
 
-    backend = jax.default_backend()
     cfg = CirConfig(
-        vit_model="clip_L",
-        vit_dtype=jnp.bfloat16,
-        qformer_dtype=jnp.bfloat16,
+        vit_model="clip_L", vit_dtype=jnp.bfloat16, qformer_dtype=jnp.bfloat16,
     )
-    model = registry.get_model_class("blip2_cir_align_prompt")(cfg)
+    if vit_quant:
+        vcfg = dataclasses.replace(
+            cfg.vit_config(), quant=vit_quant, act_scales=act_scales
+        )
+        cfg = dataclasses.replace(cfg, vit_config_override=vcfg)
+    return registry.get_model_class("blip2_cir_align_prompt")(cfg)
 
-    import os
 
-    batch = int(os.environ.get("SPRC_BENCH_BATCH", "512" if backend == "tpu" else "2"))
-    steps = 10 if backend == "tpu" else 2
-
-    rng = jax.random.PRNGKey(0)
-    dummy = jnp.zeros((1, 224, 224, 3), jnp.float32)
-    ids = jnp.zeros((1, cfg.max_txt_len), jnp.int32)
-    mask = jnp.ones((1, cfg.max_txt_len), jnp.int32)
-    # throughput bench: weight VALUES are irrelevant, so build the param
-    # pytree from eval_shape + a constant fill (full model.init executes the
-    # forward under remote compile and costs minutes through the tunnel)
-    shapes = jax.eval_shape(model.init, rng, dummy, dummy, ids, mask)["params"]
-    fill = jax.jit(
-        lambda: jax.tree.map(lambda s: jnp.full(s.shape, 0.02, s.dtype), shapes)
-    )
-    params = fill()
+def _encode_throughput(model, params, batch, steps):
+    import jax
+    import jax.numpy as jnp
 
     encode = jax.jit(
         lambda p, imgs: model.apply(
             {"params": p}, imgs, method=model.extract_target_features
         )[0]
     )
-
-    # distinct device-generated batches: identical inputs can be deduped by
-    # the execution layer, and host->device copies would bottleneck the tunnel
     gen = jax.jit(lambda k: jax.random.uniform(k, (batch, 224, 224, 3), jnp.float32))
     batches = [gen(jax.random.PRNGKey(i)) for i in range(4)]
     jax.block_until_ready(batches)
-
-    # warmup/compile
-    encode(params, batches[0]).block_until_ready()
-
-    # force completion with a scalar readback per call: under the axon
-    # tunnel block_until_ready does not wait for the remote execution;
-    # only a device->host transfer does
-    _ = np.asarray(encode(params, batches[0])[0, 0, 0])  # warmup w/ readback
+    _readback(encode(params, batches[0]))  # compile + warm
     t0 = time.perf_counter()
     acc = 0.0
     for i in range(steps):
-        acc += float(np.asarray(encode(params, batches[i % len(batches)])[0, 0, 0]))
+        acc += _readback(encode(params, batches[i % len(batches)]))
     dt = time.perf_counter() - t0
     assert np.isfinite(acc)
+    return batch * steps / dt
 
-    imgs_per_sec = batch * steps / dt
+
+def bench_encode(batch, steps):
+    model = _build()
+    dummy_args = _encode_dummy_args(model)
+    params = _fill_params(model, *dummy_args)
+    return _encode_throughput(model, params, batch, steps)
+
+
+def _encode_dummy_args(model):
+    import jax.numpy as jnp
+
+    L = model.cfg.max_txt_len
+    return (
+        jnp.zeros((1, 224, 224, 3), jnp.float32),
+        jnp.zeros((1, 224, 224, 3), jnp.float32),
+        jnp.zeros((1, L), jnp.int32),
+        jnp.ones((1, L), jnp.int32),
+    )
+
+
+def bench_encode_int8(batch, steps):
+    import jax
+    import jax.numpy as jnp
+
+    from sprc_tpu.models.vit import calibrate_act_scales
+
+    base = _build()
+    params = _fill_params(base, *_encode_dummy_args(base))
+    # calibration: one small batch through the sowing tower
+    calib = _build(vit_quant="int8_calib")
+    cal_imgs = jax.random.uniform(
+        jax.random.PRNGKey(99), (16, 224, 224, 3), jnp.float32
+    )
+    scales = calibrate_act_scales(
+        calib, params, cal_imgs, method=calib.extract_target_features
+    )
+    model = _build(vit_quant="int8_static", act_scales=scales)
+    return _encode_throughput(model, params, batch, steps)
+
+
+def bench_query(batch, steps, n_gallery=10000):
+    import jax
+    import jax.numpy as jnp
+
+    model = _build()
+    params = _fill_params(model, *_encode_dummy_args(model))
+    L = model.cfg.max_txt_len
+    E = 256
+    Q = model.cfg.num_query_token
+
+    score = jax.jit(
+        lambda p, ref, ids, mask, gal: model.apply(
+            {"params": p}, ref, gal, ids, mask, method=model.inference
+        )
+    )
+    gen = jax.jit(
+        lambda k: (
+            jax.random.uniform(k, (batch, 224, 224, 3), jnp.float32),
+            jax.random.randint(jax.random.fold_in(k, 1), (batch, L), 0, 30000),
+            jnp.ones((batch, L), jnp.int32),
+        )
+    )
+    gal = jax.jit(
+        lambda k: jax.random.normal(k, (n_gallery, Q, E), jnp.float32)
+    )(jax.random.PRNGKey(7))
+    # inference() takes frozen reference embeds; encode once per batch set
+    encode_img = jax.jit(
+        lambda p, imgs: model.apply({"params": p}, imgs, method=model.encode_image)
+    )
+    qs = []
+    for i in range(3):
+        ref, ids, mask = gen(jax.random.PRNGKey(i))
+        qs.append((encode_img(params, ref), ids, mask))
+    jax.block_until_ready(qs)
+    _readback(score(params, *qs[0][:3], gal))
+    t0 = time.perf_counter()
+    acc = 0.0
+    for i in range(steps):
+        emb, ids, mask = qs[i % len(qs)]
+        acc += _readback(score(params, emb, ids, mask, gal))
+    dt = time.perf_counter() - t0
+    assert np.isfinite(acc)
+    return batch * steps / dt
+
+
+def bench_train(batch, steps):
+    import jax
+    import jax.numpy as jnp
+
+    from sprc_tpu.train.loop import TrainConfig, create_train_state, make_train_step
+
+    model = _build()
+    params = _fill_params(model, *_encode_dummy_args(model))
+    tcfg = TrainConfig(learning_rate=1e-5, total_steps=100)
+    state, tx = create_train_state(params, tcfg)
+    step = make_train_step(model, tx, tcfg, donate=False)
+    L = model.cfg.max_txt_len
+    gen = jax.jit(
+        lambda k: {
+            "reference": jax.random.uniform(k, (batch, 224, 224, 3), jnp.float32),
+            "target": jax.random.uniform(
+                jax.random.fold_in(k, 1), (batch, 224, 224, 3), jnp.float32
+            ),
+            "input_ids": jax.random.randint(
+                jax.random.fold_in(k, 2), (batch, L), 0, 30000
+            ),
+            "text_mask": jnp.ones((batch, L), jnp.int32),
+        }
+    )
+    batches = [gen(jax.random.PRNGKey(i)) for i in range(3)]
+    jax.block_until_ready(batches)
+    state, metrics = step(state, batches[0])  # compile + warm
+    _readback(metrics["loss"])
+    t0 = time.perf_counter()
+    for i in range(steps):
+        state, metrics = step(state, batches[i % len(batches)])
+        loss = _readback(metrics["loss"])
+    dt = time.perf_counter() - t0
+    assert np.isfinite(loss)
+    return batch * steps / dt
+
+
+def main() -> None:
+    import argparse
+
+    import jax
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument(
+        "--mode",
+        default=os.environ.get("SPRC_BENCH_MODE", "all"),
+        choices=["all", "encode", "encode_int8", "query", "train"],
+    )
+    args = ap.parse_args()
+
+    backend = jax.default_backend()
+    tpu = backend == "tpu"
+    enc_batch = int(os.environ.get("SPRC_BENCH_BATCH", "512" if tpu else "2"))
+    enc_steps = 10 if tpu else 2
+    extras = {}
+
+    def run(name, fn, *a):
+        try:
+            extras[name] = round(fn(*a), 2)
+        except Exception as e:  # keep the bench alive if one mode breaks
+            extras[name] = None
+            extras[f"{name}_error"] = f"{type(e).__name__}: {e}"[:200]
+
+    modes = (
+        ["encode", "encode_int8", "query", "train"]
+        if args.mode == "all"
+        else [args.mode]
+    )
+    if "encode" in modes:
+        run("encode_bf16_imgs_per_sec", bench_encode, enc_batch, enc_steps)
+    if "encode_int8" in modes:
+        run("encode_int8_imgs_per_sec", bench_encode_int8, enc_batch, enc_steps)
+    if "query" in modes:
+        run(
+            "query_scoring_queries_per_sec", bench_query,
+            64 if tpu else 2, 10 if tpu else 2, 10000 if tpu else 16,
+        )
+    if "train" in modes:
+        run("train_step_imgs_per_sec", bench_train, 32 if tpu else 2, 6 if tpu else 2)
+
+    int8_v = extras.get("encode_int8_imgs_per_sec")
+    bf16_v = extras.get("encode_bf16_imgs_per_sec")
+    if int8_v and (not bf16_v or int8_v >= bf16_v):
+        metric, value = f"gallery_encode_vitL_int8_{backend}", int8_v
+    else:
+        metric, value = f"gallery_encode_vitL_bf16_{backend}", bf16_v or 0.0
     print(
         json.dumps(
             {
-                "metric": f"gallery_encode_vitL_bf16_{backend}",
-                "value": round(imgs_per_sec, 2),
+                "metric": metric,
+                "value": value,
                 "unit": "imgs/sec/chip",
-                "vs_baseline": round(imgs_per_sec / BASELINE_IMGS_PER_SEC, 4),
+                "vs_baseline": round((value or 0.0) / BASELINE_IMGS_PER_SEC, 4),
+                "extras": extras,
             }
         )
     )

@@ -186,8 +186,70 @@ def mode_block():
     print(json.dumps({"mode": f"block_{variant}", "ms_per_block": round(dt / K * 1e3, 3)}))
 
 
+def mode_layout():
+    """Cost of the BSHD->[B*H,S,D] layout change around the pallas kernel:
+    (a) transpose+reshape of q/k/v, (b) einsum producing BHSD directly from
+    the matmul, (c) matmul then transpose."""
+    import jax
+    import jax.numpy as jnp
+
+    B, S, H, D = 256, 257, 16, 64
+    C = H * D
+    K = 20
+    rs = np.random.RandomState(0)
+    w = jnp.asarray(rs.randn(C, H, D) * 0.02, jnp.bfloat16)
+
+    # every body perturbs its input with the carry so the work can't be
+    # hoisted out of the loop (loop-invariant code motion)
+    @jax.jit
+    def t_transpose(q, k, v):
+        def body(c, _):
+            qq = q + c.astype(q.dtype)
+            qf = qq.transpose(0, 2, 1, 3).reshape(B * H, S, D)
+            kf = (k + c.astype(k.dtype)).transpose(0, 2, 1, 3).reshape(B * H, S, D)
+            vf = (v + c.astype(v.dtype)).transpose(0, 2, 1, 3).reshape(B * H, S, D)
+            s = (qf[:, 0, 0] + kf[:, 0, 0] + vf[:, 0, 0]).sum().astype(jnp.float32)
+            return s * 1e-20, None
+        acc, _ = jax.lax.scan(body, jnp.float32(0.0), None, length=K)
+        return acc
+
+    @jax.jit
+    def t_einsum_bhsd(x):
+        def body(c, _):
+            o = jnp.einsum("bsc,chd->bhsd", x + c.astype(x.dtype), w,
+                           preferred_element_type=jnp.bfloat16)
+            return o[:, 0, 0, 0].sum().astype(jnp.float32) * 1e-20, None
+        acc, _ = jax.lax.scan(body, jnp.float32(0.0), None, length=K)
+        return acc
+
+    @jax.jit
+    def t_mm_transpose(x):
+        def body(c, _):
+            o = ((x + c.astype(x.dtype)) @ w.reshape(C, C)).reshape(
+                B, S, H, D).transpose(0, 2, 1, 3)
+            return o[:, 0, 0, 0].sum().astype(jnp.float32) * 1e-20, None
+        acc, _ = jax.lax.scan(body, jnp.float32(0.0), None, length=K)
+        return acc
+
+    gen = jax.jit(lambda key: jax.random.normal(key, (B, S, H, D), jnp.bfloat16))
+    q = gen(jax.random.PRNGKey(0))
+    k = gen(jax.random.PRNGKey(1))
+    v = gen(jax.random.PRNGKey(2))
+    x = q.reshape(B, S, C)
+    jax.block_until_ready((q, k, v, x))
+    for label, fn, args_ in [
+        ("transpose3", t_transpose, (q, k, v)),
+        ("einsum_bhsd", t_einsum_bhsd, (x,)),
+        ("mm_transpose", t_mm_transpose, (x,)),
+    ]:
+        _t(fn, *args_)
+        dt = min(_t(fn, *args_) for _ in range(3))
+        print(json.dumps({"mode": f"layout_{label}", "ms": round(dt / K * 1e3, 3)}))
+
+
 if __name__ == "__main__":
     ap = argparse.ArgumentParser()
-    ap.add_argument("mode", choices=["mm", "attn", "block"])
+    ap.add_argument("mode", choices=["mm", "attn", "block", "layout"])
     args = ap.parse_args()
-    {"mm": mode_mm, "attn": mode_attn, "block": mode_block}[args.mode]()
+    {"mm": mode_mm, "attn": mode_attn, "block": mode_block,
+     "layout": mode_layout}[args.mode]()

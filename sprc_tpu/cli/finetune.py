@@ -61,7 +61,11 @@ def finetune(args) -> None:
         checkpoint_path=args.model_path,
         vit_dtype=jnp.bfloat16 if args.bf16 else jnp.float32,
     )
-    tokenizer = BertWordPieceTokenizer.from_vocab_file(args.vocab_path)
+    from sprc_tpu.utils.artifacts import ensure_bert_vocab
+
+    tokenizer = BertWordPieceTokenizer.from_vocab_file(
+        ensure_bert_vocab(args.vocab_path)
+    )
     processor = CaptionProcessor()
     tfm = targetpad_transform(args.target_ratio, model.cfg.image_size)
 
@@ -227,7 +231,7 @@ def make_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--dataset", required=True, choices=["CIRR", "fashionIQ"])
     p.add_argument("--data-path", required=True)
-    p.add_argument("--vocab-path", required=True)
+    p.add_argument("--vocab-path", default=None, help="bert vocab.txt; defaults to the sprc_tpu cache (see utils/artifacts.py)")
     p.add_argument("--output-dir", default="./output")
     p.add_argument("--model-name", default="blip2_cir_align_prompt")
     p.add_argument("--model-type", default="pretrain")

@@ -20,7 +20,7 @@ def main(argv: Optional[list] = None) -> None:
     parser = argparse.ArgumentParser(description=__doc__)
     parser.add_argument("--cfg-path", required=True)
     parser.add_argument("--data-path", required=True)
-    parser.add_argument("--vocab-path", required=True)
+    parser.add_argument("--vocab-path", default=None)
     parser.add_argument("--output-dir", default="./output")
     parser.add_argument("--model-path", default=None)
     parser.add_argument("--resume", default=None)
@@ -42,7 +42,7 @@ def main(argv: Optional[list] = None) -> None:
         [
             "--dataset", str(run.get("dataset", "CIRR")),
             "--data-path", args.data_path,
-            "--vocab-path", args.vocab_path,
+            *(("--vocab-path", args.vocab_path) if args.vocab_path else ()),
         ]
     )
     ft.output_dir = args.output_dir

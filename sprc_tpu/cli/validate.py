@@ -32,7 +32,11 @@ def build_engine(args, mesh=None):
         checkpoint_path=args.model_path,
         vit_dtype=jnp.bfloat16 if args.bf16 else jnp.float32,
     )
-    tokenizer = BertWordPieceTokenizer.from_vocab_file(args.vocab_path)
+    from sprc_tpu.utils.artifacts import ensure_bert_vocab
+
+    tokenizer = BertWordPieceTokenizer.from_vocab_file(
+        ensure_bert_vocab(args.vocab_path)
+    )
     engine = RetrievalEngine(
         model,
         params,
@@ -170,7 +174,7 @@ def make_parser() -> argparse.ArgumentParser:
     p.add_argument("--model-path", default=None)
     p.add_argument("--model-name", default="blip2_cir_align_prompt")
     p.add_argument("--model-type", default="pretrain")
-    p.add_argument("--vocab-path", required=True)
+    p.add_argument("--vocab-path", default=None, help="bert vocab.txt; defaults to the sprc_tpu cache (see utils/artifacts.py)")
     p.add_argument("--transform", default="targetpad", choices=["targetpad", "squarepad"])
     p.add_argument("--target-ratio", type=float, default=1.25)
     p.add_argument("--encode-batch", type=int, default=64)

@@ -154,7 +154,55 @@ def _flash_fwd(q: jax.Array, k: jax.Array, v: jax.Array, scale: float) -> jax.Ar
         return _flash_fwd_v6(q, k, v, scale)
     if v_ == "7":
         return _flash_fwd_v7(q, k, v, scale)
+    if v_ == "9":
+        return _flash_fwd_v9(q, k, v, scale)
     return _flash_fwd_v3(q, k, v, scale)
+
+
+def _attn_kernel_v9(q_ref, k_ref, v_ref, o_ref):
+    """v7's softmax-lean math with ONE batched dot_general per block instead
+    of a python loop of per-head matmuls (8192 tiny matmul issues/layer was
+    the suspected bottleneck; a batched dot lets Mosaic pipeline them)."""
+    q = q_ref[...]  # [chunk, Sq, D] (pre-scaled, exp2 domain)
+    k = k_ref[...]  # [chunk, Sk, D]
+    v = v_ref[...]  # [chunk, Sk, D+1] (ones column)
+    s = jax.lax.dot_general(
+        q, k, (((2,), (2,)), ((0,), (0,))), preferred_element_type=jnp.float32
+    )  # [chunk, Sq, Sk]
+    m = jnp.max(s, axis=-1, keepdims=True)
+    p = jnp.exp2(s - m).astype(v.dtype)
+    o = jax.lax.dot_general(
+        p, v, (((2,), (1,)), ((0,), (0,))), preferred_element_type=jnp.float32
+    )  # [chunk, Sq, D+1]
+    o_ref[...] = (o[..., :-1] / o[..., -1:]).astype(o_ref.dtype)
+
+
+def _flash_fwd_v9(q: jax.Array, k: jax.Array, v: jax.Array, scale: float,
+                  chunk: int = 8) -> jax.Array:
+    B, Sq, H, D = q.shape
+    Sk = k.shape[1]
+    BH = B * H
+    while BH % chunk:
+        chunk //= 2
+    qf = (q * (scale * _LOG2E)).astype(q.dtype)
+    qf = qf.transpose(0, 2, 1, 3).reshape(BH, Sq, D)
+    kf = k.transpose(0, 2, 1, 3).reshape(BH, Sk, D)
+    vf = v.transpose(0, 2, 1, 3).reshape(BH, Sk, D)
+    vf = jnp.concatenate([vf, jnp.ones((BH, Sk, 1), vf.dtype)], axis=-1)
+
+    out = pl.pallas_call(
+        _attn_kernel_v9,
+        grid=(BH // chunk,),
+        in_specs=[
+            pl.BlockSpec((chunk, Sq, D), lambda b: (b, 0, 0)),
+            pl.BlockSpec((chunk, Sk, D), lambda b: (b, 0, 0)),
+            pl.BlockSpec((chunk, Sk, D + 1), lambda b: (b, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((chunk, Sq, D), lambda b: (b, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((BH, Sq, D), q.dtype),
+        interpret=jax.default_backend() != "tpu",
+    )(qf, kf, vf)
+    return out.reshape(B, H, Sq, D).transpose(0, 2, 1, 3)
 
 
 _LOG2E = 1.4426950408889634
