@@ -344,7 +344,9 @@ class _ViTTrunk(nn.Module):
                 )
             scanned = nn.scan(
                 block_cls,
-                variable_axes={"params": 0},
+                # intermediates carried with a leading layer axis so
+                # calibration sows (quant='int8_calib') survive the scan
+                variable_axes={"params": 0, "intermediates": 0},
                 split_rngs={"params": True},
                 length=cfg.depth,
                 metadata_params={nn.PARTITION_NAME: None},

@@ -156,7 +156,50 @@ def _flash_fwd(q: jax.Array, k: jax.Array, v: jax.Array, scale: float) -> jax.Ar
         return _flash_fwd_v7(q, k, v, scale)
     if v_ == "9":
         return _flash_fwd_v9(q, k, v, scale)
+    if v_ == "10":
+        return _flash_fwd_v10(q, k, v, scale)
     return _flash_fwd_v3(q, k, v, scale)
+
+
+def _attn_kernel_v10(q_ref, k_ref, v_ref, o_ref):
+    """BSHD-native blocks: the head transpose happens on the VMEM-resident
+    value (a major-dim row shuffle — lanes untouched), so the HBM DMAs are
+    fully contiguous. XLA's [B,S,H,D]->[B,H,S,D] transposes measured
+    ~1.17 ms each (28% of copy bandwidth); this kernel eliminates all four.
+    """
+    q = q_ref[0].transpose(1, 0, 2)  # [H, Sq, D] (pre-scaled, exp2 domain)
+    k = k_ref[0].transpose(1, 0, 2)
+    v = v_ref[0].transpose(1, 0, 2)
+    s = jax.lax.dot_general(
+        q, k, (((2,), (2,)), ((0,), (0,))), preferred_element_type=jnp.float32
+    )  # [H, Sq, Sk]
+    m = jnp.max(s, axis=-1, keepdims=True)
+    e = jnp.exp2(s - m)
+    denom = jnp.sum(e, axis=-1, keepdims=True)
+    p = e.astype(v.dtype)
+    o = jax.lax.dot_general(
+        p, v, (((2,), (1,)), ((0,), (0,))), preferred_element_type=jnp.float32
+    )  # [H, Sq, D]
+    o_ref[0] = (o / denom).transpose(1, 0, 2).astype(o_ref.dtype)
+
+
+def _flash_fwd_v10(q: jax.Array, k: jax.Array, v: jax.Array, scale: float) -> jax.Array:
+    B, Sq, H, D = q.shape
+    Sk = k.shape[1]
+    qf = (q * (scale * _LOG2E)).astype(q.dtype)
+    out = pl.pallas_call(
+        _attn_kernel_v10,
+        grid=(B,),
+        in_specs=[
+            pl.BlockSpec((1, Sq, H, D), lambda b: (b, 0, 0, 0)),
+            pl.BlockSpec((1, Sk, H, D), lambda b: (b, 0, 0, 0)),
+            pl.BlockSpec((1, Sk, H, D), lambda b: (b, 0, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, Sq, H, D), lambda b: (b, 0, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((B, Sq, H, D), q.dtype),
+        interpret=jax.default_backend() != "tpu",
+    )(qf, k, v)
+    return out
 
 
 def _attn_kernel_v9(q_ref, k_ref, v_ref, o_ref):
