@@ -168,6 +168,57 @@ def bench_query(batch, steps, n_gallery=10000):
     return batch * steps / dt
 
 
+def bench_index(batch, n_images):
+    """Bytes -> index throughput: C++ JPEG decode (prefetch thread) +
+    on-device preprocess + encode, pipelined (VERDICT r1 item 8: done when
+    within 20% of the pure-encode number)."""
+    import io
+
+    import jax.numpy as jnp
+    from PIL import Image
+
+    from sprc_tpu.data import native
+    from sprc_tpu.retrieval.engine import RetrievalEngine
+
+    model = _build()
+    params = _fill_params(model, *_encode_dummy_args(model))
+
+    # distinct in-memory JPEGs (reused cyclically; decode cost is per image)
+    rs = np.random.RandomState(0)
+    jpegs = []
+    for i in range(64):
+        arr = (rs.rand(240 + (i % 3) * 8, 300, 3) * 255).astype(np.uint8)
+        bio = io.BytesIO()
+        Image.fromarray(arr).save(bio, format="JPEG", quality=85)
+        jpegs.append(bio.getvalue())
+
+    D = 256  # uniform decode buffer edge
+
+    def batches():
+        for s in range(0, n_images, batch):
+            b = min(batch, n_images - s)
+            buf = np.zeros((b, D, D, 3), np.uint8)
+            sizes = np.zeros((b, 2), np.int32)
+            for j in range(b):
+                img = native.decode(jpegs[(s + j) % len(jpegs)])
+                h, w = img.shape[:2]
+                buf[j, :h, :w] = img[:D, :D]
+                sizes[j] = (min(h, D), min(w, D))
+            yield [f"g{s + j}" for j in range(b)], buf, sizes
+
+    engine = RetrievalEngine(
+        model, params, encode_batch=batch, frozen_host_dtype=jnp.bfloat16
+    )
+    # warm the compiled program on one batch
+    first = next(batches())
+    engine.build_index_raw(iter([first]), decode_size=D)
+    t0 = time.perf_counter()
+    index = engine.build_index_raw(batches(), decode_size=D)
+    dt = time.perf_counter() - t0
+    assert index.n == n_images
+    return n_images / dt
+
+
 def bench_train(batch, steps):
     import jax
     import jax.numpy as jnp
@@ -214,7 +265,7 @@ def main() -> None:
     ap.add_argument(
         "--mode",
         default=os.environ.get("SPRC_BENCH_MODE", "all"),
-        choices=["all", "encode", "encode_int8", "query", "train"],
+        choices=["all", "encode", "encode_int8", "query", "train", "index"],
     )
     args = ap.parse_args()
 
@@ -232,7 +283,7 @@ def main() -> None:
             extras[f"{name}_error"] = f"{type(e).__name__}: {e}"[:200]
 
     modes = (
-        ["encode", "encode_int8", "query", "train"]
+        ["encode", "encode_int8", "query", "train", "index"]
         if args.mode == "all"
         else [args.mode]
     )
@@ -247,6 +298,9 @@ def main() -> None:
         )
     if "train" in modes:
         run("train_step_imgs_per_sec", bench_train, 32 if tpu else 2, 6 if tpu else 2)
+    if "index" in modes:
+        run("index_build_imgs_per_sec", bench_index,
+            enc_batch, 4 * enc_batch if tpu else 4)
 
     int8_v = extras.get("encode_int8_imgs_per_sec")
     bf16_v = extras.get("encode_bf16_imgs_per_sec")

@@ -279,3 +279,143 @@ def qformer_lm_params_from_torch(sd, *, prefix: str = "Qformer.", num_layers: in
         },
     }
     return params
+
+
+# ------------------------------------------------------------- cached decode
+
+
+def _p_dense(p, x, dtype):
+    y = x.astype(dtype) @ p["kernel"].astype(dtype)
+    if "bias" in p:
+        y = y + p["bias"].astype(dtype)
+    return y
+
+
+def _p_ln(p, x, eps):
+    x32 = x.astype(jnp.float32)
+    mean = x32.mean(-1, keepdims=True)
+    var = jnp.square(x32 - mean).mean(-1, keepdims=True)
+    y = (x32 - mean) * jax.lax.rsqrt(var + eps)
+    return y * p["scale"].astype(jnp.float32) + p["bias"].astype(jnp.float32)
+
+
+def cached_greedy_generate(
+    lm: QFormerLM,
+    params,
+    query_embeds: jnp.ndarray,
+    image_embeds: jnp.ndarray,
+    *,
+    bos_token_id: int,
+    eos_token_id: int,
+    pad_token_id: int,
+    max_length: int = 30,
+    min_length: int = 10,
+) -> jnp.ndarray:
+    """KV-cached greedy decode — the reference's ``past_key_values`` path
+    (Qformer.py:83-95,976-1138) done functionally.
+
+    Prefill runs the full Q-Former ONCE over [queries | BOS] (capturing each
+    layer's input hidden states via sow); per-layer K/V caches are built from
+    those with the layer's own projections, and each subsequent token runs a
+    single-position step against the cache. Text positions use the text FFN
+    and never cross-attend (the decoder contract), so the step needs only
+    the self-attention + ffn_text weights. Stepwise-identical to
+    :func:`greedy_generate` (tests/test_lm_generation.py).
+    """
+    cfg = lm.config
+    qp = params["qformer"]
+    dtype = cfg.dtype
+    eps = cfg.layer_norm_eps
+    B = query_embeds.shape[0]
+    Q = query_embeds.shape[1]
+    H, Dh = cfg.num_heads, cfg.head_dim
+    hid = cfg.hidden_size
+    S_max = Q + max_length
+
+    # ---- prefill over [queries | BOS]
+    bos = jnp.full((B, 1), bos_token_id, jnp.int32)
+    prefill_hidden, state = lm.apply(
+        {"params": params}, bos, query_embeds, None, image_embeds,
+        mutable=["intermediates"],
+        method=lambda m, ids, qe, am, ie: m.qformer(
+            input_ids=ids, query_embeds=qe, attention_mask=am,
+            image_embeds=ie, is_decoder=True, sow_hidden=True,
+        ),
+    )
+    inter = state["intermediates"]["qformer"]
+
+    # per-layer K/V caches in padded [B, S_max, hid] buffers
+    k_cache = jnp.zeros((cfg.num_layers, B, S_max, hid), dtype)
+    v_cache = jnp.zeros((cfg.num_layers, B, S_max, hid), dtype)
+    for i in range(cfg.num_layers):
+        h_in = inter[f"hidden_{i}"][0]  # [B, Q+1, hid]
+        sp = qp[f"layer_{i}"]["self_attn"]
+        k_cache = k_cache.at[i, :, : Q + 1].set(_p_dense(sp["key"], h_in, dtype))
+        v_cache = v_cache.at[i, :, : Q + 1].set(_p_dense(sp["value"], h_in, dtype))
+
+    ids = jnp.full((B, max_length), pad_token_id, jnp.int32)
+    ids = ids.at[:, 0].set(bos_token_id)
+    finished = jnp.zeros((B,), bool)
+
+    word = qp["embeddings"]["word_embeddings"]["embedding"]
+    pos = qp["embeddings"]["position_embeddings"]["embedding"]
+
+    def head_split(x):  # [B, S, hid] -> [B, S, H, Dh]
+        return x.reshape(x.shape[0], x.shape[1], H, Dh)
+
+    @jax.jit
+    def first_logits(prefill_hidden):
+        # position-0 logits from the prefill's last hidden (no recompute)
+        hp = params["lm_head"]
+        y = _p_dense(hp["transform"], prefill_hidden[:, Q:, :], dtype)
+        y = jax.nn.gelu(y, approximate=False)
+        y = _p_ln(hp["ln"], y, eps).astype(dtype)
+        return _p_dense(hp["decoder"], y, dtype)[:, 0, :]
+
+    @jax.jit
+    def step(tok, t, k_cache, v_cache):
+        """One cached decode step for text position t (0-based; its K/V goes
+        to cache slot Q+t). Returns next-token logits + updated caches."""
+        x = word[tok] + pos[t]  # [B, hid]
+        x = _p_ln(qp["embeddings"]["ln"], x[:, None, :], eps).astype(dtype)
+        valid = jnp.arange(S_max) <= (Q + t)  # queries + text <= t
+        bias = jnp.where(valid, 0.0, -1e10)[None, None, None, :]
+        for i in range(cfg.num_layers):
+            lp = qp[f"layer_{i}"]
+            sp = lp["self_attn"]
+            q_ = _p_dense(sp["query"], x, dtype)
+            k_new = _p_dense(sp["key"], x, dtype)
+            v_new = _p_dense(sp["value"], x, dtype)
+            k_cache = k_cache.at[i, :, Q + t].set(k_new[:, 0])
+            v_cache = v_cache.at[i, :, Q + t].set(v_new[:, 0])
+            scores = jnp.einsum(
+                "bqhd,bkhd->bhqk", head_split(q_),
+                head_split(k_cache[i]), preferred_element_type=jnp.float32,
+            ) * (Dh ** -0.5)
+            probs = jax.nn.softmax(scores + bias, axis=-1)
+            ctx = jnp.einsum(
+                "bhqk,bkhd->bqhd", probs.astype(dtype), head_split(v_cache[i])
+            ).reshape(B, 1, hid)
+            att = _p_ln(sp["ln"], _p_dense(sp["out"], ctx, dtype) + x, eps).astype(dtype)
+            h = _p_dense(lp["ffn_text"]["fc1"], att, dtype)
+            h = jax.nn.gelu(h, approximate=False)
+            h = _p_dense(lp["ffn_text"]["fc2"], h, dtype)
+            x = _p_ln(lp["ffn_text"]["ln"], h + att, eps).astype(dtype)
+        hp = params["lm_head"]
+        y = _p_dense(hp["transform"], x, dtype)
+        y = jax.nn.gelu(y, approximate=False)
+        y = _p_ln(hp["ln"], y, eps).astype(dtype)
+        return _p_dense(hp["decoder"], y, dtype)[:, 0, :], k_cache, v_cache
+
+    logits = first_logits(prefill_hidden)
+    for t in range(1, max_length):
+        if t < min_length:
+            logits = logits.at[:, eos_token_id].set(-1e9)
+        next_tok = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        next_tok = jnp.where(finished, pad_token_id, next_tok)
+        ids = ids.at[:, t].set(next_tok)
+        finished = finished | (next_tok == eos_token_id)
+        if bool(jnp.all(finished)) or t == max_length - 1:
+            break
+        logits, k_cache, v_cache = step(next_tok, t, k_cache, v_cache)
+    return ids

@@ -295,6 +295,7 @@ class QFormer(nn.Module):
         is_decoder: bool = False,
         deterministic: bool = True,
         output_attentions: bool = False,
+        sow_hidden: bool = False,  # sow per-layer inputs (KV-cache prefill)
     ):
         cfg = self.config
         if input_ids is None and query_embeds is None:
@@ -331,6 +332,10 @@ class QFormer(nn.Module):
 
         last_probs = None
         for i in range(cfg.num_layers):
+            if sow_hidden:
+                # per-layer inputs: enough to rebuild every layer's K/V
+                # cache outside (models/lm.py cached_greedy_generate)
+                self.sow("intermediates", f"hidden_{i}", hidden)
             want_probs = output_attentions and i == cfg.num_layers - 1
             result = QFormerLayer(
                 cfg,

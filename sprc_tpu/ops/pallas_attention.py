@@ -174,9 +174,8 @@ def _attn_kernel_v10(q_ref, k_ref, v_ref, o_ref):
         q, k, (((2,), (2,)), ((0,), (0,))), preferred_element_type=jnp.float32
     )  # [H, Sq, Sk]
     m = jnp.max(s, axis=-1, keepdims=True)
-    e = jnp.exp2(s - m)
-    denom = jnp.sum(e, axis=-1, keepdims=True)
-    p = e.astype(v.dtype)
+    p = jnp.exp2(s - m).astype(v.dtype)  # bf16 directly: halves VMEM
+    denom = jnp.sum(p.astype(jnp.float32), axis=-1, keepdims=True)
     o = jax.lax.dot_general(
         p, v, (((2,), (1,)), ((0,), (0,))), preferred_element_type=jnp.float32
     )  # [H, Sq, D]
@@ -187,6 +186,19 @@ def _flash_fwd_v10(q: jax.Array, k: jax.Array, v: jax.Array, scale: float) -> ja
     B, Sq, H, D = q.shape
     Sk = k.shape[1]
     qf = (q * (scale * _LOG2E)).astype(q.dtype)
+    kwargs = {}
+    if jax.default_backend() == "tpu":
+        try:  # raise the scoped-VMEM ceiling (v5e has 128M physical)
+            from jax.experimental.pallas import tpu as pltpu
+
+            params_cls = getattr(pltpu, "CompilerParams", None) or getattr(
+                pltpu, "TPUCompilerParams"
+            )
+            kwargs["compiler_params"] = params_cls(
+                vmem_limit_bytes=100 * 1024 * 1024
+            )
+        except Exception:
+            pass
     out = pl.pallas_call(
         _attn_kernel_v10,
         grid=(B,),
@@ -198,6 +210,7 @@ def _flash_fwd_v10(q: jax.Array, k: jax.Array, v: jax.Array, scale: float) -> ja
         out_specs=pl.BlockSpec((1, Sq, H, D), lambda b: (b, 0, 0, 0)),
         out_shape=jax.ShapeDtypeStruct((B, Sq, H, D), q.dtype),
         interpret=jax.default_backend() != "tpu",
+        **kwargs,
     )(qf, k, v)
     return out
 

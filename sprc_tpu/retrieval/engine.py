@@ -33,6 +33,39 @@ import numpy as np
 from sprc_tpu.parallel.mesh import data_sharding
 
 
+def _prefetch_iter(iterable, depth: int = 2):
+    """Producer-thread prefetch: host-side batch prep (decode/pad) overlaps
+    device compute (the reference's PrefetchLoader CUDA-stream overlap,
+    re-done with a thread + bounded queue — no streams needed under JAX's
+    async dispatch)."""
+    import queue
+    import threading
+
+    q: "queue.Queue" = queue.Queue(maxsize=depth)
+    _END = object()
+    err: List[BaseException] = []
+
+    def worker():
+        try:
+            for item in iterable:
+                q.put(item)
+        except BaseException as e:  # propagate into the consumer
+            err.append(e)
+        finally:
+            q.put(_END)
+
+    t = threading.Thread(target=worker, daemon=True)
+    t.start()
+    while True:
+        item = q.get()
+        if item is _END:
+            break
+        yield item
+    t.join()
+    if err:
+        raise err[0]
+
+
 @dataclasses.dataclass
 class GalleryIndex:
     names: List[str]
@@ -57,6 +90,7 @@ class RetrievalEngine:
         mesh: Optional[jax.sharding.Mesh] = None,
         encode_batch: int = 64,
         query_batch: int = 32,
+        frozen_host_dtype=None,
     ):
         self.model = model
         self.params = params
@@ -64,12 +98,21 @@ class RetrievalEngine:
         self.mesh = mesh
         self.encode_batch = encode_batch
         self.query_batch = query_batch
+        # optional down-cast of the host-streamed frozen embeds (the
+        # reference's save_memory offload keeps fp16 on CPU; bf16 halves the
+        # device->host transfer on the index-build hot loop). Cast happens
+        # ON DEVICE inside the jitted encode.
+        self.frozen_host_dtype = frozen_host_dtype
 
-        self._encode = jax.jit(
-            lambda p, imgs: model.apply(
+        def _encode_fn(p, imgs):
+            feats, frozen = model.apply(
                 {"params": p}, imgs, method=model.extract_target_features
             )
-        )
+            if self.frozen_host_dtype is not None:
+                frozen = frozen.astype(self.frozen_host_dtype)
+            return feats, frozen
+
+        self._encode = jax.jit(_encode_fn)
         self._fuse = jax.jit(
             lambda p, ref, ids, mask: model.apply(
                 {"params": p}, ref, ids, mask, method=model.fusion_feature
@@ -110,16 +153,17 @@ class RetrievalEngine:
 
         def encode_raw(p, raw, sizes):
             images = pre(raw, sizes)
-            return self.model.apply(
+            feats, frozen = self.model.apply(
                 {"params": p}, images, method=self.model.extract_target_features
             )
+            if self.frozen_host_dtype is not None:
+                frozen = frozen.astype(self.frozen_host_dtype)
+            return feats, frozen
 
         encode = jax.jit(encode_raw)
 
-        names: List[str] = []
-        feats_parts: List[np.ndarray] = []
-        frozen_parts: List[np.ndarray] = []
-        for batch_names, raw, sizes in batches:
+        def submit(batch):
+            batch_names, raw, sizes = batch
             b = raw.shape[0]
             if b < self.encode_batch:
                 pad = self.encode_batch - b
@@ -130,10 +174,9 @@ class RetrievalEngine:
                     [sizes, np.ones((pad, 2), sizes.dtype)], axis=0
                 )
             feats, frozen = encode(self.params, jnp.asarray(raw), jnp.asarray(sizes))
-            feats_parts.append(np.asarray(feats[:b]))
-            frozen_parts.append(np.asarray(frozen[:b]))
-            names.extend(batch_names)
-        return self._assemble_index(names, feats_parts, frozen_parts)
+            return batch_names, b, feats, frozen
+
+        return self._assemble_index(*self._pipelined_encode(batches, submit))
 
     def _assemble_index(self, names, feats_parts, frozen_parts) -> "GalleryIndex":
         target_feats = np.concatenate(feats_parts, axis=0)
@@ -168,10 +211,8 @@ class RetrievalEngine:
         Variable trailing batch sizes are padded to ``encode_batch`` so one
         compiled program serves the whole gallery.
         """
-        names: List[str] = []
-        feats_parts: List[np.ndarray] = []
-        frozen_parts: List[np.ndarray] = []
-        for batch_names, images in batches:
+        def submit(batch):
+            batch_names, images = batch
             b = images.shape[0]
             if b < self.encode_batch:
                 pad = self.encode_batch - b
@@ -179,12 +220,37 @@ class RetrievalEngine:
                     [images, np.zeros((pad,) + images.shape[1:], images.dtype)], axis=0
                 )
             feats, frozen = self._encode(self.params, jnp.asarray(images))
+            return batch_names, b, feats, frozen
+
+        # note: mesh padding rows score 0 (zero feats); full-sims callers
+        # slice [:n], topk callers mask (see topk())
+        return self._assemble_index(*self._pipelined_encode(batches, submit))
+
+    def _pipelined_encode(self, batches, submit, depth: int = 2):
+        """Three-stage pipeline: a prefetch thread prepares host batches,
+        device encodes run asynchronously (JAX dispatch), and readbacks of
+        batch i-depth happen while batch i computes. The round-1 loop was
+        fully serial (prep -> encode -> readback per batch)."""
+        from collections import deque
+
+        names: List[str] = []
+        feats_parts: List[np.ndarray] = []
+        frozen_parts: List[np.ndarray] = []
+        inflight: deque = deque()
+
+        def drain():
+            batch_names, b, feats, frozen = inflight.popleft()
             feats_parts.append(np.asarray(feats[:b]))
             frozen_parts.append(np.asarray(frozen[:b]))
             names.extend(batch_names)
-        # note: mesh padding rows score 0 (zero feats); full-sims callers
-        # slice [:n], topk callers mask (see topk())
-        return self._assemble_index(names, feats_parts, frozen_parts)
+
+        for batch in _prefetch_iter(batches, depth=depth):
+            inflight.append(submit(batch))
+            if len(inflight) > depth:
+                drain()
+        while inflight:
+            drain()
+        return names, feats_parts, frozen_parts
 
     # --------------------------------------------------------------- scoring
 

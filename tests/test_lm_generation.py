@@ -172,3 +172,29 @@ def test_beam_generate_beats_or_matches_greedy(pair, rng):
         return total
 
     assert seq_logprob(beam3[0]) >= seq_logprob(greedy[0]) - 1e-6
+
+
+def test_cached_greedy_matches_recompute():
+    """KV-cached decode (reference Qformer.py past_key_values path) is
+    stepwise-identical to the full-prefix recompute decoder."""
+    from sprc_tpu.models.lm import cached_greedy_generate, greedy_generate
+    from sprc_tpu.models.qformer import QFormerConfig
+    from sprc_tpu.models.lm import QFormerLM
+
+    cfg = QFormerConfig(
+        vocab_size=40, hidden_size=24, num_layers=3, num_heads=2,
+        intermediate_size=48, encoder_width=16, query_length=4,
+        dropout_rate=0.0, attention_dropout_rate=0.0, cross_attention_freq=2,
+    )
+    lm = QFormerLM(cfg)
+    rs = np.random.RandomState(0)
+    qe = jnp.asarray(rs.randn(2, 4, 24) * 0.1, jnp.float32)
+    ie = jnp.asarray(rs.randn(2, 7, 16) * 0.1, jnp.float32)
+    params = lm.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, 3), jnp.int32), qe[:1], None, ie[:1]
+    )["params"]
+    kw = dict(bos_token_id=2, eos_token_id=3, pad_token_id=0,
+              max_length=12, min_length=4)
+    a = greedy_generate(lm, params, qe, ie, **kw)
+    b = cached_greedy_generate(lm, params, qe, ie, **kw)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
