@@ -38,6 +38,12 @@ def qformer_to_torch(params: Mapping[str, Any], *, prefix: str = "Qformer.bert."
     out[f"{prefix}embeddings.position_embeddings.weight"] = np.asarray(
         emb["position_embeddings"]["embedding"]
     )
+    # non-learnable buffer the reference BertEmbeddings registers; emit it
+    # so load_state_dict reports no missing keys
+    out[f"{prefix}embeddings.position_ids"] = np.arange(
+        out[f"{prefix}embeddings.position_embeddings.weight"].shape[0],
+        dtype=np.int64,
+    )[None]
     _put_ln(out, f"{prefix}embeddings.LayerNorm", emb["ln"])
 
     for key, layer in params.items():

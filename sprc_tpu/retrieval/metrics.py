@@ -80,9 +80,22 @@ def compute_cirr_metrics(
     vals = list(results.values())
     results["mean(R@5+R_s@1)"] = (results["group_recall_at1"] + results["recall_at5"]) / 2
     results["arithmetic_mean"] = mean(vals)
-    # the stdlib means blow up on zeros (possible early in training)
-    results["harmonic_mean"] = harmonic_mean(vals) if all(v > 0 for v in vals) else 0.0
-    results["geometric_mean"] = geometric_mean(vals) if all(v > 0 for v in vals) else 0.0
+    # DELIBERATE deviation: the reference's statistics calls raise on zero
+    # recalls (possible early in training); we return 0.0 but warn so a
+    # degenerate epoch is visible if either mean is the selection key
+    # (train/tasks.py selection_key)
+    if all(v > 0 for v in vals):
+        results["harmonic_mean"] = harmonic_mean(vals)
+        results["geometric_mean"] = geometric_mean(vals)
+    else:
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "a recall component is 0; harmonic/geometric means forced to 0.0 "
+            "(reference would raise StatisticsError)"
+        )
+        results["harmonic_mean"] = 0.0
+        results["geometric_mean"] = 0.0
     return results
 
 

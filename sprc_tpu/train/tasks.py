@@ -31,6 +31,9 @@ class CirTask(BaseTask):
         seed: int = 42,
         caption_key: str = "caption",
         eval_fn=None,
+        # NOTE: harmonic_mean/geometric_mean report 0.0 (with a warning)
+        # when any recall is 0 early in training — see retrieval/metrics.py;
+        # arithmetic_mean is robust to that
         selection_key: str = "arithmetic_mean",
     ):
         from sprc_tpu.data.loader import DataLoader

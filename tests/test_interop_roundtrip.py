@@ -55,3 +55,58 @@ def test_torch_pt_file_roundtrip(tmp_path):
     back = cir_align_prompt_params_from_torch(sd, model)
     for a, b in zip(jax.tree.leaves(params), jax.tree.leaves(back)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=0)
+
+
+def test_export_loads_into_reference_module_strict(ref_qformer_module, ref_eva_vit_module):
+    """Exported state_dict loads into the ACTUAL reference torch assembly
+    with strict=True — export is certified against the reference naming,
+    not just our own importer (ADVICE r1)."""
+    import torch
+
+    from test_model_parity import torch_model as _  # noqa: F401 (fixture dep)
+    import test_model_parity as mp
+
+    # build the reference assembly at the parity test's tiny dims
+    tmodel = None
+    # reuse the fixture logic directly
+    tmodel = mp.torch_model.__wrapped__(ref_qformer_module, ref_eva_vit_module)
+
+    from sprc_tpu.interop.torch_import import (
+        cir_align_prompt_params_from_torch,
+        torch_state_dict_to_numpy,
+    )
+    from sprc_tpu.interop.torch_export import params_to_torch_state_dict
+    from sprc_tpu.models.cir_base import CirConfig
+    from sprc_tpu.models.qformer import QFormerConfig
+    from sprc_tpu.models.vit import ViTConfig
+    from sprc_tpu.registry import registry
+
+    vcfg = ViTConfig(
+        image_size=mp.IMG, patch_size=mp.PATCH, width=mp.VWIDTH,
+        depth=mp.VDEPTH, num_heads=mp.HEADS, mlp_hidden=int(mp.VWIDTH * 4.0),
+        layer_norm_eps=1e-6, qkv_fused_no_kbias=True, dtype=jnp.float32,
+    )
+    qcfg = QFormerConfig(
+        vocab_size=mp.VOCAB, hidden_size=mp.HIDDEN, num_layers=mp.LAYERS,
+        num_heads=mp.HEADS, intermediate_size=mp.INTER,
+        encoder_width=mp.VWIDTH, cross_attention_freq=2, query_length=mp.Q,
+        dropout_rate=0.0, attention_dropout_rate=0.0,
+    )
+    cfg = CirConfig(
+        vit_model="eva_clip_g", image_size=mp.IMG, num_query_token=mp.Q,
+        embed_dim=mp.EMBED, max_txt_len=mp.TXT, vocab_size=mp.VOCAB,
+        vit_dtype=jnp.float32, vit_config_override=vcfg,
+        qformer_config_override=qcfg,
+    )
+    model = registry.get_model_class("blip2_cir_align_prompt")(cfg)
+    sd = torch_state_dict_to_numpy(tmodel.state_dict())
+    params = cir_align_prompt_params_from_torch(sd, model)
+
+    exported = params_to_torch_state_dict(params, model)
+    tensors = {k: torch.from_numpy(np.ascontiguousarray(v)) for k, v in exported.items()}
+    missing, unexpected = tmodel.load_state_dict(tensors, strict=False)
+    assert not unexpected, f"unexpected keys: {unexpected[:5]}"
+    assert not missing, f"missing keys: {missing[:5]}"
+    # and the loaded weights reproduce the originals bit-exactly
+    for k, v in tmodel.state_dict().items():
+        np.testing.assert_array_equal(v.numpy(), np.asarray(sd[k]), err_msg=k)
