@@ -158,7 +158,61 @@ def _flash_fwd(q: jax.Array, k: jax.Array, v: jax.Array, scale: float) -> jax.Ar
         return _flash_fwd_v9(q, k, v, scale)
     if v_ == "10":
         return _flash_fwd_v10(q, k, v, scale)
+    if v_ == "11":
+        return _flash_fwd_v11(q, k, v, scale)
     return _flash_fwd_v3(q, k, v, scale)
+
+
+def _attn_kernel_v11(q_ref, k_ref, v_ref, o_ref):
+    """BSHD-native blocks with the head axis as a MIDDLE batch dim of
+    dot_general — no value transposes at all; output is [H,S,D] (batch dims
+    lead), stored to a BHSD-shaped output that XLA transposes back once."""
+    q = q_ref[0]  # [Sq, H, D] (pre-scaled, exp2 domain)
+    k = k_ref[0]
+    v = v_ref[0]
+    s = jax.lax.dot_general(
+        q, k, (((2,), (2,)), ((1,), (1,))), preferred_element_type=jnp.float32
+    )  # [H, Sq, Sk]
+    m = jnp.max(s, axis=-1, keepdims=True)
+    p = jnp.exp2(s - m).astype(v.dtype)
+    denom = jnp.sum(p.astype(jnp.float32), axis=-1, keepdims=True)
+    o = jax.lax.dot_general(
+        p, v, (((2,), (0,)), ((0,), (1,))), preferred_element_type=jnp.float32
+    )  # [H, Sq, D]
+    o_ref[0] = (o / denom).astype(o_ref.dtype)
+
+
+def _flash_fwd_v11(q: jax.Array, k: jax.Array, v: jax.Array, scale: float) -> jax.Array:
+    B, Sq, H, D = q.shape
+    Sk = k.shape[1]
+    qf = (q * (scale * _LOG2E)).astype(q.dtype)
+    kwargs = {}
+    if jax.default_backend() == "tpu":
+        try:
+            from jax.experimental.pallas import tpu as pltpu
+
+            params_cls = getattr(pltpu, "CompilerParams", None) or getattr(
+                pltpu, "TPUCompilerParams"
+            )
+            kwargs["compiler_params"] = params_cls(
+                vmem_limit_bytes=100 * 1024 * 1024
+            )
+        except Exception:
+            pass
+    out = pl.pallas_call(
+        _attn_kernel_v11,
+        grid=(B,),
+        in_specs=[
+            pl.BlockSpec((1, Sq, H, D), lambda b: (b, 0, 0, 0)),
+            pl.BlockSpec((1, Sk, H, D), lambda b: (b, 0, 0, 0)),
+            pl.BlockSpec((1, Sk, H, D), lambda b: (b, 0, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, H, Sq, D), lambda b: (b, 0, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((B, H, Sq, D), q.dtype),
+        interpret=jax.default_backend() != "tpu",
+        **kwargs,
+    )(qf, k, v)
+    return out.transpose(0, 2, 1, 3)
 
 
 def _attn_kernel_v10(q_ref, k_ref, v_ref, o_ref):
