@@ -69,6 +69,58 @@ def mode_mm():
     print(json.dumps({"mode": "mm_int8", "tops": round(2 * n**3 * K / dt / 1e12, 1)}))
 
 
+def mode_mm2():
+    """Cleaner int8 peak: big-K rectangular matmul so the per-iteration
+    requantize (elementwise over the output) is amortized against 8x the
+    FLOPs of the square `mm` mode; bf16 control at the same shape."""
+    import jax
+    import jax.numpy as jnp
+
+    n, kdim, K = 4096, 32768, 8
+
+    # device-generated inputs: host->tunnel transfers of 256 MB hit the
+    # remote body-size limit (HTTP 413)
+    w16 = jax.jit(
+        lambda key: jax.random.normal(key, (kdim, n), jnp.bfloat16) * 0.02
+    )(jax.random.PRNGKey(1))
+
+    @jax.jit
+    def chain_bf16(x, w):
+        def body(i, c):
+            y = jax.lax.dot(c, w, preferred_element_type=jnp.bfloat16)
+            return jnp.tile(y, (1, kdim // n))  # rebuild [n, kdim]
+        return jax.lax.fori_loop(0, K, body, x)
+
+    x0 = jax.jit(
+        lambda key: jax.random.normal(key, (n, kdim), jnp.bfloat16)
+    )(jax.random.PRNGKey(2))
+    import numpy as _np
+    _ = float(_np.asarray(x0[0, 0]))
+    _t(chain_bf16, x0, w16)
+    dt = min(_t(chain_bf16, x0, w16) for _ in range(3))
+    print(json.dumps({"mode": "mm2_bf16", "tflops": round(2 * n * n * kdim * K / dt / 1e12, 1)}))
+
+    w8 = jax.jit(
+        lambda key: jax.random.randint(key, (kdim, n), -8, 8, jnp.int8)
+    )(jax.random.PRNGKey(3))
+
+    @jax.jit
+    def chain_int8(x, w):
+        def body(i, c):
+            y = jax.lax.dot(c, w, preferred_element_type=jnp.int32)
+            y8 = jax.lax.shift_right_arithmetic(y, 9).astype(jnp.int8)
+            return jnp.tile(y8, (1, kdim // n))
+        return jax.lax.fori_loop(0, K, body, x)
+
+    x8 = jax.jit(
+        lambda key: jax.random.randint(key, (n, kdim), -8, 8, jnp.int8)
+    )(jax.random.PRNGKey(4))
+    _ = float(_np.asarray(x8[0, 0]))
+    _t(chain_int8, x8, w8)
+    dt = min(_t(chain_int8, x8, w8) for _ in range(3))
+    print(json.dumps({"mode": "mm2_int8", "tops": round(2 * n * n * kdim * K / dt / 1e12, 1)}))
+
+
 def mode_attn():
     """Attention-only at ViT-L/b256 shapes; impl selected by env before
     import (SPRC_PALLAS_ATTN / SPRC_ATTN_V)."""
@@ -110,7 +162,9 @@ def mode_block():
     from sprc_tpu.ops.attention import dot_product_attention
 
     variant = os.environ.get("SPRC_ABL_VARIANT", "full")
-    assert variant in ("full", "noln", "noattn", "nomlp", "mmonly", "int8", "int8s")
+    assert variant in ("full", "noln", "noattn", "nomlp", "mmonly", "int8",
+                       "int8s", "fusedblk", "fusedblk8", "fusedblk2",
+                       "fusedblk_i8")
     B, S, W, Hd, M = 256, 257, 1024, 16, 4096
     K = 12
     rs = np.random.RandomState(0)
@@ -151,6 +205,41 @@ def mode_block():
         mm = lambda h, w, b=None: int8_dense_from_fp(h, w, b)
     else:
         mm = lambda h, w, b=None: (h @ w + b if b is not None else h @ w)
+
+    if variant.startswith("fusedblk"):
+        from sprc_tpu.ops.pallas_block import fused_attn_block
+
+        G = {"fusedblk": 4, "fusedblk8": 8, "fusedblk2": 2}.get(variant, 4)
+        i8 = variant == "fusedblk_i8"
+        if i8:
+            from sprc_tpu.ops.quant import int8_dense_static
+
+            mm = lambda h, w, b=None: int8_dense_static(h, w, 0.05, b)
+
+        def block(x):
+            x = fused_attn_block(
+                x, p["s1"], p["b1"], p["wqkv"], p["bqkv"], p["wproj"],
+                jnp.zeros((W,), jnp.float32), Hd, 1e-5, (W // Hd) ** -0.5, G,
+            )
+            h = ln(x, p["s2"], p["b2"])
+            h = mm(h, p["w1"])
+            h = h * jax.nn.sigmoid(1.702 * h)
+            x = x + mm(h, p["w2"])
+            return x.astype(jnp.bfloat16)
+
+        @jax.jit
+        def chain(x):
+            def body(i, x):
+                return block(x)
+            return jax.lax.fori_loop(0, K, body, x)
+
+        gen = jax.jit(lambda key: jax.random.normal(key, (B, S, W), jnp.bfloat16))
+        x = gen(jax.random.PRNGKey(0))
+        jax.block_until_ready(x)
+        _t(chain, x)
+        dt = min(_t(chain, x) for _ in range(3))
+        print(json.dumps({"mode": f"block_{variant}", "ms_per_block": round(dt / K * 1e3, 3)}))
+        return
 
     def block(x):
         h = ln(x, p["s1"], p["b1"]) if use_ln else x
@@ -249,7 +338,7 @@ def mode_layout():
 
 if __name__ == "__main__":
     ap = argparse.ArgumentParser()
-    ap.add_argument("mode", choices=["mm", "attn", "block", "layout"])
+    ap.add_argument("mode", choices=["mm", "mm2", "attn", "block", "layout"])
     args = ap.parse_args()
     {"mm": mode_mm, "attn": mode_attn, "block": mode_block,
-     "layout": mode_layout}[args.mode]()
+     "layout": mode_layout, "mm2": mode_mm2}[args.mode]()

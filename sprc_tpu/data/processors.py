@@ -195,3 +195,12 @@ registry.register_processor("clip_image_eval")(ClipImageProcessor)
 from sprc_tpu.text.processors import CaptionProcessor  # noqa: E402
 
 registry.register_processor("blip_caption")(CaptionProcessor)
+
+from sprc_tpu.text.processors import QuestionProcessor  # noqa: E402
+
+registry.register_processor("blip_question")(QuestionProcessor)
+
+
+# sibling processor families register on import (video: ALPRO; GPT dialogue)
+from sprc_tpu.data import video_processors as _video_processors  # noqa: E402,F401
+from sprc_tpu.data import gpt_processors as _gpt_processors  # noqa: E402,F401

@@ -251,6 +251,30 @@ class ViTAttention(nn.Module):
         return _block_dense(cfg, self, ctx, C, "proj")
 
 
+class ViTAttentionParams(nn.Module):
+    """Materializes ViTAttention's params without applying the ops — the
+    fused-block counterpart (tree-identical to ViTAttention, including EVA's
+    split q/v bias, which folds into a packed qkv bias with a zero k third)."""
+
+    config: ViTConfig
+
+    @nn.compact
+    def __call__(self):
+        from sprc_tpu.ops.layers import DenseParams
+
+        cfg = self.config
+        C = cfg.width
+        if cfg.qkv_fused_no_kbias:
+            wqkv, _ = DenseParams(C, 3 * C, use_bias=False, name="qkv")()
+            q_bias = self.param("q_bias", nn.initializers.zeros, (C,), jnp.float32)
+            v_bias = self.param("v_bias", nn.initializers.zeros, (C,), jnp.float32)
+            bqkv = jnp.concatenate([q_bias, jnp.zeros((C,), jnp.float32), v_bias])
+        else:
+            wqkv, bqkv = DenseParams(C, 3 * C, name="qkv")()
+        wproj, bproj = DenseParams(C, C, name="proj")()
+        return wqkv, bqkv, wproj, bproj
+
+
 class ViTBlock(nn.Module):
     config: ViTConfig
 
@@ -259,8 +283,36 @@ class ViTBlock(nn.Module):
         import os
 
         cfg = self.config
-        h = LayerNormFP32(epsilon=cfg.layer_norm_eps, name="norm1")(x)
-        x = x + ViTAttention(cfg, name="attn")(h)
+        blk_flag = os.environ.get("SPRC_PALLAS_BLOCK", "0")  # default pending measurement
+        use_fused_attn = (
+            blk_flag == "force"
+            or (
+                blk_flag == "1"
+                and jax.default_backend() == "tpu"
+                and cfg.quant is None
+                and cfg.width % 128 == 0
+                and x.shape[0] % 2 == 0
+            )
+        )
+        if use_fused_attn:
+            # one pallas call for LN->qkv->attention->proj->+residual: kills
+            # the ~3.5 ms/layer of BSHD layout traffic around the standalone
+            # attention kernel (see ops/pallas_block.py). Param tree identical
+            # to the unfused path.
+            from sprc_tpu.ops.layers import DenseParams, LayerNormParams
+            from sprc_tpu.ops.pallas_block import fused_attn_block
+
+            ln_s, ln_b = LayerNormParams(cfg.width, name="norm1")()
+            attn = ViTAttentionParams(cfg, name="attn")
+            wqkv, bqkv, wproj, bproj = attn()
+            x = fused_attn_block(
+                x, ln_s, ln_b, wqkv, bqkv, wproj, bproj,
+                cfg.num_heads, cfg.layer_norm_eps, cfg.head_dim ** -0.5,
+                int(os.environ.get("SPRC_PALLAS_BLOCK_G", "4")),
+            )
+        else:
+            h = LayerNormFP32(epsilon=cfg.layer_norm_eps, name="norm1")(x)
+            x = x + ViTAttention(cfg, name="attn")(h)
 
         # default OFF: measured 480 vs 542 imgs/s on v5e — the weight
         # re-streaming per row tile loses to XLA's matmul pipelining at these

@@ -58,3 +58,23 @@ def randomize_fiq_captions(flattened_captions: List[str], rng) -> List[str]:
         else:
             out.append(b.capitalize())
     return out
+
+
+class QuestionProcessor:
+    """VQA question cleanup (reference blip_processors.py:71-101): strip
+    punctuation (removed, not space-replaced, unlike captions), lowercase,
+    truncate to max_words."""
+
+    def __init__(self, max_words: int = 50):
+        self.max_words = max_words
+
+    def __call__(self, question: str) -> str:
+        return self.pre_question(question)
+
+    def pre_question(self, question: str) -> str:
+        question = re.sub(r"([.!\"()*#:;~])", "", question.lower())
+        question = question.rstrip(" ")
+        words = question.split(" ")
+        if len(words) > self.max_words:
+            question = " ".join(words[: self.max_words])
+        return question

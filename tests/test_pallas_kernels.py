@@ -119,3 +119,69 @@ def test_vit_block_fused_mlp_parity(rng, monkeypatch):
     assert jax.tree.structure(params_fused) == jax.tree.structure(params)
     got = block.apply({"params": params}, x)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5)
+
+
+@pytest.mark.parametrize("B,S,W,H,G", [(8, 37, 64, 4, 4), (6, 16, 32, 2, 4), (3, 9, 48, 3, 4)])
+def test_fused_attn_block_matches_xla(B, S, W, H, G, rng):
+    from sprc_tpu.ops.pallas_block import _xla_ref as blk_ref
+    from sprc_tpu.ops.pallas_block import fused_attn_block
+
+    x = jnp.asarray(rng.randn(B, S, W).astype(np.float32))
+    ln_s = jnp.asarray(1 + 0.1 * rng.randn(W).astype(np.float32))
+    ln_b = jnp.asarray(0.1 * rng.randn(W).astype(np.float32))
+    wqkv = jnp.asarray(0.05 * rng.randn(W, 3 * W).astype(np.float32))
+    bqkv = jnp.asarray(0.05 * rng.randn(3 * W).astype(np.float32))
+    wproj = jnp.asarray(0.05 * rng.randn(W, W).astype(np.float32))
+    bproj = jnp.asarray(0.05 * rng.randn(W).astype(np.float32))
+    scale = (W // H) ** -0.5
+    got = fused_attn_block(x, ln_s, ln_b, wqkv, bqkv, wproj, bproj, H, 1e-5, scale, G)
+    want = blk_ref(x, ln_s, ln_b, wqkv, bqkv, wproj, bproj, heads=H, eps=1e-5, scale=scale)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=3e-5)
+
+
+def test_fused_attn_block_grad_matches_xla(rng):
+    from sprc_tpu.ops.pallas_block import _xla_ref as blk_ref
+    from sprc_tpu.ops.pallas_block import fused_attn_block
+
+    B, S, W, H = 4, 12, 32, 2
+    x = jnp.asarray(rng.randn(B, S, W).astype(np.float32))
+    ln_s = jnp.ones((W,), jnp.float32)
+    ln_b = jnp.zeros((W,), jnp.float32)
+    wqkv = jnp.asarray(0.05 * rng.randn(W, 3 * W).astype(np.float32))
+    bqkv = jnp.zeros((3 * W,), jnp.float32)
+    wproj = jnp.asarray(0.05 * rng.randn(W, W).astype(np.float32))
+    bproj = jnp.zeros((W,), jnp.float32)
+    scale = (W // H) ** -0.5
+
+    gp = jax.grad(lambda x_, w_: jnp.sum(
+        fused_attn_block(x_, ln_s, ln_b, w_, bqkv, wproj, bproj, H, 1e-5, scale, 2) ** 2
+    ), argnums=(0, 1))(x, wqkv)
+    gx = jax.grad(lambda x_, w_: jnp.sum(
+        blk_ref(x_, ln_s, ln_b, w_, bqkv, wproj, bproj, heads=H, eps=1e-5, scale=scale) ** 2
+    ), argnums=(0, 1))(x, wqkv)
+    for a, b in zip(gp, gx):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=3e-4)
+
+
+@pytest.mark.parametrize("eva", [False, True])
+def test_vit_block_fused_path_matches_unfused(eva, rng, monkeypatch):
+    """ViTBlock with SPRC_PALLAS_BLOCK=force produces the same params tree
+    and (tolerance) the same output as the unfused default path."""
+    from sprc_tpu.models.vit import ViTBlock, ViTConfig
+
+    cfg = ViTConfig(
+        image_size=28, patch_size=14, width=32, depth=1, num_heads=2,
+        mlp_hidden=64, qkv_fused_no_kbias=eva, dtype=jnp.float32,
+    )
+    x = jnp.asarray(rng.randn(4, 5, 32).astype(np.float32))
+    blk = ViTBlock(cfg)
+
+    monkeypatch.delenv("SPRC_PALLAS_BLOCK", raising=False)
+    params = blk.init(jax.random.PRNGKey(0), x)["params"]
+    want = blk.apply({"params": params}, x)
+
+    monkeypatch.setenv("SPRC_PALLAS_BLOCK", "force")
+    params_f = blk.init(jax.random.PRNGKey(0), x)["params"]
+    assert jax.tree_util.tree_structure(params_f) == jax.tree_util.tree_structure(params)
+    got = blk.apply({"params": params}, x)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=5e-5)
