@@ -164,9 +164,15 @@ def mode_block():
     variant = os.environ.get("SPRC_ABL_VARIANT", "full")
     assert variant in ("full", "noln", "noattn", "nomlp", "mmonly", "int8",
                        "int8s", "fusedblk", "fusedblk8", "fusedblk2",
-                       "fusedblk_i8")
+                       "fusedblk_i8", "megablk", "megablk4", "megablk16", "megablk_i8",
+                       "megablk_eva")
     B, S, W, Hd, M = 256, 257, 1024, 16, 4096
     K = 12
+    if variant == "megablk_eva":
+        # EVA ViT-g block dims (width 1408, head_dim 88, mlp 6144): probes
+        # Mosaic's handling of non-128-aligned head slices + VMEM pressure
+        B, W, Hd, M = 128, 1408, 16, 6144
+        variant = "megablk4"
     rs = np.random.RandomState(0)
     p = {
         "wqkv": jnp.asarray(rs.randn(W, 3 * W) * 0.02, jnp.bfloat16),
@@ -205,6 +211,67 @@ def mode_block():
         mm = lambda h, w, b=None: int8_dense_from_fp(h, w, b)
     else:
         mm = lambda h, w, b=None: (h @ w + b if b is not None else h @ w)
+
+    if variant == "megablk_i8":
+        from sprc_tpu.ops.pallas_block import fused_vit_block_i8
+        from sprc_tpu.ops.quant import quantize_weight
+
+        wq8, sq = quantize_weight(p["wqkv"])
+        wp8, sp = quantize_weight(p["wproj"])
+        w18, s1q = quantize_weight(p["w1"])
+        w28, s2q = quantize_weight(p["w2"])
+        acts = (0.05, 0.05, 0.05, 0.05)
+
+        def block(x):
+            return fused_vit_block_i8(
+                x, p["s1"], p["b1"], wq8, sq, jnp.zeros((3 * W,), jnp.float32),
+                wp8, sp, jnp.zeros((W,), jnp.float32), p["s2"], p["b2"],
+                w18, s1q, jnp.zeros((M,), jnp.float32), w28, s2q,
+                jnp.zeros((W,), jnp.float32), heads=Hd, eps=1e-5,
+                scale=(W // Hd) ** -0.5, quick=True, acts=acts, G=8,
+            )
+
+        @jax.jit
+        def chain(x):
+            def body(i, x):
+                return block(x)
+            return jax.lax.fori_loop(0, K, body, x)
+
+        gen = jax.jit(lambda key: jax.random.normal(key, (B, S, W), jnp.bfloat16))
+        x = gen(jax.random.PRNGKey(0))
+        jax.block_until_ready(x)
+        _t(chain, x)
+        dt = min(_t(chain, x) for _ in range(3))
+        print(json.dumps({"mode": f"block_{variant}", "ms_per_block": round(dt / K * 1e3, 3)}))
+        return
+
+    if variant.startswith("megablk"):
+        from sprc_tpu.ops.pallas_block import fused_vit_block
+
+        G = {"megablk": 8, "megablk4": 4, "megablk16": 16}[variant]
+
+        def block(x):
+            return fused_vit_block(
+                x, p["s1"], p["b1"], p["wqkv"], p["bqkv"], p["wproj"],
+                jnp.zeros((W,), jnp.float32), p["s2"], p["b2"], p["w1"],
+                jnp.zeros((M,), jnp.float32), p["w2"],
+                jnp.zeros((W,), jnp.float32), Hd, 1e-5, (W // Hd) ** -0.5,
+                True, G,
+            )
+
+        @jax.jit
+        def chain(x):
+            def body(i, x):
+                return block(x)
+            return jax.lax.fori_loop(0, K, body, x)
+
+        gen = jax.jit(lambda key: jax.random.normal(key, (B, S, W), jnp.bfloat16))
+        x = gen(jax.random.PRNGKey(0))
+        jax.block_until_ready(x)
+        _t(chain, x)
+        dt = min(_t(chain, x) for _ in range(3))
+        print(json.dumps({"mode": f"block_{variant}", "ms_per_block": round(dt / K * 1e3, 3)}))
+        return
 
     if variant.startswith("fusedblk"):
         from sprc_tpu.ops.pallas_block import fused_attn_block

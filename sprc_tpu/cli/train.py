@@ -53,14 +53,22 @@ def main(argv: Optional[list] = None) -> None:
     ft.model_type = (
         "pretrain_vitL" if model_cfg.get("vit_model") == "clip_L" else "pretrain"
     )
-    for key in (
-        "batch_size", "num_epochs", "schedule_epochs", "learning_rate",
-        "loss_rtc", "loss_align", "target_ratio", "selection_metric",
-        "grad_accum", "workers", "seed", "validate_every",
-        "encode_batch", "query_batch",
-    ):
-        if key in run:
-            setattr(ft, key, run[key])
+    # every finetune flag is addressable from the run section by its argparse
+    # dest — derived from the parser, so new flags need no mirroring here
+    known = {a.dest for a in make_parser()._actions if a.dest != "help"}
+    handled = {"dataset"}  # consumed above
+    for key, value in run.items():
+        if key in handled:
+            continue
+        if key in known:
+            setattr(ft, key, value)
+        else:
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "run.%s is not a finetune flag; ignored (known: %s)",
+                key, ", ".join(sorted(known - handled)),
+            )
     finetune(ft)
 
 

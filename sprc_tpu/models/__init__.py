@@ -15,7 +15,6 @@ from sprc_tpu.models import gpt_dialogue as _gpt_dialogue  # noqa: F401
 from sprc_tpu.models import classification as _classification  # noqa: F401
 from sprc_tpu.models import nlvr as _nlvr  # noqa: F401
 from sprc_tpu.models import vqa as _vqa  # noqa: F401
-from sprc_tpu.models import family_stubs as _family_stubs  # noqa: F401
 from sprc_tpu.models import alpro as _alpro  # noqa: F401
 from sprc_tpu.models import pnp_vqa as _pnp_vqa  # noqa: F401
 

@@ -283,32 +283,66 @@ class ViTBlock(nn.Module):
         import os
 
         cfg = self.config
+        # SPRC_PALLAS_BLOCK routing (see ops/pallas_block.py, MEASUREMENTS.md):
+        #   "0"     - unfused XLA composition
+        #   "attn"  - fused attention half-block only (LN1+qkv+attn+proj)
+        #   "1"     - whole-block megakernel (both residual branches); with
+        #             cfg.quant == "int8_static" the int8 megakernel
+        #   "force" - megakernel in interpret mode (CPU tests)
+        # Param trees are identical across all routes.
         blk_flag = os.environ.get("SPRC_PALLAS_BLOCK", "0")  # default pending measurement
-        use_fused_attn = (
-            blk_flag == "force"
-            or (
-                blk_flag == "1"
-                and jax.default_backend() == "tpu"
-                and cfg.quant is None
-                and cfg.width % 128 == 0
-                and x.shape[0] % 2 == 0
-            )
+        fusable = blk_flag == "force" or (  # interpret mode has no lane rules
+            jax.default_backend() == "tpu" and cfg.width % 128 == 0
         )
-        if use_fused_attn:
-            # one pallas call for LN->qkv->attention->proj->+residual: kills
-            # the ~3.5 ms/layer of BSHD layout traffic around the standalone
-            # attention kernel (see ops/pallas_block.py). Param tree identical
-            # to the unfused path.
+        G = int(os.environ.get("SPRC_PALLAS_BLOCK_G", "8"))
+        if blk_flag in ("1", "force") and fusable and (
+            cfg.quant in (None, "int8_static")
+        ):
             from sprc_tpu.ops.layers import DenseParams, LayerNormParams
+            from sprc_tpu.ops.pallas_block import (
+                fused_vit_block,
+                fused_vit_block_i8,
+            )
+
+            l1s, l1b = LayerNormParams(cfg.width, name="norm1")()
+            wqkv, bqkv, wproj, bproj = ViTAttentionParams(cfg, name="attn")()
+            l2s, l2b = LayerNormParams(cfg.width, name="norm2")()
+            w1, b1 = DenseParams(cfg.width, cfg.mlp_hidden, name="mlp_fc1")()
+            w2, b2 = DenseParams(cfg.mlp_hidden, cfg.width, name="mlp_fc2")()
+            if bproj is None:
+                bproj = jnp.zeros((cfg.width,), jnp.float32)
+            if cfg.quant == "int8_static":
+                from sprc_tpu.ops.quant import quantize_weight
+
+                sc = dict(cfg.act_scales or ())
+                wq8, sq = quantize_weight(wqkv)
+                wp8, sp = quantize_weight(wproj)
+                w18, s1 = quantize_weight(w1)
+                w28, s2 = quantize_weight(w2)
+                return fused_vit_block_i8(
+                    x, l1s, l1b, wq8, sq, bqkv, wp8, sp, bproj, l2s, l2b,
+                    w18, s1, b1, w28, s2, b2,
+                    heads=cfg.num_heads, eps=cfg.layer_norm_eps,
+                    scale=cfg.head_dim ** -0.5, quick=cfg.quick_gelu,
+                    acts=(sc["qkv"], sc["proj"], sc["mlp_fc1"], sc["mlp_fc2"]),
+                    G=G,
+                )
+            return fused_vit_block(
+                x, l1s, l1b, wqkv, bqkv, wproj, bproj, l2s, l2b, w1, b1,
+                w2, b2, cfg.num_heads, cfg.layer_norm_eps,
+                cfg.head_dim ** -0.5, cfg.quick_gelu, G,
+            )
+        if blk_flag == "attn" and fusable and cfg.quant is None:
+            from sprc_tpu.ops.layers import LayerNormParams
             from sprc_tpu.ops.pallas_block import fused_attn_block
 
             ln_s, ln_b = LayerNormParams(cfg.width, name="norm1")()
-            attn = ViTAttentionParams(cfg, name="attn")
-            wqkv, bqkv, wproj, bproj = attn()
+            wqkv, bqkv, wproj, bproj = ViTAttentionParams(cfg, name="attn")()
+            if bproj is None:
+                bproj = jnp.zeros((cfg.width,), jnp.float32)
             x = fused_attn_block(
                 x, ln_s, ln_b, wqkv, bqkv, wproj, bproj,
-                cfg.num_heads, cfg.layer_norm_eps, cfg.head_dim ** -0.5,
-                int(os.environ.get("SPRC_PALLAS_BLOCK_G", "4")),
+                cfg.num_heads, cfg.layer_norm_eps, cfg.head_dim ** -0.5, G,
             )
         else:
             h = LayerNormFP32(epsilon=cfg.layer_norm_eps, name="norm1")(x)

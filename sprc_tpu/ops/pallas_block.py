@@ -190,6 +190,280 @@ def _xla_ref(x, ln_s, ln_b, wqkv, bqkv, wproj, bproj, *, heads, eps, scale):
     return x + out.astype(x.dtype)
 
 
+def _ln_f32(x32, s, b, eps):
+    m = x32.mean(-1, keepdims=True)
+    var = jnp.square(x32 - m).mean(-1, keepdims=True)
+    return (x32 - m) * jax.lax.rsqrt(var + eps) * s + b
+
+
+def _full_kernel(x_ref, l1s_ref, l1b_ref, wqkv_ref, bqkv_ref, wproj_ref,
+                 bproj_ref, l2s_ref, l2b_ref, w1_ref, b1_ref, w2_ref, b2_ref,
+                 o_ref, *, G: int, heads: int, eps: float, scale: float,
+                 quick: bool):
+    """Whole transformer block per program: attention residual branch then
+    MLP residual branch, per image, entirely in VMEM."""
+    S = x_ref.shape[1]
+    W = x_ref.shape[2]
+    D = W // heads
+
+    xb = x_ref[...]  # [G, S, W]
+    x32 = xb.astype(jnp.float32)
+    h1 = _ln_f32(x32, l1s_ref[0], l1b_ref[0], eps).astype(xb.dtype)
+
+    wqkv = wqkv_ref[...]
+    bqkv = bqkv_ref[0]
+    wproj = wproj_ref[...]
+    bproj = bproj_ref[0]
+    w1 = w1_ref[...]
+    b1 = b1_ref[0]
+    w2 = w2_ref[...]
+    b2 = b2_ref[0]
+
+    for g in range(G):
+        qkv = (jax.lax.dot_general(
+            h1[g], wqkv, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) + bqkv).astype(xb.dtype)
+        ctx = _attend(qkv, W, D, heads, scale, xb.dtype, perhead=False)
+        att = jax.lax.dot_general(
+            ctx, wproj, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) + bproj
+        y = xb[g] + att.astype(xb.dtype)  # [S, W] post-attention residual
+
+        u = _ln_f32(y.astype(jnp.float32), l2s_ref[0], l2b_ref[0], eps).astype(xb.dtype)
+        hid = jax.lax.dot_general(
+            u, w1, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) + b1
+        if quick:
+            hid = hid * jax.nn.sigmoid(1.702 * hid)
+        else:
+            hid = jax.nn.gelu(hid, approximate=False)
+        out = jax.lax.dot_general(
+            hid.astype(xb.dtype), w2, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) + b2
+        o_ref[g] = y + out.astype(xb.dtype)
+
+
+def _full_fwd_impl(x, l1s, l1b, wqkv, bqkv, wproj, bproj, l2s, l2b, w1, b1,
+                   w2, b2, *, heads, eps, scale, quick, G):
+    B, S, W = x.shape
+    M = w1.shape[1]
+    while B % G:
+        G //= 2
+    kwargs = {}
+    if jax.default_backend() == "tpu":
+        from jax.experimental.pallas import tpu as pltpu
+
+        params_cls = getattr(pltpu, "CompilerParams", None) or getattr(
+            pltpu, "TPUCompilerParams"
+        )
+        kwargs["compiler_params"] = params_cls(vmem_limit_bytes=112 * 1024 * 1024)
+    full = lambda r, c: pl.BlockSpec((r, c), lambda i: (0, 0))
+    return pl.pallas_call(
+        functools.partial(_full_kernel, G=G, heads=heads, eps=eps, scale=scale,
+                          quick=quick),
+        grid=(B // G,),
+        in_specs=[
+            pl.BlockSpec((G, S, W), lambda i: (i, 0, 0)),
+            full(1, W), full(1, W),
+            full(W, 3 * W), full(1, 3 * W),
+            full(W, W), full(1, W),
+            full(1, W), full(1, W),
+            full(W, M), full(1, M),
+            full(M, W), full(1, W),
+        ],
+        out_specs=pl.BlockSpec((G, S, W), lambda i: (i, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((B, S, W), x.dtype),
+        interpret=jax.default_backend() != "tpu",
+        **kwargs,
+    )(
+        x,
+        l1s.astype(jnp.float32).reshape(1, W),
+        l1b.astype(jnp.float32).reshape(1, W),
+        wqkv.astype(x.dtype),
+        bqkv.astype(jnp.float32).reshape(1, 3 * W),
+        wproj.astype(x.dtype),
+        bproj.astype(jnp.float32).reshape(1, W),
+        l2s.astype(jnp.float32).reshape(1, W),
+        l2b.astype(jnp.float32).reshape(1, W),
+        w1.astype(x.dtype),
+        b1.astype(jnp.float32).reshape(1, M),
+        w2.astype(x.dtype),
+        b2.astype(jnp.float32).reshape(1, W),
+    )
+
+
+def _full_xla_ref(x, l1s, l1b, wqkv, bqkv, wproj, bproj, l2s, l2b, w1, b1,
+                  w2, b2, *, heads, eps, scale, quick):
+    y = _xla_ref(x, l1s, l1b, wqkv, bqkv, wproj, bproj,
+                 heads=heads, eps=eps, scale=scale)
+    u = _ln_f32(y.astype(jnp.float32), l2s, l2b, eps).astype(x.dtype)
+    hid = (u @ w1.astype(x.dtype)).astype(jnp.float32) + b1
+    if quick:
+        hid = hid * jax.nn.sigmoid(1.702 * hid)
+    else:
+        hid = jax.nn.gelu(hid, approximate=False)
+    out = (hid.astype(x.dtype) @ w2.astype(x.dtype)).astype(jnp.float32) + b2
+    return y + out.astype(x.dtype)
+
+
+def _q8(x32, inv_scale):
+    return jnp.clip(jnp.round(x32 * inv_scale), -127, 127).astype(jnp.int8)
+
+
+def _full_kernel_i8(x_ref, l1s_ref, l1b_ref, wqkv_ref, sqkv_ref, bqkv_ref,
+                    wproj_ref, sproj_ref, bproj_ref, l2s_ref, l2b_ref,
+                    w1_ref, s1_ref, b1_ref, w2_ref, s2_ref, b2_ref,
+                    o_ref, *, G: int, heads: int, eps: float, scale: float,
+                    quick: bool, acts: tuple):
+    """Whole block with the four dense matmuls on the int8 MXU path:
+    weights arrive pre-quantized (int8 + per-out-channel scale), activations
+    are quantized in-VMEM with calibrated static per-tensor scales (``acts``
+    = (qkv, proj, fc1, fc2)) so the int8 intermediates never touch HBM."""
+    S = x_ref.shape[1]
+    W = x_ref.shape[2]
+    D = W // heads
+    a_qkv, a_proj, a_fc1, a_fc2 = acts
+
+    xb = x_ref[...]
+    x32 = xb.astype(jnp.float32)
+    h1 = _ln_f32(x32, l1s_ref[0], l1b_ref[0], eps)  # f32 [G,S,W]
+
+    wqkv = wqkv_ref[...]
+    rqkv = sqkv_ref[0] * a_qkv  # [3W] f32 combined rescale
+    bqkv = bqkv_ref[0]
+    wproj = wproj_ref[...]
+    rproj = sproj_ref[0] * a_proj
+    bproj = bproj_ref[0]
+    w1 = w1_ref[...]
+    r1 = s1_ref[0] * a_fc1
+    b1 = b1_ref[0]
+    w2 = w2_ref[...]
+    r2 = s2_ref[0] * a_fc2
+    b2 = b2_ref[0]
+
+    for g in range(G):
+        q8 = _q8(h1[g], 1.0 / a_qkv)
+        qkv = jax.lax.dot_general(
+            q8, wqkv, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        ).astype(jnp.float32) * rqkv + bqkv
+        qkv = qkv.astype(xb.dtype)
+        ctx = _attend(qkv, W, D, heads, scale, xb.dtype, perhead=False)
+        c8 = _q8(ctx.astype(jnp.float32), 1.0 / a_proj)
+        att = jax.lax.dot_general(
+            c8, wproj, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        ).astype(jnp.float32) * rproj + bproj
+        y = xb[g] + att.astype(xb.dtype)
+
+        u = _ln_f32(y.astype(jnp.float32), l2s_ref[0], l2b_ref[0], eps)
+        u8 = _q8(u, 1.0 / a_fc1)
+        hid = jax.lax.dot_general(
+            u8, w1, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        ).astype(jnp.float32) * r1 + b1
+        if quick:
+            hid = hid * jax.nn.sigmoid(1.702 * hid)
+        else:
+            hid = jax.nn.gelu(hid, approximate=False)
+        h8 = _q8(hid, 1.0 / a_fc2)
+        out = jax.lax.dot_general(
+            h8, w2, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        ).astype(jnp.float32) * r2 + b2
+        o_ref[g] = y + out.astype(xb.dtype)
+
+
+def fused_vit_block_i8(x, l1s, l1b, wqkv8, sqkv, bqkv, wproj8, sproj, bproj,
+                       l2s, l2b, w18, s1, b1, w28, s2, b2, *, heads: int,
+                       eps: float, scale: float, quick: bool,
+                       acts: tuple, G: int = 8):
+    """Int8 whole-block kernel (serving-only; no VJP — the towers using the
+    int8 path are frozen). Weights pre-quantized via quant.quantize_weight."""
+    B, S, W = x.shape
+    M = w18.shape[1]
+    while B % G:
+        G //= 2
+    kwargs = {}
+    if jax.default_backend() == "tpu":
+        from jax.experimental.pallas import tpu as pltpu
+
+        params_cls = getattr(pltpu, "CompilerParams", None) or getattr(
+            pltpu, "TPUCompilerParams"
+        )
+        kwargs["compiler_params"] = params_cls(vmem_limit_bytes=112 * 1024 * 1024)
+    full = lambda r, c: pl.BlockSpec((r, c), lambda i: (0, 0))
+    return pl.pallas_call(
+        functools.partial(_full_kernel_i8, G=G, heads=heads, eps=eps,
+                          scale=scale, quick=quick, acts=tuple(map(float, acts))),
+        grid=(B // G,),
+        in_specs=[
+            pl.BlockSpec((G, S, W), lambda i: (i, 0, 0)),
+            full(1, W), full(1, W),
+            full(W, 3 * W), full(1, 3 * W), full(1, 3 * W),
+            full(W, W), full(1, W), full(1, W),
+            full(1, W), full(1, W),
+            full(W, M), full(1, M), full(1, M),
+            full(M, W), full(1, W), full(1, W),
+        ],
+        out_specs=pl.BlockSpec((G, S, W), lambda i: (i, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((B, S, W), x.dtype),
+        interpret=jax.default_backend() != "tpu",
+        **kwargs,
+    )(
+        x,
+        l1s.astype(jnp.float32).reshape(1, W),
+        l1b.astype(jnp.float32).reshape(1, W),
+        wqkv8,
+        sqkv.astype(jnp.float32).reshape(1, 3 * W),
+        bqkv.astype(jnp.float32).reshape(1, 3 * W),
+        wproj8,
+        sproj.astype(jnp.float32).reshape(1, W),
+        bproj.astype(jnp.float32).reshape(1, W),
+        l2s.astype(jnp.float32).reshape(1, W),
+        l2b.astype(jnp.float32).reshape(1, W),
+        w18,
+        s1.astype(jnp.float32).reshape(1, M),
+        b1.astype(jnp.float32).reshape(1, M),
+        w28,
+        s2.astype(jnp.float32).reshape(1, W),
+        b2.astype(jnp.float32).reshape(1, W),
+    )
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(13, 14, 15, 16, 17))
+def fused_vit_block(x, l1s, l1b, wqkv, bqkv, wproj, bproj, l2s, l2b, w1, b1,
+                    w2, b2, heads: int, eps: float, scale: float,
+                    quick: bool = False, G: int = 8):
+    """Whole ViT block (attn + MLP residual branches) in one pallas call."""
+    return _full_fwd_impl(x, l1s, l1b, wqkv, bqkv, wproj, bproj, l2s, l2b,
+                          w1, b1, w2, b2, heads=heads, eps=eps, scale=scale,
+                          quick=quick, G=G)
+
+
+def _full_vjp_fwd(x, l1s, l1b, wqkv, bqkv, wproj, bproj, l2s, l2b, w1, b1,
+                  w2, b2, heads, eps, scale, quick, G):
+    out = _full_fwd_impl(x, l1s, l1b, wqkv, bqkv, wproj, bproj, l2s, l2b,
+                         w1, b1, w2, b2, heads=heads, eps=eps, scale=scale,
+                         quick=quick, G=G)
+    return out, (x, l1s, l1b, wqkv, bqkv, wproj, bproj, l2s, l2b, w1, b1, w2, b2)
+
+
+def _full_vjp_bwd(heads, eps, scale, quick, G, res, g):
+    _, vjp = jax.vjp(
+        lambda *a: _full_xla_ref(*a, heads=heads, eps=eps, scale=scale,
+                                 quick=quick), *res,
+    )
+    return vjp(g)
+
+
+fused_vit_block.defvjp(_full_vjp_fwd, _full_vjp_bwd)
+
+
 @functools.partial(
     jax.custom_vjp, nondiff_argnums=(7, 8, 9, 10)
 )

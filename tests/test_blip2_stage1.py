@@ -71,17 +71,22 @@ def test_stage1_feature_extractor(model_and_batch):
     assert registry.get_model_class("blip2_feature_extractor") is type(model)
 
 
-def test_family_stub_errors():
-    cls = registry.get_model_class("alpro_qa")
-    with pytest.raises(NotImplementedError):
-        cls()
-    registry.get_model_class("timesformer")
-    registry.get_model_class("pnp_vqa")
-    # implemented-for-real families resolve to real classes
+def test_model_zoo_has_no_stubs():
+    """Every LAVIS family the reference registers resolves to a REAL class
+    (round 1 shipped 5 NotImplementedError stubs; round 2 finished the zoo)."""
     from sprc_tpu.models.albef import AlbefRetrieval
+    from sprc_tpu.models.alpro import AlproQA, AlproRetrieval, TimeSformerModel
     from sprc_tpu.models.blip1 import BlipRetrieval
     from sprc_tpu.models.gpt_dialogue import GPTDialogue
+    from sprc_tpu.models.pnp_vqa import Img2PromptVqaPipeline, PnpVqaPipeline
 
+    assert registry.get_model_class("alpro_qa") is AlproQA
+    assert registry.get_model_class("alpro_retrieval") is AlproRetrieval
+    assert registry.get_model_class("timesformer") is TimeSformerModel
+    assert registry.get_model_class("pnp_vqa") is PnpVqaPipeline
+    assert registry.get_model_class("img2prompt_vqa") is Img2PromptVqaPipeline
     assert registry.get_model_class("albef_retrieval") is AlbefRetrieval
     assert registry.get_model_class("blip_retrieval") is BlipRetrieval
     assert registry.get_model_class("gpt_dialogue") is GPTDialogue
+    for name in registry.list("model"):
+        assert not registry.get_model_class(name).__name__.startswith("Stub_"), name

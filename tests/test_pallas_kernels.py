@@ -185,3 +185,82 @@ def test_vit_block_fused_path_matches_unfused(eva, rng, monkeypatch):
     assert jax.tree_util.tree_structure(params_f) == jax.tree_util.tree_structure(params)
     got = blk.apply({"params": params}, x)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=5e-5)
+
+
+def test_fused_vit_block_matches_xla(rng):
+    from sprc_tpu.ops.pallas_block import _full_xla_ref, fused_vit_block
+
+    B, S, W, H, M = 8, 13, 64, 4, 128
+    shapes = [(B, S, W), (W,), (W,), (W, 3 * W), (3 * W,), (W, W), (W,),
+              (W,), (W,), (W, M), (M,), (M, W), (W,)]
+    args = [jnp.asarray((rng.randn(*sh) * 0.1).astype(np.float32)) for sh in shapes]
+    args[1] = args[1] + 1
+    args[7] = args[7] + 1
+    scale = (W // H) ** -0.5
+    for quick in (False, True):
+        got = fused_vit_block(*args, H, 1e-5, scale, quick, 4)
+        want = _full_xla_ref(*args, heads=H, eps=1e-5, scale=scale, quick=quick)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=5e-6)
+    # grad flows through the XLA-recompute VJP
+    g = jax.grad(lambda x_: jnp.sum(
+        fused_vit_block(x_, *args[1:], H, 1e-5, scale, False, 4) ** 2))(args[0])
+    g2 = jax.grad(lambda x_: jnp.sum(
+        _full_xla_ref(x_, *args[1:], heads=H, eps=1e-5, scale=scale,
+                      quick=False) ** 2))(args[0])
+    np.testing.assert_allclose(np.asarray(g), np.asarray(g2), atol=5e-4)
+
+
+def test_fused_vit_block_i8_close_to_fp(rng):
+    from sprc_tpu.ops.pallas_block import _full_xla_ref, fused_vit_block_i8
+    from sprc_tpu.ops.quant import quantize_weight
+
+    B, S, W, H, M = 4, 9, 32, 2, 64
+    x = jnp.asarray((rng.randn(B, S, W) * 0.5).astype(np.float32))
+    l1s = jnp.ones(W); l1b = jnp.zeros(W); l2s = jnp.ones(W); l2b = jnp.zeros(W)
+    wqkv = jnp.asarray((rng.randn(W, 3 * W) * 0.05).astype(np.float32))
+    wproj = jnp.asarray((rng.randn(W, W) * 0.05).astype(np.float32))
+    w1 = jnp.asarray((rng.randn(W, M) * 0.05).astype(np.float32))
+    w2 = jnp.asarray((rng.randn(M, W) * 0.05).astype(np.float32))
+    zb3, zbW, zbM = jnp.zeros(3 * W), jnp.zeros(W), jnp.zeros(M)
+    scale = (W // H) ** -0.5
+    wq8, sq = quantize_weight(wqkv)
+    wp8, sp = quantize_weight(wproj)
+    w18, s1 = quantize_weight(w1)
+    w28, s2 = quantize_weight(w2)
+    acts = (4.0 / 127, 3.0 / 127, 4.0 / 127, 3.0 / 127)
+    got = fused_vit_block_i8(x, l1s, l1b, wq8, sq, zb3, wp8, sp, zbW, l2s, l2b,
+                             w18, s1, zbM, w28, s2, zbW, heads=H, eps=1e-5,
+                             scale=scale, quick=True, acts=acts, G=4)
+    ref = _full_xla_ref(x, l1s, l1b, wqkv, zb3, wproj, zbW, l2s, l2b, w1, zbM,
+                        w2, zbW, heads=H, eps=1e-5, scale=scale, quick=True)
+    rel = float(jnp.max(jnp.abs(got - ref))) / float(jnp.max(jnp.abs(ref)))
+    assert rel < 0.05, rel
+
+
+def test_vit_block_int8_megakernel_param_tree(rng, monkeypatch):
+    """int8_static + SPRC_PALLAS_BLOCK=force routes to the int8 megakernel
+    with an UNCHANGED param tree and output close to the fp path."""
+    from sprc_tpu.models.vit import ViTBlock, ViTConfig
+
+    scales = (("mlp_fc1", 0.05), ("mlp_fc2", 0.05), ("proj", 0.05), ("qkv", 0.05))
+    cfg = ViTConfig(image_size=28, patch_size=14, width=32, depth=1,
+                    num_heads=2, mlp_hidden=64, dtype=jnp.float32)
+    cfg_i8 = dataclasses_replace(cfg, quant="int8_static", act_scales=scales)
+    x = jnp.asarray((rng.randn(4, 5, 32) * 0.3).astype(np.float32))
+
+    monkeypatch.delenv("SPRC_PALLAS_BLOCK", raising=False)
+    params = ViTBlock(cfg).init(jax.random.PRNGKey(0), x)["params"]
+    want = ViTBlock(cfg).apply({"params": params}, x)
+
+    monkeypatch.setenv("SPRC_PALLAS_BLOCK", "force")
+    params_q = ViTBlock(cfg_i8).init(jax.random.PRNGKey(0), x)["params"]
+    assert jax.tree_util.tree_structure(params_q) == jax.tree_util.tree_structure(params)
+    got = ViTBlock(cfg_i8).apply({"params": params}, x)
+    rel = float(jnp.max(jnp.abs(got - want))) / float(jnp.max(jnp.abs(want)))
+    assert rel < 0.06, rel
+
+
+def dataclasses_replace(cfg, **kw):
+    import dataclasses
+
+    return dataclasses.replace(cfg, **kw)
