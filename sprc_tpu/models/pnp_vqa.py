@@ -35,7 +35,10 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+from flax import linen as nn
+
 from sprc_tpu.models.generation import greedy_generate_fn, sample_generate
+from sprc_tpu.models.t5 import T5Config, T5ForConditionalGeneration
 from sprc_tpu.registry import registry
 from sprc_tpu.utils.gradcam import compute_gradcam
 
@@ -442,3 +445,61 @@ class Img2PromptVqaPipeline(PnpVqaPipeline):
 # three submodels from sub-configs the same way).
 registry.register_model("pnp_vqa", override=True)(PnpVqaPipeline)
 registry.register_model("img2prompt_vqa", override=True)(Img2PromptVqaPipeline)
+
+
+class FiDT5(nn.Module):
+    """Fusion-in-Decoder T5 (reference pnp_vqa_models/pnp_unifiedqav2_fid.py:
+    19-110, after facebookresearch/FiD): each of ``n_ctx`` contexts is
+    encoded INDEPENDENTLY (relative-position bias stays per-context), then
+    the decoder cross-attends over the concatenation of all encoder outputs.
+
+    Inputs are ``[B, n_ctx, L]``; the reference flattens to ``[B, n_ctx*L]``
+    and un-flattens inside its encoder wrapper — here the reshape pair is
+    explicit and jit-friendly (static n_ctx from the input shape).
+    """
+
+    config: T5Config
+
+    def setup(self) -> None:
+        self.t5 = T5ForConditionalGeneration(self.config, name="t5")
+
+    def encode_contexts(self, input_ids, attention_mask):
+        """[B, n_ctx, L] -> (enc_out [B, n_ctx*L, D], mask [B, n_ctx*L])."""
+        B, n_ctx, L = input_ids.shape
+        enc = self.t5.encode_ids(
+            input_ids.reshape(B * n_ctx, L), attention_mask.reshape(B * n_ctx, L)
+        )
+        D = enc.shape[-1]
+        return enc.reshape(B, n_ctx * L, D), attention_mask.reshape(B, n_ctx * L)
+
+    def __call__(self, input_ids, attention_mask, decoder_input_ids,
+                 decoder_mask=None):
+        enc_out, enc_mask = self.encode_contexts(input_ids, attention_mask)
+        return self.t5.decode(decoder_input_ids, enc_out, enc_mask, decoder_mask)
+
+    def decode(self, decoder_input_ids, enc_out, enc_mask=None, decoder_mask=None):
+        return self.t5.decode(decoder_input_ids, enc_out, enc_mask, decoder_mask)
+
+
+def fid_generate(model, params, input_ids, attention_mask, *, pad_id: int,
+                 eos_id: int, max_length: int = 20, min_length: int = 0):
+    """Greedy FiD generation (reference .generate, num_beams=1 default)."""
+    enc_out, enc_mask = model.apply(
+        {"params": params}, input_ids, attention_mask,
+        method=model.encode_contexts,
+    )
+
+    def logits_fn(dec_ids):
+        return model.apply(
+            {"params": params}, dec_ids, enc_out, enc_mask, method=model.decode
+        )
+
+    B = input_ids.shape[0]
+    bos = jnp.full((B, 1), pad_id, jnp.int32)  # T5 decoding starts at pad
+    return greedy_generate_fn(
+        logits_fn, bos, eos_token_id=eos_id, pad_token_id=pad_id,
+        max_length=max_length, min_length=min_length,
+    )
+
+
+registry.register_model("pnp_unifiedqav2_fid", override=True)(FiDT5)

@@ -294,7 +294,7 @@ class ViTBlock(nn.Module):
         fusable = blk_flag == "force" or (  # interpret mode has no lane rules
             jax.default_backend() == "tpu" and cfg.width % 128 == 0
         )
-        G = int(os.environ.get("SPRC_PALLAS_BLOCK_G", "8"))
+        G = int(os.environ.get("SPRC_PALLAS_BLOCK_G", "4"))  # G=8 megakernel compile is pathological
         if blk_flag in ("1", "force") and fusable and (
             cfg.quant in (None, "int8_static")
         ):
