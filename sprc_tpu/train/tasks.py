@@ -128,3 +128,7 @@ class ImageTextRetrievalTask(BaseTask):
             k_test=min(self.k_test, len(texts)),
         )
         return retrieval_recalls(s_i2t, s_t2i, img2txt, txt2img)
+
+
+# the generic LAVIS eval-task family registers on import
+from sprc_tpu.train import eval_tasks as _eval_tasks  # noqa: E402,F401
