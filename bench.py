@@ -299,7 +299,8 @@ def main() -> None:
     if "query" in modes:
         run(
             "query_scoring_queries_per_sec", bench_query,
-            64 if tpu else 2, 10 if tpu else 2, 10000 if tpu else 16,
+            int(os.environ.get("SPRC_BENCH_QUERY_BATCH", "64")) if tpu else 2,
+            10 if tpu else 2, 10000 if tpu else 16,
         )
     if "train" in modes:
         run("train_step_imgs_per_sec", bench_train, 32 if tpu else 2, 6 if tpu else 2)

@@ -228,7 +228,8 @@ def mode_block():
                 wp8, sp, jnp.zeros((W,), jnp.float32), p["s2"], p["b2"],
                 w18, s1q, jnp.zeros((M,), jnp.float32), w28, s2q,
                 jnp.zeros((W,), jnp.float32), heads=Hd, eps=1e-5,
-                scale=(W // Hd) ** -0.5, quick=True, acts=acts, G=4,
+                scale=(W // Hd) ** -0.5, quick=True, acts=acts,
+                G=int(os.environ.get("SPRC_FBLK_G", "4")),
             )
 
         @jax.jit

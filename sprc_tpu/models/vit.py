@@ -294,7 +294,11 @@ class ViTBlock(nn.Module):
         fusable = blk_flag == "force" or (  # interpret mode has no lane rules
             jax.default_backend() == "tpu" and cfg.width % 128 == 0
         )
-        G = int(os.environ.get("SPRC_PALLAS_BLOCK_G", "4"))  # G=8 megakernel compile is pathological
+        # measured (MEASUREMENTS.md): int8 megakernel best at G=8
+        # (10.87 ms/block); bf16 at G=4 (13.37-15.1); both compile in ~8 min
+        # cold through the tunnel, cached afterwards
+        G_default = "8" if cfg.quant == "int8_static" else "4"
+        G = int(os.environ.get("SPRC_PALLAS_BLOCK_G", G_default))
         if blk_flag in ("1", "force") and fusable and (
             cfg.quant in (None, "int8_static")
         ):

@@ -44,6 +44,32 @@ _LOG2E = 1.4426950408889634
 
 def _attend(qkv, W, D, heads, scale, dtype, *, perhead: bool):
     """qkv [S, 3W] (packed q|k|v thirds) or [S, 3D] per-head -> ctx."""
+    import os
+
+    mode = os.environ.get("SPRC_FBLK_ATTN", "batched")  # 10.33 vs 10.87 ms int8 megablock
+    if mode in ("batched", "batched_nomax") and not perhead:
+        # stack heads into a leading batch dim (VMEM copies) so all score /
+        # PV matmuls issue as ONE batched dot_general and the softmax
+        # vectorizes over [H, S, S] at once
+        q = jnp.stack([qkv[:, h * D:(h + 1) * D] for h in range(heads)])
+        k = jnp.stack([qkv[:, W + h * D:W + (h + 1) * D] for h in range(heads)])
+        v = jnp.stack([qkv[:, 2 * W + h * D:2 * W + (h + 1) * D] for h in range(heads)])
+        s = jax.lax.dot_general(
+            q * (scale * _LOG2E), k, (((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )  # [H, S, S]
+        if mode == "batched_nomax":
+            # exp2 without max-subtraction: safe while |scores*log2e| < 127
+            # (LN'd activations; serving path), saves a full [H,S,S] max pass
+            p = jnp.exp2(s).astype(dtype)
+        else:
+            p = jnp.exp2(s - jnp.max(s, axis=-1, keepdims=True)).astype(dtype)
+        denom = jnp.sum(p.astype(jnp.float32), axis=-1, keepdims=True)
+        o = jax.lax.dot_general(
+            p, v, (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        ) / denom  # [H, S, D]
+        return jnp.concatenate([o[h] for h in range(heads)], axis=-1).astype(dtype)
     outs = []
     for hh in range(heads):
         if perhead:
