@@ -56,8 +56,10 @@ def _build(vit_quant=None, act_scales=None):
     from sprc_tpu.models.cir_base import CirConfig
     from sprc_tpu.registry import registry
 
+    # SPRC_BENCH_VIT=eva benches the ViT-g ("pretrain") flagship tower
+    vit = "eva_clip_g" if os.environ.get("SPRC_BENCH_VIT") == "eva" else "clip_L"
     cfg = CirConfig(
-        vit_model="clip_L", vit_dtype=jnp.bfloat16, qformer_dtype=jnp.bfloat16,
+        vit_model=vit, vit_dtype=jnp.bfloat16, qformer_dtype=jnp.bfloat16,
     )
     if vit_quant:
         vcfg = dataclasses.replace(
@@ -299,13 +301,16 @@ def main() -> None:
     if "query" in modes:
         run(
             "query_scoring_queries_per_sec", bench_query,
-            int(os.environ.get("SPRC_BENCH_QUERY_BATCH", "64")) if tpu else 2,
+            int(os.environ.get("SPRC_BENCH_QUERY_BATCH", "256")) if tpu else 2,
             10 if tpu else 2, 10000 if tpu else 16,
         )
     if "train" in modes:
         run("train_step_imgs_per_sec", bench_train, 32 if tpu else 2, 6 if tpu else 2)
     if "index" in modes:
-        run("index_build_imgs_per_sec", bench_index,
+        # through the axon HTTP relay this measures tunnel bandwidth, not
+        # the framework: each batch uploads ~100 MB of decoded pixels at
+        # ~4 MB/s (MEASUREMENTS.md); labeled accordingly
+        run("index_build_imgs_per_sec_tunnel_bound", bench_index,
             enc_batch, 4 * enc_batch if tpu else 4)
 
     int8_v = extras.get("encode_int8_imgs_per_sec")
