@@ -216,6 +216,25 @@ def _xla_ref(x, ln_s, ln_b, wqkv, bqkv, wproj, bproj, *, heads, eps, scale):
     return x + out.astype(x.dtype)
 
 
+def _erf_approx(x):
+    """Abramowitz-Stegun 7.1.26 rational erf (max abs err 1.5e-7 — far below
+    bf16 resolution). Mosaic has no erf/erfc lowering, so exact-GELU models
+    (EVA ViT-g, BLIP-1 ViT-B) need this inside the kernel."""
+    a1, a2, a3, a4, a5 = (
+        0.254829592, -0.284496736, 1.421413741, -1.453152027, 1.061405429)
+    p = 0.3275911
+    sign = jnp.sign(x)
+    ax = jnp.abs(x)
+    t = 1.0 / (1.0 + p * ax)
+    poly = t * (a1 + t * (a2 + t * (a3 + t * (a4 + t * a5))))
+    return sign * (1.0 - poly * jnp.exp(-ax * ax))
+
+
+def _gelu_exact_f32(x):
+    """0.5 x (1 + erf(x / sqrt(2))) with the in-kernel erf."""
+    return 0.5 * x * (1.0 + _erf_approx(x * 0.7071067811865476))
+
+
 def _ln_f32(x32, s, b, eps):
     m = x32.mean(-1, keepdims=True)
     var = jnp.square(x32 - m).mean(-1, keepdims=True)
@@ -265,7 +284,7 @@ def _full_kernel(x_ref, l1s_ref, l1b_ref, wqkv_ref, bqkv_ref, wproj_ref,
         if quick:
             hid = hid * jax.nn.sigmoid(1.702 * hid)
         else:
-            hid = jax.nn.gelu(hid, approximate=False)
+            hid = _gelu_exact_f32(hid)  # Mosaic has no erf; see _erf_approx
         out = jax.lax.dot_general(
             hid.astype(xb.dtype), w2, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
@@ -395,7 +414,7 @@ def _full_kernel_i8(x_ref, l1s_ref, l1b_ref, wqkv_ref, sqkv_ref, bqkv_ref,
         if quick:
             hid = hid * jax.nn.sigmoid(1.702 * hid)
         else:
-            hid = jax.nn.gelu(hid, approximate=False)
+            hid = _gelu_exact_f32(hid)  # Mosaic has no erf; see _erf_approx
         h8 = _q8(hid, 1.0 / a_fc2)
         out = jax.lax.dot_general(
             h8, w2, (((1,), (0,)), ((), ())),
