@@ -315,10 +315,11 @@ def main() -> None:
 
     int8_v = extras.get("encode_int8_imgs_per_sec")
     bf16_v = extras.get("encode_bf16_imgs_per_sec")
+    tower = "vitG" if os.environ.get("SPRC_BENCH_VIT") == "eva" else "vitL"
     if int8_v and (not bf16_v or int8_v >= bf16_v):
-        metric, value = f"gallery_encode_vitL_int8_{backend}", int8_v
+        metric, value = f"gallery_encode_{tower}_int8_{backend}", int8_v
     else:
-        metric, value = f"gallery_encode_vitL_bf16_{backend}", bf16_v or 0.0
+        metric, value = f"gallery_encode_{tower}_bf16_{backend}", bf16_v or 0.0
     print(
         json.dumps(
             {

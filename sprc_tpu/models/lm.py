@@ -407,15 +407,30 @@ def cached_greedy_generate(
         y = _p_ln(hp["ln"], y, eps).astype(dtype)
         return _p_dense(hp["decoder"], y, dtype)[:, 0, :], k_cache, v_cache
 
-    logits = first_logits(prefill_hidden)
-    for t in range(1, max_length):
-        if t < min_length:
-            logits = logits.at[:, eos_token_id].set(-1e9)
+    @jax.jit
+    def sample_and_step(logits, finished, ids, t, suppress_eos, k_cache, v_cache):
+        """Token selection + bookkeeping + one cached step in ONE dispatch
+        (the unfused host loop paid ~6 small dispatches per token — ~250 ms
+        of relay RTT each through the axon tunnel)."""
+        logits = jnp.where(
+            suppress_eos,
+            logits.at[:, eos_token_id].set(-1e9),
+            logits,
+        )
         next_tok = jnp.argmax(logits, axis=-1).astype(jnp.int32)
         next_tok = jnp.where(finished, pad_token_id, next_tok)
         ids = ids.at[:, t].set(next_tok)
         finished = finished | (next_tok == eos_token_id)
-        if bool(jnp.all(finished)) or t == max_length - 1:
-            break
         logits, k_cache, v_cache = step(next_tok, t, k_cache, v_cache)
+        return logits, finished, ids, k_cache, v_cache
+
+    logits = first_logits(prefill_hidden)
+    for t in range(1, max_length):
+        logits, finished, ids, k_cache, v_cache = sample_and_step(
+            logits, finished, ids, t, t < min_length, k_cache, v_cache
+        )
+        # early-exit readback only every 4 tokens: each host sync costs a
+        # full dispatch round trip
+        if t % 4 == 0 and bool(jnp.all(finished)):
+            break
     return ids
