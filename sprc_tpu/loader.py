@@ -90,10 +90,37 @@ def load_model_and_preprocess(
     from sprc_tpu.text.processors import CaptionProcessor
 
     model, params = load_model(name, model_type, checkpoint_path, **kw)
-    image_size = model.cfg.image_size
-    vis = {
-        "train": targetpad_transform(1.25, image_size),
-        "eval": targetpad_transform(1.25, image_size),
-    }
+    image_size = getattr(model.cfg, "image_size", 224)
+
+    # per-family default preprocess, mirroring the reference's per-model
+    # YAML-resolved processors (src/lavis/models/__init__.py:152-201):
+    # CIR models keep the targetpad eval contract (data_utils.py:91-105);
+    # video families get the ALPRO clip processors; everything else gets
+    # the BLIP train/eval image processors.
+    if name.startswith(("alpro", "timesformer")):
+        from sprc_tpu.data.video_processors import (
+            AlproVideoEvalProcessor,
+            AlproVideoTrainProcessor,
+        )
+
+        vis = {
+            "train": AlproVideoTrainProcessor(image_size=image_size),
+            "eval": AlproVideoEvalProcessor(image_size=image_size),
+        }
+    elif "cir" in name or name.startswith("blip2"):
+        vis = {
+            "train": targetpad_transform(1.25, image_size),
+            "eval": targetpad_transform(1.25, image_size),
+        }
+    else:
+        from sprc_tpu.data.processors import (
+            BlipImageEvalProcessor,
+            BlipImageTrainProcessor,
+        )
+
+        vis = {
+            "train": BlipImageTrainProcessor(image_size=image_size),
+            "eval": BlipImageEvalProcessor(image_size=image_size),
+        }
     txt = {"train": CaptionProcessor(), "eval": CaptionProcessor()}
     return model, params, vis, txt

@@ -294,10 +294,12 @@ class ViTBlock(nn.Module):
         fusable = blk_flag == "force" or (  # interpret mode has no lane rules
             jax.default_backend() == "tpu" and cfg.width % 128 == 0
         )
-        # measured (MEASUREMENTS.md): int8 megakernel best at G=8
-        # (10.87 ms/block); bf16 at G=4 (13.37-15.1); both compile in ~8 min
-        # cold through the tunnel, cached afterwards
-        G_default = "8" if cfg.quant == "int8_static" else "4"
+        # measured (MEASUREMENTS.md): G=8 best for both ViT-L paths with
+        # batched head attention (int8 10.78 ms/block, bf16 14.07). Wider
+        # towers (EVA ViT-g: 50 MB of weights VMEM-resident) stay at G=4,
+        # the measured-safe config. Cold compiles run 8-25 min through the
+        # tunnel, cached afterwards.
+        G_default = "8" if cfg.width <= 1024 else "4"
         G = int(os.environ.get("SPRC_PALLAS_BLOCK_G", G_default))
         if blk_flag in ("1", "force") and fusable and (
             cfg.quant in (None, "int8_static")

@@ -264,3 +264,19 @@ def dataclasses_replace(cfg, **kw):
     import dataclasses
 
     return dataclasses.replace(cfg, **kw)
+
+
+@pytest.mark.parametrize("B", [3, 5, 6])
+def test_vit_block_fused_odd_batches(B, rng, monkeypatch):
+    """G halves down to divide any batch (odd batches -> G=1)."""
+    from sprc_tpu.models.vit import ViTBlock, ViTConfig
+
+    cfg = ViTConfig(image_size=28, patch_size=14, width=32, depth=1,
+                    num_heads=2, mlp_hidden=64, dtype=jnp.float32)
+    x = jnp.asarray(rng.randn(B, 5, 32).astype(np.float32))
+    monkeypatch.delenv("SPRC_PALLAS_BLOCK", raising=False)
+    params = ViTBlock(cfg).init(jax.random.PRNGKey(0), x)["params"]
+    want = ViTBlock(cfg).apply({"params": params}, x)
+    monkeypatch.setenv("SPRC_PALLAS_BLOCK", "force")
+    got = ViTBlock(cfg).apply({"params": params}, x)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=5e-5)
