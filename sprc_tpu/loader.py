@@ -24,6 +24,26 @@ MODEL_TYPES = {
 }
 
 
+def _family_config_class(cls):
+    """Resolve the config dataclass of a flax model from its ``cfg`` /
+    ``config`` field annotation (every family here follows that shape)."""
+    import dataclasses
+    import typing
+
+    if not dataclasses.is_dataclass(cls):
+        return None
+    try:
+        hints = typing.get_type_hints(cls)
+    except Exception:
+        hints = {}
+    for field in dataclasses.fields(cls):
+        if field.name in ("cfg", "config"):
+            ann = hints.get(field.name, field.type)
+            if dataclasses.is_dataclass(ann):
+                return ann
+    return None
+
+
 def build_model(
     name: str,
     model_type: str = "pretrain",
@@ -32,10 +52,38 @@ def build_model(
     qformer_dtype=jnp.float32,
     **overrides: Any,
 ):
-    """Return an (uninitialized) model module for a registry name."""
+    """Return an (uninitialized) model module for a registry name.
+
+    BLIP-2/CIR names resolve ``model_type`` to a vision tower like the
+    reference's PRETRAINED_MODEL_CONFIG_DICT; every other family builds its
+    own config dataclass from defaults + ``overrides`` (the analogue of the
+    reference's per-model ``from_config``,
+    src/lavis/models/__init__.py:204-249)."""
+    import dataclasses
+
     from sprc_tpu.models.cir_base import CirConfig
 
     cls = registry.get_model_class(name)
+
+    cfg_cls = _family_config_class(cls)
+    if cfg_cls is not None and cfg_cls is not CirConfig:
+        valid = {f.name for f in dataclasses.fields(cfg_cls)}
+        kw = {k: v for k, v in overrides.items() if k in valid}
+        unknown = set(overrides) - valid
+        if unknown:
+            raise TypeError(
+                f"{name}: unknown config fields {sorted(unknown)} "
+                f"(valid: {sorted(valid)})"
+            )
+        if "dtype" in valid and "dtype" not in kw:
+            kw["dtype"] = vit_dtype
+        return cls(cfg_cls(**kw))
+    if cfg_cls is None and not hasattr(cls, "cfg"):
+        raise TypeError(
+            f"model '{name}' is a composed pipeline; construct it directly "
+            f"from its submodels (see {cls.__module__})"
+        )
+
     vit_model = MODEL_TYPES.get(model_type, model_type)
     cfg = CirConfig(
         vit_model=vit_model,

@@ -84,3 +84,28 @@ def test_train_cli_yaml_wiring(monkeypatch):
     assert captured["learning_rate"] == 5e-6  # dotlist override applied
     assert captured["model_type"] == "pretrain_vitL"  # vit_model override
     assert captured["selection_metric"] == "arithmetic_mean"
+
+
+def test_factory_builds_every_registry_model():
+    """build_model resolves a family-appropriate config for every registered
+    name (reference load_model_and_preprocess works for the whole zoo,
+    src/lavis/models/__init__.py:204-249); composed pipelines raise a
+    directing error instead of mis-constructing."""
+    import pytest
+
+    import sprc_tpu
+    from sprc_tpu.loader import build_model
+
+    pipelines = set()
+    for name in sorted(sprc_tpu.registry.list("model")):
+        try:
+            model = build_model(name)
+        except TypeError as e:
+            assert "pipeline" in str(e)
+            pipelines.add(name)
+            continue
+        assert model is not None, name
+    assert pipelines == {"pnp_vqa", "img2prompt_vqa"}
+
+    with pytest.raises(TypeError, match="unknown config fields"):
+        build_model("albef_retrieval", not_a_field=1)
