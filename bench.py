@@ -305,7 +305,11 @@ def main() -> None:
             10 if tpu else 2, 10000 if tpu else 16,
         )
     if "train" in modes:
-        run("train_step_imgs_per_sec", bench_train, 32 if tpu else 2, 6 if tpu else 2)
+        run("train_step_imgs_per_sec", bench_train,
+            # b64 measured best (204 imgs/s vs 164 at b32; b128 OOMs the 16 GB
+            # chip without remat — reference effective-128 = b64 + grad_accum 2)
+            int(os.environ.get("SPRC_BENCH_TRAIN_BATCH", "64")) if tpu else 2,
+            6 if tpu else 2)
     if "index" in modes:
         # through the axon HTTP relay this measures tunnel bandwidth, not
         # the framework: each batch uploads ~100 MB of decoded pixels at
