@@ -75,8 +75,8 @@ def build_model(
                 f"{name}: unknown config fields {sorted(unknown)} "
                 f"(valid: {sorted(valid)})"
             )
-        if "dtype" in valid and "dtype" not in kw:
-            kw["dtype"] = vit_dtype
+        # family configs keep their OWN dtype defaults (e.g. the T5 QA
+        # reader is fp32 in the reference); pass dtype= explicitly to change
         return cls(cfg_cls(**kw))
     if cfg_cls is None and not hasattr(cls, "cfg"):
         raise TypeError(

@@ -12,10 +12,28 @@ kwargs: do_sample, top_k, top_p, repetition_penalty).
 
 from __future__ import annotations
 
+import weakref
 from typing import Callable, Optional
 
 import jax
 import jax.numpy as jnp
+
+# jitted decode steps cached per logits_fn OBJECT (+ static hyperparams):
+# a fresh @jax.jit inside every generate call would retrace/recompile the
+# whole decode program per call (remote compiles cost minutes). Callers that
+# want cross-call reuse must pass a long-lived logits_fn and thread per-call
+# tensors through ``memory`` instead of closing over them.
+_STEP_CACHE: "weakref.WeakKeyDictionary" = weakref.WeakKeyDictionary()
+
+
+def _cached_jit(logits_fn, key, build):
+    try:
+        table = _STEP_CACHE.setdefault(logits_fn, {})
+    except TypeError:  # unhashable callable: fall back to uncached
+        return jax.jit(build())
+    if key not in table:
+        table[key] = jax.jit(build())
+    return table[key]
 
 
 def _apply_repetition_penalty(logits, ids, step, penalty):
@@ -25,9 +43,12 @@ def _apply_repetition_penalty(logits, ids, step, penalty):
         return logits
     B, V = logits.shape
     pos = jnp.arange(ids.shape[1])[None, :] < step
+    # scatter-MAX: masked positions all index column 0 with False, which a
+    # plain .set could let clobber a real token-0 occurrence's True
+    # (duplicate-index scatter order is unspecified)
     seen = jnp.zeros((B, V), bool).at[
         jnp.arange(B)[:, None], jnp.where(pos, ids, 0)
-    ].set(pos)
+    ].max(pos)
     penalized = jnp.where(logits > 0, logits / penalty, logits * penalty)
     return jnp.where(seen, penalized, logits)
 
@@ -54,7 +75,7 @@ def _filter_top_p(logits, p):
 
 
 def sample_generate(
-    logits_fn: Callable[[jnp.ndarray], jnp.ndarray],
+    logits_fn: Callable,
     prompt_ids: jnp.ndarray,  # [B, P] (the fixed decode prefix, e.g. bos+prompt)
     *,
     rng: jax.Array,
@@ -66,71 +87,91 @@ def sample_generate(
     top_p: float = 1.0,
     temperature: float = 1.0,
     repetition_penalty: float = 1.0,
+    memory=None,
 ) -> jnp.ndarray:
-    """Nucleus/top-k sampling -> token ids [B, max_length]."""
+    """Nucleus/top-k sampling -> token ids [B, max_length].
+
+    ``logits_fn(ids)`` or, when ``memory`` is given, ``logits_fn(ids,
+    memory)`` — pass per-call tensors (encoder memories) via ``memory`` so a
+    long-lived logits_fn keeps one compiled decode step across calls."""
     B, P = prompt_ids.shape
     assert P < max_length
     ids = jnp.full((B, max_length), pad_token_id, jnp.int32)
     ids = ids.at[:, :P].set(prompt_ids)
     finished = jnp.zeros((B,), bool)
 
-    @jax.jit
-    def step_fn(ids, finished, step, key):
-        logits = logits_fn(ids)[:, step - 1, :].astype(jnp.float32)
-        logits = _apply_repetition_penalty(
-            logits, ids, step, repetition_penalty
-        )
-        logits = jnp.where(
-            (step < min_length + P),
-            logits.at[:, eos_token_id].set(-jnp.inf),
-            logits,
-        ) if min_length > 0 else logits
-        logits = logits / max(temperature, 1e-6)
-        logits = _filter_top_p(_filter_top_k(logits, top_k), top_p)
-        tok = jax.random.categorical(key, logits, axis=-1).astype(jnp.int32)
-        tok = jnp.where(finished, pad_token_id, tok)
-        ids = ids.at[:, step].set(tok)
-        return ids, finished | (tok == eos_token_id)
+    def build():
+        def step_fn(ids, finished, step, key, memory):
+            raw = logits_fn(ids) if memory is None else logits_fn(ids, memory)
+            logits = raw[:, step - 1, :].astype(jnp.float32)
+            logits = _apply_repetition_penalty(
+                logits, ids, step, repetition_penalty
+            )
+            logits = jnp.where(
+                (step < min_length + P),
+                logits.at[:, eos_token_id].set(-jnp.inf),
+                logits,
+            ) if min_length > 0 else logits
+            logits = logits / max(temperature, 1e-6)
+            logits = _filter_top_p(_filter_top_k(logits, top_k), top_p)
+            tok = jax.random.categorical(key, logits, axis=-1).astype(jnp.int32)
+            tok = jnp.where(finished, pad_token_id, tok)
+            ids = ids.at[:, step].set(tok)
+            return ids, finished | (tok == eos_token_id)
+        return step_fn
+
+    key_ = ("sample", P, max_length, min_length, top_k, float(top_p),
+            float(temperature), float(repetition_penalty), eos_token_id,
+            pad_token_id, memory is None)
+    step_fn = _cached_jit(logits_fn, key_, build)
 
     for step in range(P, max_length):
         rng, key = jax.random.split(rng)
-        ids, finished = step_fn(ids, finished, step, key)
+        ids, finished = step_fn(ids, finished, step, key, memory)
         if bool(jnp.all(finished)):
             break
     return ids
 
 
 def greedy_generate_fn(
-    logits_fn: Callable[[jnp.ndarray], jnp.ndarray],
+    logits_fn: Callable,
     prompt_ids: jnp.ndarray,
     *,
     eos_token_id: int,
     pad_token_id: int,
     max_length: int = 20,
     min_length: int = 0,
+    memory=None,
 ) -> jnp.ndarray:
-    """Greedy decode over a generic logits_fn -> [B, max_length]."""
+    """Greedy decode over a generic logits_fn -> [B, max_length]; pass
+    per-call tensors via ``memory`` (see sample_generate)."""
     B, P = prompt_ids.shape
     ids = jnp.full((B, max_length), pad_token_id, jnp.int32)
     ids = ids.at[:, :P].set(prompt_ids)
     finished = jnp.zeros((B,), bool)
 
-    @jax.jit
-    def step_fn(ids, finished, step):
-        logits = logits_fn(ids)[:, step - 1, :].astype(jnp.float32)
-        if min_length > 0:
-            logits = jnp.where(
-                step < min_length + P,
-                logits.at[:, eos_token_id].set(-jnp.inf),
-                logits,
-            )
-        tok = jnp.argmax(logits, axis=-1).astype(jnp.int32)
-        tok = jnp.where(finished, pad_token_id, tok)
-        ids = ids.at[:, step].set(tok)
-        return ids, finished | (tok == eos_token_id)
+    def build():
+        def step_fn(ids, finished, step, memory):
+            raw = logits_fn(ids) if memory is None else logits_fn(ids, memory)
+            logits = raw[:, step - 1, :].astype(jnp.float32)
+            if min_length > 0:
+                logits = jnp.where(
+                    step < min_length + P,
+                    logits.at[:, eos_token_id].set(-jnp.inf),
+                    logits,
+                )
+            tok = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+            tok = jnp.where(finished, pad_token_id, tok)
+            ids = ids.at[:, step].set(tok)
+            return ids, finished | (tok == eos_token_id)
+        return step_fn
+
+    key_ = ("greedy", P, max_length, min_length, eos_token_id, pad_token_id,
+            memory is None)
+    step_fn = _cached_jit(logits_fn, key_, build)
 
     for step in range(P, max_length):
-        ids, finished = step_fn(ids, finished, step)
+        ids, finished = step_fn(ids, finished, step, memory)
         if bool(jnp.all(finished)):
             break
     return ids

@@ -56,9 +56,13 @@ def prepare_qa_input(
     out = []
     for question, caps in zip(questions, captions):
         contexts, chunk = [], ""
-        for cap_id, cap in enumerate(list(caps)[:num_captions]):
+        kept = list(caps)[:num_captions]
+        for cap_id, cap in enumerate(kept):
             chunk += cap.strip() + ". "
-            last = (cap_id + 1) == num_captions
+            # the reference guarantees exactly num_captions upstream; here
+            # upstream filters can leave fewer, so 'last' must track the
+            # ACTUAL count or the trailing partial chunk is dropped
+            last = (cap_id + 1) == len(kept)
             if last or (cap_id + 1) % num_captions_fid == 0:
                 contexts.append(
                     question.lower().strip() + " \\n " + chunk.lower().strip()
@@ -187,12 +191,18 @@ class PnpVqaPipeline:
                 (B * num_captions, len(prompt_ids)),
             )
 
-            def logits_fn(ids):
-                mask = jnp.ones_like(ids)
-                return model.apply(
-                    {"params": params}, ids, mask, gathered,
-                    method=model.decode_logits,
-                )
+            # long-lived logits_fn (per-round patch memory threaded through
+            # ``memory``): ONE compiled decode step across rounds and calls
+            # instead of a fresh jit (minutes of remote compile) per round
+            logits_fn = self.__dict__.get("_cap_logits_fn")
+            if logits_fn is None:
+                def logits_fn(ids, memory):
+                    mask = jnp.ones_like(ids)
+                    return self.cap_model.apply(
+                        {"params": self.cap_params}, ids, mask, memory,
+                        method=self.cap_model.decode_logits,
+                    )
+                self.__dict__["_cap_logits_fn"] = logits_fn
 
             out = sample_generate(
                 logits_fn, prompts, rng=r2,
@@ -201,6 +211,7 @@ class PnpVqaPipeline:
                 max_length=cap_max_length, min_length=cap_min_length,
                 top_k=top_k, top_p=top_p,
                 repetition_penalty=repetition_penalty,
+                memory=gathered,
             )
             texts = [self.tokenizer.decode(row) for row in np.asarray(out)]
             for counter, text in enumerate(texts):
@@ -229,7 +240,13 @@ class PnpVqaPipeline:
         )
         model, params = self.qa_model, self.qa_params
         answers = []
-        for ctxs in contexts:
+        for question, ctxs in zip(questions, contexts):
+            if not ctxs:
+                # zero surviving captions (all sampled captions empty or
+                # ITM-filtered): an empty FiD memory would softmax over zero
+                # keys -> NaN logits -> garbage answer. Answer from the
+                # question alone instead.
+                ctxs = [question.lower().strip() + " \n "]
             enc = self.qa_tokenizer(ctxs, max_length=ctx_max_length)
             ids = jnp.asarray(enc["input_ids"], jnp.int32)  # [n_ctx, L]
             mask = jnp.asarray(enc["attention_mask"], jnp.int32)
@@ -242,15 +259,18 @@ class PnpVqaPipeline:
             enc_flat = enc_out.reshape(1, n_ctx * L, D)
             mask_flat = mask.reshape(1, n_ctx * L)
 
-            def logits_fn(dec_ids):
-                return model.apply(
-                    {"params": params}, dec_ids, enc_flat, mask_flat,
-                    method=model.decode,
-                )
+            logits_fn = self.__dict__.get("_qa_logits_fn")
+            if logits_fn is None:
+                def logits_fn(dec_ids, memory):
+                    return self.qa_model.apply(
+                        {"params": self.qa_params}, dec_ids, memory[0],
+                        memory[1], method=self.qa_model.decode,
+                    )
+                self.__dict__["_qa_logits_fn"] = logits_fn
 
             bos = jnp.asarray([[self.qa_tokenizer.pad_id]], jnp.int32)  # T5 starts at pad
             out = greedy_generate_fn(
-                logits_fn, bos,
+                logits_fn, bos, memory=(enc_flat, mask_flat),
                 eos_token_id=self.qa_tokenizer.eos_id,
                 pad_token_id=self.qa_tokenizer.pad_id,
                 max_length=max_len, min_length=min_len,
@@ -368,15 +388,19 @@ class Img2PromptVqaPipeline(PnpVqaPipeline):
                 {"params": params}, ids, mask, method=model.encode_ids
             )
 
-            def logits_fn(dec_ids):
-                return model.apply(
-                    {"params": params}, dec_ids, enc_out, mask,
-                    method=model.decode,
-                )
+            logits_fn = self.__dict__.get("_qa_logits_fn2")
+            if logits_fn is None:
+                def logits_fn(dec_ids, memory):
+                    return self.qa_model.apply(
+                        {"params": self.qa_params}, dec_ids, memory[0],
+                        memory[1], method=self.qa_model.decode,
+                    )
+                self.__dict__["_qa_logits_fn2"] = logits_fn
 
             bos = jnp.full((ids.shape[0], 1), self.qa_tokenizer.pad_id, jnp.int32)
             out = greedy_generate_fn(
-                logits_fn, bos, eos_token_id=self.qa_tokenizer.eos_id,
+                logits_fn, bos, memory=(enc_out, mask),
+                eos_token_id=self.qa_tokenizer.eos_id,
                 pad_token_id=self.qa_tokenizer.pad_id, max_length=max_length,
             )
             questions += [
@@ -489,16 +513,17 @@ def fid_generate(model, params, input_ids, attention_mask, *, pad_id: int,
         method=model.encode_contexts,
     )
 
-    def logits_fn(dec_ids):
+    def logits_fn(dec_ids, memory):
         return model.apply(
-            {"params": params}, dec_ids, enc_out, enc_mask, method=model.decode
+            {"params": params}, dec_ids, memory[0], memory[1],
+            method=model.decode,
         )
 
     B = input_ids.shape[0]
     bos = jnp.full((B, 1), pad_id, jnp.int32)  # T5 decoding starts at pad
     return greedy_generate_fn(
-        logits_fn, bos, eos_token_id=eos_id, pad_token_id=pad_id,
-        max_length=max_length, min_length=min_length,
+        logits_fn, bos, memory=(enc_out, enc_mask), eos_token_id=eos_id,
+        pad_token_id=pad_id, max_length=max_length, min_length=min_length,
     )
 
 

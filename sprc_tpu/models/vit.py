@@ -187,7 +187,14 @@ def _block_dense(
 
         w, b = DenseParams(x.shape[-1], features, use_bias=use_bias, name=name)()
         if cfg.quant == "int8_static":
-            scale = dict(cfg.act_scales or ())[name]
+            scales = dict(cfg.act_scales or ())
+            if name not in scales:
+                raise ValueError(
+                    "quant='int8_static' needs calibrated act_scales for "
+                    f"'{name}' (have {sorted(scales)}); run "
+                    "calibrate_act_scales with quant='int8_calib' first"
+                )
+            scale = scales[name]
             return int8_dense_static(x, w, float(scale), b, out_dtype=cfg.dtype)
         if cfg.quant == "int8_calib":
             mod.sow(
@@ -321,6 +328,13 @@ class ViTBlock(nn.Module):
                 from sprc_tpu.ops.quant import quantize_weight
 
                 sc = dict(cfg.act_scales or ())
+                missing = {"qkv", "proj", "mlp_fc1", "mlp_fc2"} - set(sc)
+                if missing:
+                    raise ValueError(
+                        "quant='int8_static' needs calibrated act_scales "
+                        f"(missing {sorted(missing)}); run "
+                        "calibrate_act_scales with quant='int8_calib' first"
+                    )
                 wq8, sq = quantize_weight(wqkv)
                 wp8, sp = quantize_weight(wproj)
                 w18, s1 = quantize_weight(w1)

@@ -240,7 +240,14 @@ class BertWordPieceTokenizer:
         return {"input_ids": ids, "attention_mask": mask}
 
     def decode(self, ids: Sequence[int], skip_special_tokens: bool = True) -> str:
-        specials = {self.cls_id, self.sep_id, self.pad_id}
+        # [DEC]/bos and [MASK] are specials too: HF skip_special_tokens drops
+        # every added special token, and PNP-VQA's prompt-strip
+        # (models/pnp_vqa.py) relies on decoded captions starting at the
+        # prompt, not at '[DEC]'
+        specials = {self.cls_id, self.sep_id, self.pad_id,
+                    self.vocab.get("[MASK]", -1)}
+        if self.bos_id is not None:
+            specials.add(self.bos_id)
         toks = []
         for i in ids:
             if skip_special_tokens and int(i) in specials:

@@ -57,8 +57,12 @@ def ensure_bert_vocab(
     path: Optional[str] = None, *, synthetic_ok: bool = False
 ) -> str:
     """Resolve a BERT vocab.txt per the module docstring's order."""
-    if path and os.path.exists(path):
-        return path
+    if path:
+        if os.path.exists(path):
+            return path
+        # an explicitly requested vocab must not silently fall through to a
+        # cached one — wrong tokenization with no error
+        raise FileNotFoundError(f"--vocab-path {path} does not exist")
     cached = os.path.join(cache_dir(), "bert-base-uncased-vocab.txt")
     if os.path.exists(cached):
         return cached

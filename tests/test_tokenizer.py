@@ -95,3 +95,18 @@ def test_fiq_caption_combination():
         "Is red and has sleeves",
         "Is blue and is long",
     ]
+
+
+def test_decode_skips_bos_and_specials():
+    """Regression: decode() must drop the [DEC] bos (HF skip_special_tokens
+    semantics) — PNP-VQA strips the caption prompt from DECODED text, which
+    never matched while '[DEC] ' survived (models/pnp_vqa.py)."""
+    vocab = {t: i for i, t in enumerate(
+        ["[PAD]", "[UNK]", "[CLS]", "[SEP]", "[MASK]", "a", "picture", "of",
+         "dog", "##s"])}
+    tok = BertWordPieceTokenizer(vocab)
+    prompt_ids = tok.caption_prompt_ids("a picture of ")
+    row = list(prompt_ids) + [vocab["dog"], vocab["##s"], tok.sep_id, tok.pad_id]
+    text = tok.decode(row)
+    assert text == "a picture of dogs", text
+    assert text.startswith("a picture of ")
