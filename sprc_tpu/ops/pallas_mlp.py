@@ -46,7 +46,10 @@ def _mlp_kernel(
     if quick:
         h = h * jax.nn.sigmoid(1.702 * h)
     else:
-        h = jax.nn.gelu(h, approximate=False)
+        # Mosaic has no erf/erfc lowering (see pallas_block._erf_approx)
+        from sprc_tpu.ops.pallas_block import _gelu_exact_f32
+
+        h = _gelu_exact_f32(h)
     acc_ref[...] += jax.lax.dot_general(
         h.astype(w2_ref.dtype), w2_ref[...], (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
