@@ -297,7 +297,11 @@ class ViTBlock(nn.Module):
         #             cfg.quant == "int8_static" the int8 megakernel
         #   "force" - megakernel in interpret mode (CPU tests)
         # Param trees are identical across all routes.
-        blk_flag = os.environ.get("SPRC_PALLAS_BLOCK", "0")  # default pending measurement
+        # default ON for TPU: 20.0 -> 14.07 ms/block bf16, 10.78 int8 at
+        # ViT-L b256 (MEASUREMENTS.md). First TPU compile of the megakernel
+        # is slow (8-25 min through the remote tunnel, cached afterwards);
+        # set SPRC_PALLAS_BLOCK=0 to opt out.
+        blk_flag = os.environ.get("SPRC_PALLAS_BLOCK", "1")
         fusable = blk_flag == "force" or (  # interpret mode has no lane rules
             jax.default_backend() == "tpu" and cfg.width % 128 == 0
         )
