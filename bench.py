@@ -23,10 +23,11 @@ import time
 
 import numpy as np
 
-# fused whole-block pallas kernel (ops/pallas_block.py): 20.0 -> 15.1 ms/block
-# bf16, 11.5 ms int8 at ViT-L b256. Opt-in here (not globally) so the driver's
-# default-env `python bench.py` benches the fast path.
-os.environ.setdefault("SPRC_PALLAS_BLOCK", "1")
+# fused whole-block pallas kernel (ops/pallas_block.py): 20.0 -> 14.1 ms/block
+# bf16, 10.8 ms int8 at ViT-L b256. FORCED on (not setdefault): a parent that
+# imported __graft_entry__ exports SPRC_PALLAS_BLOCK=0 into child envs, which
+# would silently bench the unfused path. SPRC_BENCH_PALLAS=0 opts out.
+os.environ["SPRC_PALLAS_BLOCK"] = os.environ.get("SPRC_BENCH_PALLAS", "1")
 
 BASELINE_IMGS_PER_SEC = 5000.0
 

@@ -44,12 +44,25 @@ def _family_config_class(cls):
     return None
 
 
+_UNSET = object()
+
+
+def _model_cfg(model):
+    """The model's config object, whether the field is ``cfg`` or ``config``."""
+    for attr in ("cfg", "config"):
+        try:
+            return getattr(model, attr)
+        except AttributeError:
+            continue
+    return None
+
+
 def build_model(
     name: str,
     model_type: str = "pretrain",
     *,
-    vit_dtype=jnp.bfloat16,
-    qformer_dtype=jnp.float32,
+    vit_dtype=_UNSET,
+    qformer_dtype=_UNSET,
     **overrides: Any,
 ):
     """Return an (uninitialized) model module for a registry name.
@@ -76,7 +89,16 @@ def build_model(
                 f"(valid: {sorted(valid)})"
             )
         # family configs keep their OWN dtype defaults (e.g. the T5 QA
-        # reader is fp32 in the reference); pass dtype= explicitly to change
+        # reader is fp32 in the reference). An EXPLICIT vit_dtype maps to the
+        # family's dtype field — silently dropping it would hand back a
+        # wrong-precision model with no error.
+        if vit_dtype is not _UNSET and "dtype" not in kw:
+            if "dtype" not in valid:
+                raise TypeError(
+                    f"{name}: config {cfg_cls.__name__} has no dtype field; "
+                    "vit_dtype is not applicable"
+                )
+            kw["dtype"] = vit_dtype
         return cls(cfg_cls(**kw))
     if cfg_cls is None and not hasattr(cls, "cfg"):
         raise TypeError(
@@ -87,8 +109,8 @@ def build_model(
     vit_model = MODEL_TYPES.get(model_type, model_type)
     cfg = CirConfig(
         vit_model=vit_model,
-        vit_dtype=vit_dtype,
-        qformer_dtype=qformer_dtype,
+        vit_dtype=jnp.bfloat16 if vit_dtype is _UNSET else vit_dtype,
+        qformer_dtype=jnp.float32 if qformer_dtype is _UNSET else qformer_dtype,
         **overrides,
     )
     return cls(cfg)
@@ -114,7 +136,16 @@ def load_model(
     """Build a model and load params (from a torch ``.pt`` or orbax dir)."""
     model = build_model(name, model_type, **kw)
     if checkpoint_path is None:
-        params = init_params(model)
+        try:
+            params = init_params(model)
+        except (TypeError, AttributeError) as e:
+            raise TypeError(
+                f"model '{name}' does not follow the CIR init contract "
+                "(reference image, target image, text ids, mask); initialize "
+                "its params with family-specific inputs via model.init(...) "
+                f"(see tests/test_{type(model).__module__.split('.')[-1]}.py) "
+                f"or pass checkpoint_path. Underlying error: {e}"
+            ) from e
     else:
         from sprc_tpu.interop.torch_import import load_checkpoint_auto
 
@@ -138,7 +169,8 @@ def load_model_and_preprocess(
     from sprc_tpu.text.processors import CaptionProcessor
 
     model, params = load_model(name, model_type, checkpoint_path, **kw)
-    image_size = getattr(model.cfg, "image_size", 224)
+    cfg = _model_cfg(model)
+    image_size = getattr(cfg, "image_size", 224)
 
     # per-family default preprocess, mirroring the reference's per-model
     # YAML-resolved processors (src/lavis/models/__init__.py:152-201):

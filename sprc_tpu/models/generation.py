@@ -12,24 +12,29 @@ kwargs: do_sample, top_k, top_p, repetition_penalty).
 
 from __future__ import annotations
 
-import weakref
 from typing import Callable, Optional
 
 import jax
 import jax.numpy as jnp
 
-# jitted decode steps cached per logits_fn OBJECT (+ static hyperparams):
+# jitted decode steps cached ON the logits_fn object (+ static hyperparams):
 # a fresh @jax.jit inside every generate call would retrace/recompile the
 # whole decode program per call (remote compiles cost minutes). Callers that
 # want cross-call reuse must pass a long-lived logits_fn and thread per-call
-# tensors through ``memory`` instead of closing over them.
-_STEP_CACHE: "weakref.WeakKeyDictionary" = weakref.WeakKeyDictionary()
+# tensors (encoder memories, params) through ``memory`` instead of closing
+# over them. Storing the table as a function attribute ties the compiled
+# executables' lifetime to the logits_fn itself (a WeakKeyDictionary would
+# be immortal here: the cached step closes over its own key).
+_CACHE_ATTR = "__sprc_step_cache__"
 
 
 def _cached_jit(logits_fn, key, build):
     try:
-        table = _STEP_CACHE.setdefault(logits_fn, {})
-    except TypeError:  # unhashable callable: fall back to uncached
+        table = getattr(logits_fn, _CACHE_ATTR, None)
+        if table is None:
+            table = {}
+            setattr(logits_fn, _CACHE_ATTR, table)
+    except (AttributeError, TypeError):  # non-writable callable: uncached
         return jax.jit(build())
     if key not in table:
         table[key] = jax.jit(build())

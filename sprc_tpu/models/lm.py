@@ -407,11 +407,7 @@ def cached_greedy_generate(
         y = _p_ln(hp["ln"], y, eps).astype(dtype)
         return _p_dense(hp["decoder"], y, dtype)[:, 0, :], k_cache, v_cache
 
-    @jax.jit
-    def sample_and_step(logits, finished, ids, t, suppress_eos, k_cache, v_cache):
-        """Token selection + bookkeeping + one cached step in ONE dispatch
-        (the unfused host loop paid ~6 small dispatches per token — ~250 ms
-        of relay RTT each through the axon tunnel)."""
+    def _select(logits, finished, ids, t, suppress_eos):
         logits = jnp.where(
             suppress_eos,
             logits.at[:, eos_token_id].set(-1e9),
@@ -420,12 +416,29 @@ def cached_greedy_generate(
         next_tok = jnp.argmax(logits, axis=-1).astype(jnp.int32)
         next_tok = jnp.where(finished, pad_token_id, next_tok)
         ids = ids.at[:, t].set(next_tok)
-        finished = finished | (next_tok == eos_token_id)
+        return next_tok, finished | (next_tok == eos_token_id), ids
+
+    @jax.jit
+    def sample_and_step(logits, finished, ids, t, suppress_eos, k_cache, v_cache):
+        """Token selection + bookkeeping + one cached step in ONE dispatch
+        (the unfused host loop paid ~6 small dispatches per token — ~250 ms
+        of relay RTT each through the axon tunnel)."""
+        next_tok, finished, ids = _select(logits, finished, ids, t, suppress_eos)
         logits, k_cache, v_cache = step(next_tok, t, k_cache, v_cache)
         return logits, finished, ids, k_cache, v_cache
 
+    @jax.jit
+    def sample_only(logits, finished, ids, t, suppress_eos):
+        """Final position: select the token WITHOUT running a wasted KV step
+        whose logits nothing would consume."""
+        _, finished, ids = _select(logits, finished, ids, t, suppress_eos)
+        return finished, ids
+
     logits = first_logits(prefill_hidden)
     for t in range(1, max_length):
+        if t == max_length - 1:
+            _, ids = sample_only(logits, finished, ids, t, t < min_length)
+            break
         logits, finished, ids, k_cache, v_cache = sample_and_step(
             logits, finished, ids, t, t < min_length, k_cache, v_cache
         )

@@ -191,16 +191,21 @@ class PnpVqaPipeline:
                 (B * num_captions, len(prompt_ids)),
             )
 
-            # long-lived logits_fn (per-round patch memory threaded through
-            # ``memory``): ONE compiled decode step across rounds and calls
-            # instead of a fresh jit (minutes of remote compile) per round
+            # long-lived logits_fn (per-round patch memory AND params
+            # threaded through ``memory`` — params as traced args, not baked
+            # constants, so swapping pipeline params takes effect and the
+            # compiled program doesn't embed the weights): ONE compiled
+            # decode step across rounds and calls
             logits_fn = self.__dict__.get("_cap_logits_fn")
             if logits_fn is None:
+                cap_model = self.cap_model
+
                 def logits_fn(ids, memory):
+                    gathered_, params_ = memory
                     mask = jnp.ones_like(ids)
-                    return self.cap_model.apply(
-                        {"params": self.cap_params}, ids, mask, memory,
-                        method=self.cap_model.decode_logits,
+                    return cap_model.apply(
+                        {"params": params_}, ids, mask, gathered_,
+                        method=cap_model.decode_logits,
                     )
                 self.__dict__["_cap_logits_fn"] = logits_fn
 
@@ -211,7 +216,7 @@ class PnpVqaPipeline:
                 max_length=cap_max_length, min_length=cap_min_length,
                 top_k=top_k, top_p=top_p,
                 repetition_penalty=repetition_penalty,
-                memory=gathered,
+                memory=(gathered, self.cap_params),
             )
             texts = [self.tokenizer.decode(row) for row in np.asarray(out)]
             for counter, text in enumerate(texts):
@@ -246,7 +251,7 @@ class PnpVqaPipeline:
                 # ITM-filtered): an empty FiD memory would softmax over zero
                 # keys -> NaN logits -> garbage answer. Answer from the
                 # question alone instead.
-                ctxs = [question.lower().strip() + " \n "]
+                ctxs = [question.lower().strip() + " \\n "]
             enc = self.qa_tokenizer(ctxs, max_length=ctx_max_length)
             ids = jnp.asarray(enc["input_ids"], jnp.int32)  # [n_ctx, L]
             mask = jnp.asarray(enc["attention_mask"], jnp.int32)
@@ -261,16 +266,19 @@ class PnpVqaPipeline:
 
             logits_fn = self.__dict__.get("_qa_logits_fn")
             if logits_fn is None:
+                qa_model = self.qa_model
+
                 def logits_fn(dec_ids, memory):
-                    return self.qa_model.apply(
-                        {"params": self.qa_params}, dec_ids, memory[0],
-                        memory[1], method=self.qa_model.decode,
+                    enc_, mask_, params_ = memory
+                    return qa_model.apply(
+                        {"params": params_}, dec_ids, enc_, mask_,
+                        method=qa_model.decode,
                     )
                 self.__dict__["_qa_logits_fn"] = logits_fn
 
             bos = jnp.asarray([[self.qa_tokenizer.pad_id]], jnp.int32)  # T5 starts at pad
             out = greedy_generate_fn(
-                logits_fn, bos, memory=(enc_flat, mask_flat),
+                logits_fn, bos, memory=(enc_flat, mask_flat, self.qa_params),
                 eos_token_id=self.qa_tokenizer.eos_id,
                 pad_token_id=self.qa_tokenizer.pad_id,
                 max_length=max_len, min_length=min_len,
@@ -390,16 +398,19 @@ class Img2PromptVqaPipeline(PnpVqaPipeline):
 
             logits_fn = self.__dict__.get("_qa_logits_fn2")
             if logits_fn is None:
+                qa_model = self.qa_model
+
                 def logits_fn(dec_ids, memory):
-                    return self.qa_model.apply(
-                        {"params": self.qa_params}, dec_ids, memory[0],
-                        memory[1], method=self.qa_model.decode,
+                    enc_, mask_, params_ = memory
+                    return qa_model.apply(
+                        {"params": params_}, dec_ids, enc_, mask_,
+                        method=qa_model.decode,
                     )
                 self.__dict__["_qa_logits_fn2"] = logits_fn
 
             bos = jnp.full((ids.shape[0], 1), self.qa_tokenizer.pad_id, jnp.int32)
             out = greedy_generate_fn(
-                logits_fn, bos, memory=(enc_out, mask),
+                logits_fn, bos, memory=(enc_out, mask, self.qa_params),
                 eos_token_id=self.qa_tokenizer.eos_id,
                 pad_token_id=self.qa_tokenizer.pad_id, max_length=max_length,
             )
@@ -514,15 +525,15 @@ def fid_generate(model, params, input_ids, attention_mask, *, pad_id: int,
     )
 
     def logits_fn(dec_ids, memory):
+        enc_, mask_, params_ = memory
         return model.apply(
-            {"params": params}, dec_ids, memory[0], memory[1],
-            method=model.decode,
+            {"params": params_}, dec_ids, enc_, mask_, method=model.decode
         )
 
     B = input_ids.shape[0]
     bos = jnp.full((B, 1), pad_id, jnp.int32)  # T5 decoding starts at pad
     return greedy_generate_fn(
-        logits_fn, bos, memory=(enc_out, enc_mask), eos_token_id=eos_id,
+        logits_fn, bos, memory=(enc_out, enc_mask, params), eos_token_id=eos_id,
         pad_token_id=pad_id, max_length=max_length, min_length=min_length,
     )
 

@@ -169,7 +169,7 @@ class RetrievalEngine:
         # cache the jitted fused preprocess+encode per (ratio, decode_size):
         # a fresh jax.jit per call would re-trace/recompile every rebuild
         # (and fold compile time into benchmarked builds)
-        key = (float(target_ratio), int(decode_size))
+        key = (float(target_ratio), int(decode_size), self.frozen_host_dtype)
         encode = getattr(self, "_encode_raw_cache", {}).get(key)
         if encode is None:
             pre = device_preprocess(
