@@ -31,19 +31,28 @@ from sprc_tpu.registry import registry
 # reference gpt_processors.py:22-36
 SPECIAL_TOKENS = ["<bos>", "<eos>", "<speaker1>", "<speaker2>", "<cap>", "<video>", "<pad>"]
 
+# Id-assignment order of the reference's
+# ``GPT2Tokenizer.add_special_tokens(SPECIAL_TOKENS_DICT)``: HF walks the
+# dict — bos, eos, additional_special_tokens (speaker1, speaker2, video,
+# cap), pad — so <video>=base+4 and <cap>=base+5, NOT the SPECIAL_TOKENS
+# list order (which would swap them and misalign token-type embeddings
+# against reference-trained gpt_dialogue checkpoints).
+SPECIAL_TOKEN_ADD_ORDER = [
+    "<bos>", "<eos>", "<speaker1>", "<speaker2>", "<video>", "<cap>", "<pad>"]
+
 
 class GPT2SpecialTokens:
     """GPT-2 BPE (offline tokenizer.json) + the dialogue special tokens,
-    appended after the base vocab in SPECIAL_TOKENS order — matching
-    ``GPT2Tokenizer.add_special_tokens(SPECIAL_TOKENS_DICT)`` which assigns
-    ids ``vocab_size..vocab_size+6``."""
+    appended after the base vocab in the id order HF's
+    ``GPT2Tokenizer.add_special_tokens(SPECIAL_TOKENS_DICT)`` produces
+    (``vocab_size..vocab_size+6``, see SPECIAL_TOKEN_ADD_ORDER)."""
 
     def __init__(self, tokenizer_json: str):
         from tokenizers import Tokenizer
 
         self._tok = Tokenizer.from_file(tokenizer_json)
         base = self._tok.get_vocab_size()
-        self._special = {t: base + i for i, t in enumerate(SPECIAL_TOKENS)}
+        self._special = {t: base + i for i, t in enumerate(SPECIAL_TOKEN_ADD_ORDER)}
 
     def encode(self, text: str) -> List[int]:
         return list(self._tok.encode(text, add_special_tokens=False).ids)

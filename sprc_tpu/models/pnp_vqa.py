@@ -138,6 +138,18 @@ class PnpVqaPipeline:
     qa_tokenizer: object  # T5 sentencepiece-style, with encode/decode
     prompt: str = "a picture of "
 
+    # -- logits_fn cache (keyed on the model object so swapping e.g.
+    # ``self.cap_model`` invalidates the cached closure instead of silently
+    # reusing the stale module with the new params — ADVICE r2) -----------
+    def _cached_logits_fn(self, name: str, model):
+        entry = self.__dict__.get(name)
+        if entry is not None and entry[0] is model:
+            return entry[1]
+        return None
+
+    def _store_logits_fn(self, name: str, model, fn) -> None:
+        self.__dict__[name] = (model, fn)
+
     # -- stage 1: localization ------------------------------------------
     def forward_itm(self, images, questions: Sequence[str], *, block_num=7):
         """-> gradcams [B, num_patches] (token-averaged map)."""
@@ -196,7 +208,7 @@ class PnpVqaPipeline:
             # constants, so swapping pipeline params takes effect and the
             # compiled program doesn't embed the weights): ONE compiled
             # decode step across rounds and calls
-            logits_fn = self.__dict__.get("_cap_logits_fn")
+            logits_fn = self._cached_logits_fn("_cap_logits_fn", self.cap_model)
             if logits_fn is None:
                 cap_model = self.cap_model
 
@@ -207,7 +219,7 @@ class PnpVqaPipeline:
                         {"params": params_}, ids, mask, gathered_,
                         method=cap_model.decode_logits,
                     )
-                self.__dict__["_cap_logits_fn"] = logits_fn
+                self._store_logits_fn("_cap_logits_fn", self.cap_model, logits_fn)
 
             out = sample_generate(
                 logits_fn, prompts, rng=r2,
@@ -264,7 +276,7 @@ class PnpVqaPipeline:
             enc_flat = enc_out.reshape(1, n_ctx * L, D)
             mask_flat = mask.reshape(1, n_ctx * L)
 
-            logits_fn = self.__dict__.get("_qa_logits_fn")
+            logits_fn = self._cached_logits_fn("_qa_logits_fn", self.qa_model)
             if logits_fn is None:
                 qa_model = self.qa_model
 
@@ -274,7 +286,7 @@ class PnpVqaPipeline:
                         {"params": params_}, dec_ids, enc_, mask_,
                         method=qa_model.decode,
                     )
-                self.__dict__["_qa_logits_fn"] = logits_fn
+                self._store_logits_fn("_qa_logits_fn", self.qa_model, logits_fn)
 
             bos = jnp.asarray([[self.qa_tokenizer.pad_id]], jnp.int32)  # T5 starts at pad
             out = greedy_generate_fn(
@@ -396,7 +408,7 @@ class Img2PromptVqaPipeline(PnpVqaPipeline):
                 {"params": params}, ids, mask, method=model.encode_ids
             )
 
-            logits_fn = self.__dict__.get("_qa_logits_fn2")
+            logits_fn = self._cached_logits_fn("_qa_logits_fn2", self.qa_model)
             if logits_fn is None:
                 qa_model = self.qa_model
 
@@ -406,7 +418,7 @@ class Img2PromptVqaPipeline(PnpVqaPipeline):
                         {"params": params_}, dec_ids, enc_, mask_,
                         method=qa_model.decode,
                     )
-                self.__dict__["_qa_logits_fn2"] = logits_fn
+                self._store_logits_fn("_qa_logits_fn2", self.qa_model, logits_fn)
 
             bos = jnp.full((ids.shape[0], 1), self.qa_tokenizer.pad_id, jnp.int32)
             out = greedy_generate_fn(

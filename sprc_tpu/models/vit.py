@@ -304,6 +304,9 @@ class ViTBlock(nn.Module):
         blk_flag = os.environ.get("SPRC_PALLAS_BLOCK", "1")
         fusable = blk_flag == "force" or (  # interpret mode has no lane rules
             jax.default_backend() == "tpu" and cfg.width % 128 == 0
+            # mlp_hidden also lands on the lane dim of [W, mlp_hidden]
+            # blocks inside the kernel (mirror the SPRC_PALLAS_MLP gate)
+            and cfg.mlp_hidden % 128 == 0
         )
         # measured (MEASUREMENTS.md): G=8 best for both ViT-L paths with
         # batched head attention (int8 10.78 ms/block, bf16 14.07). Wider

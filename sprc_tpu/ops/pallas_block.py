@@ -59,9 +59,11 @@ def _attend(qkv, W, D, heads, scale, dtype, *, perhead: bool):
             preferred_element_type=jnp.float32,
         )  # [H, S, S]
         if mode == "batched_nomax":
-            # exp2 without max-subtraction: safe while |scores*log2e| < 127
-            # (LN'd activations; serving path), saves a full [H,S,S] max pass
-            p = jnp.exp2(s).astype(dtype)
+            # exp2 without max-subtraction saves a full [H,S,S] max pass;
+            # clamp at 120 so scores past the assumed |s*log2e| < 127 bound
+            # saturate instead of overflowing to inf (softmax then degrades
+            # to uniform-over-clamped rather than NaN)
+            p = jnp.exp2(jnp.minimum(s, 120.0)).astype(dtype)
         else:
             p = jnp.exp2(s - jnp.max(s, axis=-1, keepdims=True)).astype(dtype)
         denom = jnp.sum(p.astype(jnp.float32), axis=-1, keepdims=True)

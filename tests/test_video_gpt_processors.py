@@ -17,7 +17,9 @@ from sprc_tpu.registry import registry
 
 
 class _StubTok:
-    """Word-level stand-in with reference-style special-token ids."""
+    """Word-level stand-in with reference-style special-token ids (the HF
+    ``add_special_tokens`` assignment order: bos, eos, speaker1, speaker2,
+    video, cap, pad — see gpt_processors.SPECIAL_TOKEN_ADD_ORDER)."""
 
     BASE = 1000
 
@@ -25,7 +27,7 @@ class _StubTok:
         return [hash(w) % self.BASE for w in text.split()]
 
     def special_token_id(self, name):
-        order = ["<bos>", "<eos>", "<speaker1>", "<speaker2>", "<cap>", "<video>", "<pad>"]
+        order = ["<bos>", "<eos>", "<speaker1>", "<speaker2>", "<video>", "<cap>", "<pad>"]
         return self.BASE + order.index(name)
 
 
@@ -121,6 +123,29 @@ def test_gpt_video_ft_concat_and_types(tmp_path):
     assert item["video_fts"].shape == (5, 12)  # min_len=5, concat 8+4
     video = _StubTok().special_token_id("<video>")
     assert item["token_type_ids"].tolist() == [video] * 5
+
+
+def test_gpt2_special_token_ids_match_hf_add_order(tmp_path):
+    """Pin <video>=base+4, <cap>=base+5: HF GPT2Tokenizer.add_special_tokens
+    walks SPECIAL_TOKENS_DICT (bos, eos, additional=[speaker1, speaker2,
+    video, cap], pad) — NOT the reference's SPECIAL_TOKENS display list,
+    which swaps cap/video (ADVICE r2 medium finding)."""
+    tokenizers = pytest.importorskip("tokenizers")
+    from sprc_tpu.data.gpt_processors import GPT2SpecialTokens
+
+    tok = tokenizers.Tokenizer(tokenizers.models.WordLevel(
+        {"hello": 0, "world": 1}, unk_token="hello"))
+    path = tmp_path / "tokenizer.json"
+    tok.save(str(path))
+    sp = GPT2SpecialTokens(str(path))
+    base = 2
+    assert sp.special_token_id("<bos>") == base + 0
+    assert sp.special_token_id("<eos>") == base + 1
+    assert sp.special_token_id("<speaker1>") == base + 2
+    assert sp.special_token_id("<speaker2>") == base + 3
+    assert sp.special_token_id("<video>") == base + 4
+    assert sp.special_token_id("<cap>") == base + 5
+    assert sp.special_token_id("<pad>") == base + 6
 
 
 def test_blip_question_processor():
