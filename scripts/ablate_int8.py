@@ -108,6 +108,32 @@ def mode_shapes():
                     f"s8_{m}x{k}x{n}")
 
 
+def mode_shapes2():
+    """Round B: bf16 controls at the shape extremes + model-sized big-M s8
+    (the ViT-L encode does B*S = 131k rows per matmul at batch 512)."""
+    import jax
+    import jax.numpy as jnp
+
+    dot_s32 = lambda a, b: jax.lax.dot(a, b, preferred_element_type=jnp.int32)
+    dot_b16 = lambda a, b: jax.lax.dot(a, b, preferred_element_type=jnp.bfloat16)
+    cfgs = [
+        ("s8", 16384, 16384, 16384, 4),
+        ("bf16", 8192, 8192, 8192, 16),
+        ("bf16", 256, 1024, 4096, 512),
+        ("s8", 65536, 1024, 4096, 16),    # encode-like: huge M, model K/N
+        ("bf16", 65536, 1024, 4096, 16),
+        ("s8", 65536, 1024, 1024, 32),
+        ("s8", 8192, 1024, 4096, 64),
+    ]
+    for dt, m, k, n, it in cfgs:
+        if dt == "s8":
+            _chain_tops(m, k, n, it, dot_s32, jnp.int8, jnp.int8,
+                        f"s8_{m}x{k}x{n}")
+        else:
+            _chain_tops(m, k, n, it, dot_b16, jnp.bfloat16, jnp.bfloat16,
+                        f"bf16_{m}x{k}x{n}")
+
+
 def mode_variants():
     import jax
     import jax.numpy as jnp
@@ -208,8 +234,9 @@ def mode_pallas():
             out_specs=pl.BlockSpec((bm, bn), lambda i, j, ki: (i, j)),
             out_shape=jax.ShapeDtypeStruct((m, n), out_dtype),
             scratch_shapes=[pltpu.VMEM((bm, bn), acc_dtype)],
-            compiler_params=dict(mosaic=dict(
-                dimension_semantics=("parallel", "parallel", "arbitrary"))),
+            compiler_params=(getattr(pltpu, "CompilerParams", None)
+                             or pltpu.TPUCompilerParams)(
+                dimension_semantics=("parallel", "parallel", "arbitrary")),
         )
 
         def dot(a, b):
@@ -224,9 +251,10 @@ def mode_pallas():
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("mode", choices=["shapes", "variants", "pallas", "int4"])
+    ap.add_argument("mode", choices=["shapes", "shapes2", "variants",
+                                     "pallas", "int4"])
     args = ap.parse_args()
-    {"shapes": mode_shapes, "variants": mode_variants,
+    {"shapes": mode_shapes, "shapes2": mode_shapes2, "variants": mode_variants,
      "pallas": mode_pallas, "int4": mode_int4}[args.mode]()
 
 

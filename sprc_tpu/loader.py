@@ -116,10 +116,32 @@ def build_model(
     return cls(cfg)
 
 
-def init_params(model, rng: Optional[jax.Array] = None, image_size: int = 224):
-    """Initialize a full parameter pytree with dummy inputs."""
+def init_params(model, rng: Optional[jax.Array] = None,
+                image_size: Optional[int] = None):
+    """Initialize a full parameter pytree with dummy inputs.
+
+    Covers the CIR init contract (reference image, target image, text ids,
+    mask) plus the VQA family's (images, question, answers, mapping) so
+    ``load_model_and_preprocess`` reaches the whole blip_question surface
+    (reference load_preprocess, src/lavis/models/__init__.py:152-201)."""
     if rng is None:
         rng = jax.random.PRNGKey(0)
+    if image_size is None:  # the model's own configured size
+        image_size = getattr(_model_cfg(model), "image_size", 224)
+    from sprc_tpu.models.vqa import VQAModel
+
+    if isinstance(model, VQAModel):
+        image_size = model.cfg.image_size
+        img = jnp.zeros((1, image_size, image_size, 3), jnp.float32)
+        q_ids = jnp.zeros((1, 8), jnp.int32)
+        a_ids = jnp.zeros((1, 4), jnp.int32)
+        ones_q = jnp.ones((1, 8), jnp.int32)
+        ones_a = jnp.ones((1, 4), jnp.int32)
+        variables = model.init(
+            rng, img, q_ids, ones_q, a_ids, ones_a,
+            jnp.zeros((1,), jnp.int32), jnp.ones((1,), jnp.float32),
+        )
+        return variables["params"]
     dummy_img = jnp.zeros((1, image_size, image_size, 3), jnp.float32)
     dummy_ids = jnp.zeros((1, model.cfg.max_txt_len), jnp.int32)
     dummy_mask = jnp.ones((1, model.cfg.max_txt_len), jnp.int32)
@@ -202,5 +224,15 @@ def load_model_and_preprocess(
             "train": BlipImageTrainProcessor(image_size=image_size),
             "eval": BlipImageEvalProcessor(image_size=image_size),
         }
-    txt = {"train": CaptionProcessor(), "eval": CaptionProcessor()}
+    # per-family text processors, mirroring the reference's YAML-resolved
+    # text_processor entries (src/lavis/models/__init__.py:152-201): the VQA
+    # families resolve "blip_question" for BOTH train and eval
+    # (configs/models/blip_vqav2.yaml, albef_vqav2.yaml), everything else
+    # "blip_caption" (configs survey: 31x blip_caption vs 8x blip_question).
+    if name in ("blip_vqa", "albef_vqa"):
+        from sprc_tpu.text.processors import QuestionProcessor
+
+        txt = {"train": QuestionProcessor(), "eval": QuestionProcessor()}
+    else:
+        txt = {"train": CaptionProcessor(), "eval": CaptionProcessor()}
     return model, params, vis, txt

@@ -20,6 +20,9 @@ from sprc_tpu.models.opt import OPTConfig, OPTForCausalLM
 from sprc_tpu.ops.layers import DenseGeneral
 from sprc_tpu.registry import registry
 
+# long-lived jitted decode programs per model id (strong model ref pins it)
+_OPT_GEN_CACHE: Dict[int, Dict] = {}
+
 
 @registry.register_model("blip2_opt", override=True)
 class Blip2OPT(Blip2CirBase):
@@ -90,11 +93,66 @@ class Blip2OPT(Blip2CirBase):
         eos_token_id: int = 2,
         pad_token_id: int = 1,
         max_new_tokens: int = 30,
+        use_cache: bool = True,
     ) -> jnp.ndarray:
-        """Greedy caption decode (reference generate, num_beams=1 path)."""
+        """Greedy caption decode (reference generate, num_beams=1 path).
+
+        ``use_cache=True`` (default) prefills [query prefix | prompt] once
+        and runs single-position steps against per-layer K/V caches
+        (reference past_key_values, HF modeling_opt.py) — stepwise-equal to
+        the recompute path (tests/test_llm_cache.py)."""
         import numpy as np
 
         B, L = prompt_ids.shape
+
+        if use_cache:
+            from sprc_tpu.models.generation import cached_greedy_loop
+
+            Q = self.cfg.num_query_token
+            s_max = Q + L + max_new_tokens
+
+            def _prefill(mdl, images, ids, mask, lengths):
+                inputs_opt = mdl._inputs_opt(images, True)
+                tok = mdl.opt.embed(ids)
+                embeds = jnp.concatenate(
+                    [inputs_opt.astype(tok.dtype), tok], axis=1)
+                full_mask = jnp.concatenate(
+                    [jnp.ones((ids.shape[0], Q), dtype=mask.dtype), mask],
+                    axis=1)
+                hidden, cache = mdl.opt.prefill(embeds, full_mask, s_max)
+                rows = jnp.arange(ids.shape[0])
+                last = hidden[rows, Q + lengths - 1][:, None, :]
+                return mdl.opt.logits(last)[:, 0, :], cache
+
+            # long-lived jitted programs per model instance (fresh jits per
+            # call would recompile the decode program every call)
+            entry = _OPT_GEN_CACHE.setdefault(id(self), {"_model": self})
+            if ("prefill", s_max) not in entry:
+                entry[("prefill", s_max)] = jax.jit(
+                    lambda p, *a: self.apply(
+                        {"params": p}, *a, method=_prefill))
+            if "step" not in entry:
+                entry["step"] = jax.jit(
+                    lambda p, tok, pos, cache: self.apply(
+                        {"params": p}, tok, pos, cache,
+                        method=lambda mdl, *a: mdl.opt.decode_step_logits(*a)))
+            prefill = entry[("prefill", s_max)]
+            step = entry["step"]
+
+            lengths = jnp.asarray(prompt_mask).sum(axis=1).astype(jnp.int32)
+            logits0, cache = prefill(
+                params, images, prompt_ids, prompt_mask, lengths)
+
+            def step_fn(tok, pos, state):
+                cache, p = state
+                logits, cache = step(p, tok, pos, cache)
+                return logits, (cache, p)
+            step_fn.__sprc_step_cache__ = entry.setdefault("fused", {})
+
+            return cached_greedy_loop(
+                logits0, (cache, params), Q + lengths, step_fn,
+                eos_token_id=eos_token_id, pad_token_id=pad_token_id,
+                max_new_tokens=max_new_tokens)
 
         def _logits(mdl, images, ids, mask):
             inputs_opt = mdl._inputs_opt(images, True)

@@ -20,6 +20,9 @@ from sprc_tpu.models.t5 import T5Config, T5ForConditionalGeneration
 from sprc_tpu.ops.layers import DenseGeneral
 from sprc_tpu.registry import registry
 
+# long-lived jitted decode programs per model id (strong model ref pins it)
+_T5_GEN_CACHE: Dict[int, Dict] = {}
+
 
 @registry.register_model("blip2_t5", override=True)
 @registry.register_model("blip2_t5_instruct", override=True)
@@ -94,8 +97,15 @@ class Blip2T5(Blip2CirBase):
         pad_token_id: int = 0,
         decoder_start_token_id: int = 0,
         max_new_tokens: int = 30,
+        use_cache: bool = True,
     ) -> jnp.ndarray:
-        """Greedy seq2seq decode -> [B, max_new_tokens]."""
+        """Greedy seq2seq decode -> [B, max_new_tokens].
+
+        ``use_cache=True`` (default) prefills the decoder start token once
+        (also projecting the cross-attn K/V of the encoder memory exactly
+        once) then runs single-position cached steps (reference
+        past_key_values, HF modeling_t5.py) — stepwise-equal to the
+        recompute path (tests/test_llm_cache.py)."""
         import numpy as np
 
         B = input_ids.shape[0]
@@ -106,6 +116,38 @@ class Blip2T5(Blip2CirBase):
         enc_out, enc_mask = self.apply(
             {"params": params}, images, input_ids, input_mask, method=_enc
         )
+
+        if use_cache:
+            from sprc_tpu.models.generation import cached_greedy_loop
+
+            s_max = 1 + max_new_tokens
+            entry = _T5_GEN_CACHE.setdefault(id(self), {"_model": self})
+            if ("prefill", s_max) not in entry:
+                entry[("prefill", s_max)] = jax.jit(
+                    lambda p, d, e, m: self.apply(
+                        {"params": p}, d, e, m,
+                        method=lambda mdl, d_, e_, m_: mdl.t5.decode_prefill(
+                            d_, e_, m_, s_max)))
+            if "step" not in entry:
+                entry["step"] = jax.jit(
+                    lambda p, tok, t, cache, em: self.apply(
+                        {"params": p}, tok, t, cache, em,
+                        method=lambda mdl, *a: mdl.t5.decode_step_logits(*a)))
+            prefill, step = entry[("prefill", s_max)], entry["step"]
+
+            bos = jnp.full((B, 1), decoder_start_token_id, jnp.int32)
+            logits0, cache = prefill(params, bos, enc_out, enc_mask)
+
+            def step_fn(tok, pos, state):
+                cache, p, em = state
+                logits, cache = step(p, tok, pos[0], cache, em)
+                return logits, (cache, p, em)
+            step_fn.__sprc_step_cache__ = entry.setdefault("fused", {})
+
+            return cached_greedy_loop(
+                logits0, (cache, params, enc_mask), jnp.ones((B,), jnp.int32),
+                step_fn, eos_token_id=eos_token_id, pad_token_id=pad_token_id,
+                max_new_tokens=max_new_tokens)
 
         def _dec(mdl, dec_ids, enc_out, enc_mask, dec_mask):
             return mdl.t5.decode(dec_ids, enc_out, enc_mask, dec_mask)

@@ -138,6 +138,81 @@ def sample_generate(
     return ids
 
 
+def cached_greedy_loop(
+    logits0: jnp.ndarray,  # [B, V] logits at each row's last prefix position
+    cache,
+    pos0: jnp.ndarray,  # [B] buffer position the NEXT token will occupy
+    step_fn: Callable,  # (tok [B], pos [B], cache) -> (logits [B, V], cache)
+    *,
+    eos_token_id: int,
+    pad_token_id: int,
+    max_new_tokens: int,
+    min_new_tokens: int = 0,
+    readback_every: int = 4,
+) -> jnp.ndarray:
+    """KV-cached greedy decode over a model's ``prefill``/``decode_step``
+    surface -> generated ids [B, max_new_tokens].
+
+    Generalizes the Q-Former cached pattern (models/lm.py:302-449,
+    reference past_key_values plumbing Qformer.py:976-1138 / HF generate in
+    modeling_{t5,opt,llama}.py) to any model exposing a single-position
+    step. Token selection + bookkeeping + the next cached step run in ONE
+    jitted dispatch per token (the tunnel pays ~33 ms per dispatch), with an
+    early-exit readback only every ``readback_every`` tokens. ``step_fn``
+    must be long-lived for cross-call compile reuse (wrap with jax.jit
+    once); this loop does not jit it again.
+    """
+    import numpy as np
+
+    B = logits0.shape[0]
+    ids = jnp.full((B, max_new_tokens), pad_token_id, jnp.int32)
+    finished = jnp.zeros((B,), bool)
+
+    def _select(logits, finished, ids, t, suppress_eos):
+        logits = jnp.where(
+            suppress_eos,
+            logits.astype(jnp.float32).at[:, eos_token_id].set(-1e9),
+            logits.astype(jnp.float32),
+        )
+        tok = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        tok = jnp.where(finished, pad_token_id, tok)
+        ids = ids.at[:, t].set(tok)
+        return tok, finished | (tok == eos_token_id), ids
+
+    def build_fused():
+        def fused(logits, finished, ids, t, suppress, pos, cache):
+            tok, finished, ids = _select(logits, finished, ids, t, suppress)
+            logits, cache = step_fn(tok, pos, cache)
+            return logits, finished, ids, pos + 1, cache
+        return fused
+
+    def build_last():
+        def last(logits, finished, ids, t, suppress):
+            _, finished, ids = _select(logits, finished, ids, t, suppress)
+            return finished, ids
+        return last
+
+    key = ("cached_greedy", eos_token_id, pad_token_id)
+    fused = _cached_jit(step_fn, key + ("step",), build_fused)
+    last = _cached_jit(step_fn, key + ("last",), build_last)
+
+    logits = logits0
+    pos = pos0
+    for t in range(max_new_tokens):
+        suppress = t < min_new_tokens
+        if t == max_new_tokens - 1:
+            # final position: select WITHOUT a wasted cache step
+            _, ids = last(logits, finished, ids, t, suppress)
+            break
+        logits, finished, ids, pos, cache = fused(
+            logits, finished, ids, t, suppress, pos, cache)
+        if t % readback_every == readback_every - 1 and bool(
+            np.asarray(jnp.all(finished))
+        ):
+            break
+    return ids
+
+
 def greedy_generate_fn(
     logits_fn: Callable,
     prompt_ids: jnp.ndarray,

@@ -136,6 +136,11 @@ class VicunaInstructCir(_InstructBase):
         return ref_feats.astype(jnp.float32) @ target_feats.astype(jnp.float32).T
 
 
+# long-lived jitted prefill/step programs per (model id): a fresh jit per
+# generate call would recompile the whole decode program each call
+_GEN_CACHE: Dict[int, Dict] = {}
+
+
 def instruct_generate(
     model,
     params,
@@ -148,13 +153,81 @@ def instruct_generate(
     eos_token_id: int,
     pad_token_id: int,
     max_new_tokens: int = 30,
+    use_cache: bool = True,
 ):
     """Greedy LLM generation conditioned on [query prefix | prompt tokens]
     (the reference's instruct ``generate``; greedy path of num_beams=1).
 
-    Returns generated token ids [B, max_new_tokens].
+    ``use_cache=True`` (default) runs the KV-cached path: ONE prefill over
+    [queries | prompt] then single-position steps against per-layer K/V
+    caches (reference past_key_values, HF modeling_llama.py), O(T) instead
+    of O(T*P) prefix recompute — stepwise-equal to the uncached path
+    (tests/test_llm_cache.py). Returns generated token ids
+    [B, max_new_tokens].
     """
     import numpy as np
+
+    if use_cache:
+        B, L = llm_input_ids.shape
+        Q = model.cfg.num_query_token
+        s_max = Q + L + max_new_tokens
+
+        # the strong model ref pins the id so it can't be recycled by GC
+        entry = _GEN_CACHE.setdefault(id(model), {"_model": model})
+        key = ("prefill", s_max)
+        if key not in entry:
+            def _prefill_method(mdl, images, bert_ids, bert_mask, ids, mask,
+                                lengths):
+                image_embeds = mdl.encode_image(images)
+                query_outputs = mdl._query_fusion(
+                    image_embeds, bert_ids, bert_mask, True)
+                Bq = query_outputs.shape[0]
+                inputs_llm = mdl.llm_proj(query_outputs)
+                tok_embeds = mdl.llm.embed(ids)
+                inputs_embeds = jnp.concatenate(
+                    [inputs_llm.astype(tok_embeds.dtype), tok_embeds], axis=1)
+                mask_full = jnp.concatenate(
+                    [jnp.ones((Bq, Q), dtype=mask.dtype), mask], axis=1)
+                hidden, cache = mdl.llm.prefill(inputs_embeds, mask_full, s_max)
+                # per-row logits at the last real prefix position
+                rows = jnp.arange(Bq)
+                last = hidden[rows, Q + lengths - 1][:, None, :]
+                return mdl.llm.logits(last)[:, 0, :], cache
+
+            entry[key] = jax.jit(
+                lambda p, *a: model.apply({"params": p}, *a,
+                                          method=_prefill_method))
+        if "step" not in entry:
+            def _step_method(mdl, tok, pos, cache):
+                return mdl.llm.decode_step_logits(tok, pos, cache)
+
+            step_jit = jax.jit(
+                lambda p, tok, pos, cache: model.apply(
+                    {"params": p}, tok, pos, cache, method=_step_method))
+            entry["step"] = step_jit
+        step_jit = entry["step"]
+
+        lengths = jnp.asarray(llm_mask).sum(axis=1).astype(jnp.int32)
+        logits0, cache = entry[key](
+            params, images, input_ids, text_mask, llm_input_ids, llm_mask,
+            lengths)
+
+        # params ride the loop state (traced args, NOT baked into the
+        # cached fused program as constants)
+        def step_fn(tok, pos, state):
+            cache, p = state
+            logits, cache = step_jit(p, tok, pos, cache)
+            return logits, (cache, p)
+        # reuse one compiled fused select+step across calls
+        step_fn.__sprc_step_cache__ = entry.setdefault("fused", {})
+
+        from sprc_tpu.models.generation import cached_greedy_loop
+
+        return cached_greedy_loop(
+            logits0, (cache, params), Q + lengths, step_fn,
+            eos_token_id=eos_token_id, pad_token_id=pad_token_id,
+            max_new_tokens=max_new_tokens,
+        )
 
     B, L = llm_input_ids.shape
     Q = model.cfg.num_query_token

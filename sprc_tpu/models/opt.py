@@ -36,10 +36,15 @@ class OPTConfig:
 
 
 class OPTAttention(nn.Module):
+    """Causal attention with an optional functional K/V cache (the
+    reference's ``past_key_values`` path, HF modeling_opt.py, done as
+    explicit data — see LlamaAttention for the pattern)."""
+
     config: OPTConfig
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray, bias: jnp.ndarray) -> jnp.ndarray:
+    def __call__(self, x: jnp.ndarray, bias: jnp.ndarray, *,
+                 positions=None, cache=None):
         cfg = self.config
         B, S, _ = x.shape
         H, D = cfg.num_heads, cfg.head_dim
@@ -49,11 +54,22 @@ class OPTAttention(nn.Module):
         q = q.reshape(B, S, H, D)
         k = k.reshape(B, S, H, D)
         v = v.reshape(B, S, H, D)
+        new_cache = None
+        if cache is not None:
+            pos2d = positions[None, :] if positions.ndim == 1 else positions
+            pos2d = jnp.broadcast_to(pos2d, (B, S))
+            rows = jnp.arange(B)[:, None]
+            new_cache = {
+                "k": cache["k"].at[rows, pos2d].set(k.astype(cache["k"].dtype)),
+                "v": cache["v"].at[rows, pos2d].set(v.astype(cache["v"].dtype)),
+            }
+            k, v = new_cache["k"], new_cache["v"]
         scores = jnp.einsum("bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32)
         scores = scores * (D**-0.5) + bias
         probs = jax.nn.softmax(scores, axis=-1)
         ctx = jnp.einsum("bhqk,bkhd->bqhd", probs.astype(v.dtype), v).reshape(B, S, H * D)
-        return DenseGeneral(cfg.hidden_size, dtype=cfg.dtype, name="out_proj")(ctx)
+        y = DenseGeneral(cfg.hidden_size, dtype=cfg.dtype, name="out_proj")(ctx)
+        return y if cache is None else (y, new_cache)
 
 
 class OPTLayer(nn.Module):
@@ -62,15 +78,21 @@ class OPTLayer(nn.Module):
     config: OPTConfig
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray, bias: jnp.ndarray) -> jnp.ndarray:
+    def __call__(self, x: jnp.ndarray, bias: jnp.ndarray, *,
+                 positions=None, cache=None):
         cfg = self.config
         h = LayerNormFP32(epsilon=1e-5, name="self_attn_ln")(x)
-        x = x + OPTAttention(cfg, name="attn")(h, bias)
+        att = OPTAttention(cfg, name="attn")(
+            h, bias, positions=positions, cache=cache)
+        if cache is not None:
+            att, new_cache = att
+        x = x + att
         h = LayerNormFP32(epsilon=1e-5, name="final_ln")(x)
         h = DenseGeneral(cfg.ffn_dim, dtype=cfg.dtype, name="fc1")(h)
         h = jax.nn.relu(h)
         h = DenseGeneral(cfg.hidden_size, dtype=cfg.dtype, name="fc2")(h)
-        return x + h
+        y = x + h
+        return y if cache is None else (y, new_cache)
 
 
 class OPTForCausalLM(nn.Module):
@@ -112,6 +134,56 @@ class OPTForCausalLM(nn.Module):
 
     def embed(self, input_ids):
         return self.embed_tokens(input_ids)
+
+    # -- KV-cached decode (HF past_key_values done functionally) ----------
+    def prefill(self, inputs_embeds, attention_mask, s_max: int):
+        """Full-prefix pass filling per-layer K/V caches -> (hidden, cache).
+
+        Right-padded prompts: generated tokens later decode INTO the pad
+        slots (per-row positions), so valid columns stay contiguous."""
+        cfg = self.config
+        B, P, _ = inputs_embeds.shape
+        if attention_mask is None:
+            attention_mask = jnp.ones((B, P), jnp.int32)
+        positions = jnp.cumsum(attention_mask, axis=1) * attention_mask - 1 + 2
+        pos_emb = self.embed_positions(jnp.maximum(positions, 0))
+        x = inputs_embeds.astype(cfg.dtype) + pos_emb.astype(cfg.dtype)
+
+        causal = jnp.tril(jnp.ones((P, P), bool))
+        allowed = causal[None] & attention_mask.astype(bool)[:, None, :]
+        bias = jnp.full((B, 1, P, s_max), -1e9, jnp.float32)
+        bias = bias.at[:, :, :, :P].set(jnp.where(allowed[:, None], 0.0, -1e9))
+
+        H, D = cfg.num_heads, cfg.head_dim
+        cache = {}
+        kv_pos = jnp.arange(P)
+        for i, layer in enumerate(self.layers):
+            empty = {"k": jnp.zeros((B, s_max, H, D), cfg.dtype),
+                     "v": jnp.zeros((B, s_max, H, D), cfg.dtype)}
+            x, cache[f"layer_{i}"] = layer(
+                x, bias, positions=kv_pos, cache=empty)
+        return self.final_ln(x), cache
+
+    def decode_step(self, tok, pos, cache):
+        """One cached position: tok [B], per-row buffer position ``pos``
+        [B] -> (hidden [B, 1, h], cache). The learned position embedding
+        index is pos + 2 (OPT's legacy offset; contiguous per row)."""
+        cfg = self.config
+        B = tok.shape[0]
+        s_max = cache["layer_0"]["k"].shape[1]
+        x = (self.embed_tokens(tok)[:, None, :].astype(cfg.dtype)
+             + self.embed_positions(pos + 2)[:, None, :].astype(cfg.dtype))
+        valid = jnp.arange(s_max)[None, :] <= pos[:, None]
+        bias = jnp.where(valid[:, None, None, :], 0.0, -1e9).astype(jnp.float32)
+        new_cache = {}
+        for i, layer in enumerate(self.layers):
+            x, new_cache[f"layer_{i}"] = layer(
+                x, bias, positions=pos[:, None], cache=cache[f"layer_{i}"])
+        return self.final_ln(x), new_cache
+
+    def decode_step_logits(self, tok, pos, cache):
+        hidden, cache = self.decode_step(tok, pos, cache)
+        return self.logits(hidden)[:, 0, :], cache
 
     def logits(self, hidden):
         # LM head tied to token embeddings (OPT default)

@@ -276,26 +276,53 @@ class PnpVqaPipeline:
             enc_flat = enc_out.reshape(1, n_ctx * L, D)
             mask_flat = mask.reshape(1, n_ctx * L)
 
-            logits_fn = self._cached_logits_fn("_qa_logits_fn", self.qa_model)
-            if logits_fn is None:
+            # KV-cached FiD decode: cross-attn K/V of the n_ctx*L fused
+            # memory projected ONCE at prefill instead of per token
+            # (reference past_key_values, HF modeling_t5.py; stepwise-equal
+            # to the recompute path, tests/test_llm_cache.py)
+            name = f"_qa_prefill_fn_{max_len}"
+            prefill_fn = self._cached_logits_fn(name, self.qa_model)
+            if prefill_fn is None:
+                qa_model = self.qa_model
+                s_max = max_len
+
+                def prefill_fn(p, dec, enc, m):
+                    return qa_model.apply(
+                        {"params": p}, dec, enc, m, s_max,
+                        method=lambda mdl, *a: mdl.decode_prefill(*a))
+                prefill_fn = jax.jit(prefill_fn)
+                self._store_logits_fn(name, self.qa_model, prefill_fn)
+            step_fn_jit = self._cached_logits_fn("_qa_step_fn", self.qa_model)
+            if step_fn_jit is None:
                 qa_model = self.qa_model
 
-                def logits_fn(dec_ids, memory):
-                    enc_, mask_, params_ = memory
+                def step_fn_jit(p, tok, t, cache, em):
                     return qa_model.apply(
-                        {"params": params_}, dec_ids, enc_, mask_,
-                        method=qa_model.decode,
-                    )
-                self._store_logits_fn("_qa_logits_fn", self.qa_model, logits_fn)
+                        {"params": p}, tok, t, cache, em,
+                        method=lambda mdl, *a: mdl.decode_step_logits(*a))
+                step_fn_jit = jax.jit(step_fn_jit)
+                self._store_logits_fn("_qa_step_fn", self.qa_model, step_fn_jit)
 
             bos = jnp.asarray([[self.qa_tokenizer.pad_id]], jnp.int32)  # T5 starts at pad
-            out = greedy_generate_fn(
-                logits_fn, bos, memory=(enc_flat, mask_flat, self.qa_params),
+            logits0, cache = prefill_fn(self.qa_params, bos, enc_flat, mask_flat)
+
+            def step_fn(tok, pos, state):
+                cache, p, em = state
+                logits, cache = step_fn_jit(p, tok, pos[0], cache, em)
+                return logits, (cache, p, em)
+            step_fn.__sprc_step_cache__ = self.__dict__.setdefault(
+                "_qa_fused_cache", {})
+
+            from sprc_tpu.models.generation import cached_greedy_loop
+
+            out = cached_greedy_loop(
+                logits0, (cache, self.qa_params, mask_flat),
+                jnp.ones((1,), jnp.int32), step_fn,
                 eos_token_id=self.qa_tokenizer.eos_id,
                 pad_token_id=self.qa_tokenizer.pad_id,
-                max_length=max_len, min_length=min_len,
+                max_new_tokens=max_len - 1, min_new_tokens=min_len,
             )
-            answers.append(self.qa_tokenizer.decode(np.asarray(out)[0][1:]))
+            answers.append(self.qa_tokenizer.decode(np.asarray(out)[0]))
         return answers
 
     # -- full pipeline ----------------------------------------------------
@@ -527,14 +554,63 @@ class FiDT5(nn.Module):
     def decode(self, decoder_input_ids, enc_out, enc_mask=None, decoder_mask=None):
         return self.t5.decode(decoder_input_ids, enc_out, enc_mask, decoder_mask)
 
+    def decode_prefill(self, decoder_input_ids, enc_out, enc_mask, s_max: int):
+        return self.t5.decode_prefill(decoder_input_ids, enc_out, enc_mask, s_max)
+
+    def decode_step_logits(self, tok, t, cache, enc_mask=None):
+        return self.t5.decode_step_logits(tok, t, cache, enc_mask)
+
+
+# long-lived jitted FiD decode programs per model id
+_FID_GEN_CACHE: Dict[int, Dict] = {}
+
 
 def fid_generate(model, params, input_ids, attention_mask, *, pad_id: int,
-                 eos_id: int, max_length: int = 20, min_length: int = 0):
-    """Greedy FiD generation (reference .generate, num_beams=1 default)."""
+                 eos_id: int, max_length: int = 20, min_length: int = 0,
+                 use_cache: bool = True):
+    """Greedy FiD generation (reference .generate, num_beams=1 default).
+
+    ``use_cache=True`` (default) runs the KV-cached decoder: cross-attn K/V
+    of the (large: n_ctx*L tokens) fused encoder memory are projected ONCE
+    at prefill instead of per generated token (reference past_key_values,
+    HF modeling_t5.py) — stepwise-equal to the recompute path."""
     enc_out, enc_mask = model.apply(
         {"params": params}, input_ids, attention_mask,
         method=model.encode_contexts,
     )
+    B = input_ids.shape[0]
+    bos = jnp.full((B, 1), pad_id, jnp.int32)  # T5 decoding starts at pad
+
+    if use_cache:
+        from sprc_tpu.models.generation import cached_greedy_loop
+
+        s_max = max_length
+        entry = _FID_GEN_CACHE.setdefault(id(model), {"_model": model})
+        if ("prefill", s_max) not in entry:
+            entry[("prefill", s_max)] = jax.jit(
+                lambda p, d, e, m: model.apply(
+                    {"params": p}, d, e, m, s_max,
+                    method=lambda mdl, *a: mdl.decode_prefill(*a)))
+        if "step" not in entry:
+            entry["step"] = jax.jit(
+                lambda p, tok, t, cache, em: model.apply(
+                    {"params": p}, tok, t, cache, em,
+                    method=lambda mdl, *a: mdl.decode_step_logits(*a)))
+        prefill, step = entry[("prefill", s_max)], entry["step"]
+        logits0, cache = prefill(params, bos, enc_out, enc_mask)
+
+        def step_fn(tok, pos, state):
+            cache, p, em = state
+            logits, cache = step(p, tok, pos[0], cache, em)
+            return logits, (cache, p, em)
+        step_fn.__sprc_step_cache__ = entry.setdefault("fused", {})
+
+        out = cached_greedy_loop(
+            logits0, (cache, params, enc_mask), jnp.ones((B,), jnp.int32),
+            step_fn, eos_token_id=eos_id, pad_token_id=pad_id,
+            max_new_tokens=max_length - 1, min_new_tokens=min_length)
+        # match the uncached return layout: [bos | generated]
+        return jnp.concatenate([bos, out], axis=1)
 
     def logits_fn(dec_ids, memory):
         enc_, mask_, params_ = memory
@@ -542,8 +618,6 @@ def fid_generate(model, params, input_ids, attention_mask, *, pad_id: int,
             {"params": params_}, dec_ids, enc_, mask_, method=model.decode
         )
 
-    B = input_ids.shape[0]
-    bos = jnp.full((B, 1), pad_id, jnp.int32)  # T5 decoding starts at pad
     return greedy_generate_fn(
         logits_fn, bos, memory=(enc_out, enc_mask, params), eos_token_id=eos_id,
         pad_token_id=pad_id, max_length=max_length, min_length=min_length,

@@ -78,7 +78,8 @@ class T5RelBias(nn.Module):
     bidirectional: bool
 
     @nn.compact
-    def __call__(self, q_len: int, k_len: int) -> jnp.ndarray:
+    def __call__(self, q_len: int, k_len: int,
+                 q_positions: Optional[jnp.ndarray] = None) -> jnp.ndarray:
         cfg = self.config
         emb = self.param(
             "embedding",
@@ -86,7 +87,10 @@ class T5RelBias(nn.Module):
             (cfg.relative_buckets, cfg.num_heads),
             jnp.float32,
         )
-        ctx = jnp.arange(q_len)[:, None]
+        if q_positions is None:
+            ctx = jnp.arange(q_len)[:, None]
+        else:  # cached decode: bias rows for arbitrary (traced) positions
+            ctx = q_positions.reshape(-1, 1)
         mem = jnp.arange(k_len)[None, :]
         buckets = _relative_bucket(
             mem - ctx,
@@ -99,27 +103,60 @@ class T5RelBias(nn.Module):
 
 
 class T5Attention(nn.Module):
+    """T5 attention with optional functional caches: ``cache`` holds the
+    growing self-attn K/V (scattered at ``positions``), ``static_kv`` a
+    precomputed (k, v) pair ([B, Sk, H, D]) for cross-attention so the
+    encoder memory is projected ONCE at prefill (the reference's
+    past_key_values cross-attn reuse, HF modeling_t5.py)."""
+
     config: T5Config
 
-    @nn.compact
-    def __call__(self, x, kv, bias):
+    def setup(self) -> None:
+        cfg = self.config
+        inner = cfg.num_heads * cfg.d_kv
+        self.q = DenseGeneral(inner, use_bias=False, dtype=cfg.dtype, name="q")
+        self.k = DenseGeneral(inner, use_bias=False, dtype=cfg.dtype, name="k")
+        self.v = DenseGeneral(inner, use_bias=False, dtype=cfg.dtype, name="v")
+        self.o = DenseGeneral(cfg.d_model, use_bias=False, dtype=cfg.dtype, name="o")
+
+    def __call__(self, x, kv, bias, *, positions=None, cache=None,
+                 static_kv=None):
         cfg = self.config
         B, S, _ = x.shape
-        Sk = kv.shape[1]
         H, D = cfg.num_heads, cfg.d_kv
         inner = H * D
-        q = DenseGeneral(inner, use_bias=False, dtype=cfg.dtype, name="q")(x)
-        k = DenseGeneral(inner, use_bias=False, dtype=cfg.dtype, name="k")(kv)
-        v = DenseGeneral(inner, use_bias=False, dtype=cfg.dtype, name="v")(kv)
-        q = q.reshape(B, S, H, D)
-        k = k.reshape(B, Sk, H, D)
-        v = v.reshape(B, Sk, H, D)
+        q = self.q(x).reshape(B, S, H, D)
+        if static_kv is not None:
+            k, v = static_kv
+        else:
+            Sk = kv.shape[1]
+            k = self.k(kv).reshape(B, Sk, H, D)
+            v = self.v(kv).reshape(B, Sk, H, D)
+        new_cache = None
+        if cache is not None:
+            pos2d = positions[None, :] if positions.ndim == 1 else positions
+            pos2d = jnp.broadcast_to(pos2d, (B, S))
+            rows = jnp.arange(B)[:, None]
+            new_cache = {
+                "k": cache["k"].at[rows, pos2d].set(k.astype(cache["k"].dtype)),
+                "v": cache["v"].at[rows, pos2d].set(v.astype(cache["v"].dtype)),
+            }
+            k, v = new_cache["k"], new_cache["v"]
         # T5: NO 1/sqrt(d) scaling
         scores = jnp.einsum("bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32)
         scores = scores + bias
         probs = jax.nn.softmax(scores, axis=-1)
         ctx = jnp.einsum("bhqk,bkhd->bqhd", probs.astype(v.dtype), v).reshape(B, S, inner)
-        return DenseGeneral(cfg.d_model, use_bias=False, dtype=cfg.dtype, name="o")(ctx)
+        y = self.o(ctx)
+        return y if cache is None else (y, new_cache)
+
+    def project_kv(self, kv):
+        """Cross-attn K/V of an encoder memory, computed once at prefill."""
+        cfg = self.config
+        B, Sk, _ = kv.shape
+        H, D = cfg.num_heads, cfg.d_kv
+        return (self.k(kv).reshape(B, Sk, H, D),
+                self.v(kv).reshape(B, Sk, H, D))
 
 
 class T5FF(nn.Module):
@@ -142,16 +179,32 @@ class T5Block(nn.Module):
     config: T5Config
     is_decoder: bool
 
-    @nn.compact
-    def __call__(self, x, self_bias, enc_out=None, cross_bias=None):
+    def setup(self) -> None:
         cfg = self.config
-        h = T5LayerNorm(cfg.layer_norm_eps, name="self_ln")(x)
-        x = x + T5Attention(cfg, name="self_attn")(h, h, self_bias)
+        self.self_ln = T5LayerNorm(cfg.layer_norm_eps, name="self_ln")
+        self.self_attn = T5Attention(cfg, name="self_attn")
         if self.is_decoder:
-            h = T5LayerNorm(cfg.layer_norm_eps, name="cross_ln")(x)
-            x = x + T5Attention(cfg, name="cross_attn")(h, enc_out, cross_bias)
-        h = T5LayerNorm(cfg.layer_norm_eps, name="ff_ln")(x)
-        return x + T5FF(cfg, name="ff")(h)
+            self.cross_ln = T5LayerNorm(cfg.layer_norm_eps, name="cross_ln")
+            self.cross_attn = T5Attention(cfg, name="cross_attn")
+        self.ff_ln = T5LayerNorm(cfg.layer_norm_eps, name="ff_ln")
+        self.ff = T5FF(cfg, name="ff")
+
+    def __call__(self, x, self_bias, enc_out=None, cross_bias=None, *,
+                 positions=None, cache=None, cross_kv=None):
+        h = self.self_ln(x)
+        att = self.self_attn(h, h, self_bias, positions=positions, cache=cache)
+        if cache is not None:
+            att, new_cache = att
+        x = x + att
+        if self.is_decoder:
+            h = self.cross_ln(x)
+            x = x + self.cross_attn(h, enc_out, cross_bias, static_kv=cross_kv)
+        h = self.ff_ln(x)
+        y = x + self.ff(h)
+        return y if cache is None else (y, new_cache)
+
+    def cross_project(self, enc_out):
+        return self.cross_attn.project_kv(enc_out)
 
 
 class T5Stack(nn.Module):
@@ -159,32 +212,99 @@ class T5Stack(nn.Module):
     is_decoder: bool
     num_layers: int
 
-    @nn.compact
+    def setup(self) -> None:
+        cfg = self.config
+        self.blocks = [
+            T5Block(cfg, self.is_decoder, name=f"block_{i}")
+            for i in range(self.num_layers)
+        ]
+        self.rel_bias = T5RelBias(
+            cfg, bidirectional=not self.is_decoder, name="rel_bias")
+        self.final_ln = T5LayerNorm(cfg.layer_norm_eps, name="final_ln")
+
+    @staticmethod
+    def _cross_bias(enc_out, enc_mask):
+        if enc_mask is not None:
+            return (1.0 - enc_mask.astype(jnp.float32))[:, None, None, :] * -1e9
+        return jnp.zeros((1, 1, 1, enc_out.shape[1]), jnp.float32)
+
     def __call__(self, inputs_embeds, attention_mask=None, enc_out=None, enc_mask=None):
         cfg = self.config
         B, S, _ = inputs_embeds.shape
         pad_bias = 0.0
         if attention_mask is not None:
             pad_bias = (1.0 - attention_mask.astype(jnp.float32))[:, None, None, :] * -1e9
-        rel = T5RelBias(cfg, bidirectional=not self.is_decoder, name="rel_bias")(S, S)
+        rel = self.rel_bias(S, S)
         self_bias = rel + pad_bias
         if self.is_decoder:
             causal = jnp.tril(jnp.ones((S, S), jnp.float32))
             self_bias = self_bias + (1.0 - causal)[None, None] * -1e9
         cross_bias = None
         if enc_out is not None:
-            cross_bias = 0.0
-            if enc_mask is not None:
-                cross_bias = (1.0 - enc_mask.astype(jnp.float32))[:, None, None, :] * -1e9
-            else:
-                cross_bias = jnp.zeros((1, 1, 1, enc_out.shape[1]), jnp.float32)
+            cross_bias = self._cross_bias(enc_out, enc_mask)
 
         x = inputs_embeds.astype(cfg.dtype)
-        for i in range(self.num_layers):
-            x = T5Block(cfg, self.is_decoder, name=f"block_{i}")(
-                x, self_bias, enc_out, cross_bias
-            )
-        return T5LayerNorm(cfg.layer_norm_eps, name="final_ln")(x)
+        for block in self.blocks:
+            x = block(x, self_bias, enc_out, cross_bias)
+        return self.final_ln(x)
+
+    # -- KV-cached decoder path (decoder stacks only) ---------------------
+    def prefill(self, inputs_embeds, enc_out, enc_mask, s_max: int):
+        """Decoder prefix pass filling self-attn K/V caches AND the
+        once-per-sequence cross-attn K/V -> (hidden, cache). The T5 decode
+        prefix is left-aligned (bos/forced tokens, no pads), so positions
+        are uniform across rows."""
+        assert self.is_decoder
+        cfg = self.config
+        B, P, _ = inputs_embeds.shape
+        rel = self.rel_bias(P, s_max)  # [1, H, P, s_max]
+        cols = jnp.arange(s_max)[None, :]
+        causal = cols <= jnp.arange(P)[:, None]  # [P, s_max]
+        self_bias = rel + jnp.where(causal, 0.0, -1e9)[None, None]
+        cross_bias = self._cross_bias(enc_out, enc_mask)
+
+        H, D = cfg.num_heads, cfg.d_kv
+        positions = jnp.arange(P)
+        x = inputs_embeds.astype(cfg.dtype)
+        cache = {}
+        for i, block in enumerate(self.blocks):
+            ck, cv = block.cross_project(enc_out)
+            empty = {"k": jnp.zeros((B, s_max, H, D), cfg.dtype),
+                     "v": jnp.zeros((B, s_max, H, D), cfg.dtype)}
+            x, new = block(
+                x, self_bias, enc_out, cross_bias,
+                positions=positions, cache=empty, cross_kv=(ck, cv))
+            new["ck"], new["cv"] = ck, cv
+            cache[f"block_{i}"] = new
+        return self.final_ln(x), cache
+
+    def decode_step(self, embed_t, t, cache, enc_mask):
+        """One cached decoder position t (scalar; uniform across rows):
+        embed_t [B, 1, d] -> (hidden [B, 1, d], cache)."""
+        assert self.is_decoder
+        cfg = self.config
+        s_max = cache["block_0"]["k"].shape[1]
+        t_arr = jnp.asarray(t).reshape(1)
+        rel = self.rel_bias(1, s_max, q_positions=t_arr)  # [1, H, 1, s_max]
+        valid = jnp.arange(s_max)[None, None, None, :] <= t
+        self_bias = rel + jnp.where(valid, 0.0, -1e9)
+        if enc_mask is not None:
+            cross_bias = self._cross_bias(None, enc_mask)
+        else:
+            senc = cache["block_0"]["ck"].shape[1]
+            cross_bias = jnp.zeros((1, 1, 1, senc), jnp.float32)
+
+        x = embed_t.astype(cfg.dtype)
+        new_cache = {}
+        for i, block in enumerate(self.blocks):
+            entry = cache[f"block_{i}"]
+            x, new = block(
+                x, self_bias, None, cross_bias,
+                positions=t_arr, cache={"k": entry["k"], "v": entry["v"]},
+                cross_kv=(entry["ck"], entry["cv"]))
+            new["ck"], new["cv"] = entry["ck"], entry["cv"]
+            new_cache[f"block_{i}"] = new
+        return self.final_ln(x), new_cache
 
 
 class T5ForConditionalGeneration(nn.Module):
@@ -213,6 +333,9 @@ class T5ForConditionalGeneration(nn.Module):
         hidden = self.decoder(
             self.shared(decoder_input_ids), decoder_mask, enc_out, enc_mask
         )
+        return self._lm_logits(hidden)
+
+    def _lm_logits(self, hidden):
         cfg = self.config
         if cfg.tie_word_embeddings:
             hidden = hidden * (cfg.d_model**-0.5)
@@ -222,6 +345,19 @@ class T5ForConditionalGeneration(nn.Module):
                 self.shared.embedding.astype(jnp.float32),
             )
         return self.lm_head(hidden)
+
+    # -- KV-cached decode (reference past_key_values, HF modeling_t5.py) --
+    def decode_prefill(self, decoder_input_ids, enc_out, enc_mask, s_max: int):
+        """-> (logits at the last prefix position [B, V], cache)."""
+        hidden, cache = self.decoder.prefill(
+            self.shared(decoder_input_ids), enc_out, enc_mask, s_max)
+        return self._lm_logits(hidden[:, -1:, :])[:, 0, :], cache
+
+    def decode_step_logits(self, tok, t, cache, enc_mask=None):
+        """tok [B], scalar position t -> (next-token logits [B, V], cache)."""
+        hidden, cache = self.decoder.decode_step(
+            self.shared(tok)[:, None, :], t, cache, enc_mask)
+        return self._lm_logits(hidden)[:, 0, :], cache
 
     def embed(self, input_ids):
         return self.shared(input_ids)

@@ -266,6 +266,42 @@ def _full_kernel(x_ref, l1s_ref, l1b_ref, wqkv_ref, bqkv_ref, wproj_ref,
     w2 = w2_ref[...]
     b2 = b2_ref[0]
 
+    import os
+
+    if os.environ.get("SPRC_FBLK_DENSE", "pergroup") == "batched":
+        # all G images' rows through ONE dot per dense op: M = G*S rows
+        # instead of S=257 (= 2x128 + 1 remainder row, poor MXU tiling)
+        h2 = h1.reshape(G * S, W)
+        qkv_all = (jax.lax.dot_general(
+            h2, wqkv, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) + bqkv).astype(xb.dtype)
+        ctx_all = jnp.concatenate([
+            _attend(qkv_all[g * S:(g + 1) * S], W, D, heads, scale,
+                    xb.dtype, perhead=False)
+            for g in range(G)
+        ], axis=0)
+        att = jax.lax.dot_general(
+            ctx_all, wproj, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) + bproj
+        y = xb.reshape(G * S, W) + att.astype(xb.dtype)
+        u = _ln_f32(y.astype(jnp.float32), l2s_ref[0], l2b_ref[0], eps).astype(xb.dtype)
+        hid = jax.lax.dot_general(
+            u, w1, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) + b1
+        if quick:
+            hid = hid * jax.nn.sigmoid(1.702 * hid)
+        else:
+            hid = _gelu_exact_f32(hid)
+        out = jax.lax.dot_general(
+            hid.astype(xb.dtype), w2, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) + b2
+        o_ref[...] = (y + out.astype(xb.dtype)).reshape(G, S, W)
+        return
+
     for g in range(G):
         qkv = (jax.lax.dot_general(
             h1[g], wqkv, (((1,), (0,)), ((), ())),
@@ -391,6 +427,45 @@ def _full_kernel_i8(x_ref, l1s_ref, l1b_ref, wqkv_ref, sqkv_ref, bqkv_ref,
     w2 = w2_ref[...]
     r2 = s2_ref[0] * a_fc2
     b2 = b2_ref[0]
+
+    import os
+
+    if os.environ.get("SPRC_FBLK_DENSE", "pergroup") == "batched":
+        # one [G*S, W] dot per dense op (see _full_kernel): int8 MXU rates
+        # collapse at M=257 (2x128 + 1 remainder row); G*S rows tile cleanly
+        q8 = _q8(h1.reshape(G * S, W), 1.0 / a_qkv)
+        qkv_all = (jax.lax.dot_general(
+            q8, wqkv, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        ).astype(jnp.float32) * rqkv + bqkv).astype(xb.dtype)
+        ctx_all = jnp.concatenate([
+            _attend(qkv_all[g * S:(g + 1) * S], W, D, heads, scale,
+                    xb.dtype, perhead=False)
+            for g in range(G)
+        ], axis=0)
+        c8 = _q8(ctx_all.astype(jnp.float32), 1.0 / a_proj)
+        att = jax.lax.dot_general(
+            c8, wproj, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        ).astype(jnp.float32) * rproj + bproj
+        y = xb.reshape(G * S, W) + att.astype(xb.dtype)
+        u = _ln_f32(y.astype(jnp.float32), l2s_ref[0], l2b_ref[0], eps)
+        u8 = _q8(u, 1.0 / a_fc1)
+        hid = jax.lax.dot_general(
+            u8, w1, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        ).astype(jnp.float32) * r1 + b1
+        if quick:
+            hid = hid * jax.nn.sigmoid(1.702 * hid)
+        else:
+            hid = _gelu_exact_f32(hid)
+        h8 = _q8(hid, 1.0 / a_fc2)
+        out = jax.lax.dot_general(
+            h8, w2, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        ).astype(jnp.float32) * r2 + b2
+        o_ref[...] = (y + out.astype(xb.dtype)).reshape(G, S, W)
+        return
 
     for g in range(G):
         q8 = _q8(h1[g], 1.0 / a_qkv)

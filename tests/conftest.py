@@ -225,3 +225,16 @@ def ref_med_module(ref_qformer_module):
 @pytest.fixture(scope="session")
 def rng():
     return np.random.RandomState(0)
+
+
+def pytest_terminal_summary(terminalreporter, exitstatus, config):
+    """Loud slow-lane reminder (VERDICT r2 item 7): the default gate skips
+    the full-dims numerics check; nothing else re-verifies it."""
+    if os.environ.get("SPRC_FULLSCALE") != "1":
+        terminalreporter.write_sep(
+            "=",
+            "REMINDER: full-scale parity NOT run - before shipping, run "
+            "SPRC_FULLSCALE=1 python -m pytest tests/test_fullscale_parity.py "
+            "(~4 min) and scripts/check_fused_tpu.py (see README slow lane)",
+            yellow=True,
+        )

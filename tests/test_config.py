@@ -109,3 +109,43 @@ def test_factory_builds_every_registry_model():
 
     with pytest.raises(TypeError, match="unknown config fields"):
         build_model("albef_retrieval", not_a_field=1)
+
+
+def test_vqa_families_get_question_processor():
+    """VQA families resolve blip_question for train AND eval through the
+    factory (reference configs/models/blip_vqav2.yaml + load_preprocess,
+    src/lavis/models/__init__.py:152-201); CIR keeps blip_caption."""
+    import jax.numpy as jnp
+    from sprc_tpu.loader import load_model_and_preprocess
+    from sprc_tpu.models.qformer import QFormerConfig
+    from sprc_tpu.models.vit import ViTConfig
+    from sprc_tpu.text.processors import CaptionProcessor, QuestionProcessor
+
+    tiny_vit = ViTConfig(image_size=28, patch_size=14, width=32, depth=1,
+                         num_heads=2, mlp_hidden=64, dtype=jnp.float32)
+    tiny_txt = QFormerConfig(vocab_size=60, hidden_size=32, num_layers=1,
+                             num_heads=2, intermediate_size=64,
+                             encoder_width=32, dropout_rate=0.0)
+    model, params, vis, txt = load_model_and_preprocess(
+        "blip_vqa", image_size=28, vocab_size=60,
+        vit_config_override=tiny_vit, text_config_override=tiny_txt,
+    )
+    assert isinstance(txt["train"], QuestionProcessor)
+    assert isinstance(txt["eval"], QuestionProcessor)
+    assert "visual_encoder" in params
+
+    # CIR path unchanged
+    from sprc_tpu.models.cir_base import CirConfig  # noqa: F401
+    import dataclasses
+    vcfg = ViTConfig(image_size=28, patch_size=14, width=32, depth=1,
+                     num_heads=2, mlp_hidden=64, qkv_fused_no_kbias=True,
+                     dtype=jnp.float32)
+    qcfg = QFormerConfig(vocab_size=60, hidden_size=32, num_layers=1,
+                         num_heads=2, intermediate_size=64, encoder_width=32,
+                         query_length=4, dropout_rate=0.0)
+    _, _, _, txt2 = load_model_and_preprocess(
+        "blip2_cir_align_prompt", image_size=28, num_query_token=4,
+        max_txt_len=8, vocab_size=60, vit_config_override=vcfg,
+        qformer_config_override=qcfg,
+    )
+    assert isinstance(txt2["eval"], CaptionProcessor)

@@ -171,6 +171,14 @@ def test_instruct_generate(batch):
     assert out.shape == (B, 4)
     assert ((out >= 0) & (out < LLM_VOCAB)).all()
 
+    # KV-cached path (default) == full-recompute path, token for token
+    out_uncached = np.asarray(instruct_generate(
+        model, params, b["ref"], b["ids"], b["mask"],
+        b["llm_ids"], b["llm_mask"], eos_token_id=2, pad_token_id=0,
+        max_new_tokens=4, use_cache=False,
+    ))
+    np.testing.assert_array_equal(out, out_uncached)
+
 
 def test_determinism_harness(batch):
     from sprc_tpu.utils.determinism import assert_deterministic, tree_fingerprint

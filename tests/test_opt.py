@@ -126,3 +126,11 @@ def test_blip2_opt_caption_loss_and_generate(rng):
     gen = np.asarray(gen)
     assert gen.shape == (Bm, 4)
     assert ((gen >= 0) & (gen < VOCAB)).all()
+
+    # KV-cached path (default) == full-recompute path, token for token
+    gen_uncached = np.asarray(model.generate_ids(
+        variables["params"], images, jnp.asarray(ids[:, :3]),
+        jnp.asarray(np.ones((Bm, 3), np.int32)),
+        eos_token_id=2, pad_token_id=1, max_new_tokens=4, use_cache=False,
+    ))
+    np.testing.assert_array_equal(gen, gen_uncached)

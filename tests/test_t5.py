@@ -140,3 +140,10 @@ def test_blip2_t5_loss_and_generate(rng):
     assert gen.shape == (Bm, 4)
     assert ((gen >= 0) & (gen < VOCAB)).all()
     assert registry.get_model_class("blip2_t5_instruct") is type(model)
+
+    # KV-cached path (default) == full-recompute path, token for token
+    gen_uncached = np.asarray(model.generate_ids(
+        variables["params"], images, in_ids, in_mask,
+        eos_token_id=1, pad_token_id=0, max_new_tokens=4, use_cache=False,
+    ))
+    np.testing.assert_array_equal(gen, gen_uncached)
