@@ -60,6 +60,7 @@ def finetune(args) -> None:
         args.model_type,
         checkpoint_path=args.model_path,
         vit_dtype=jnp.bfloat16 if args.bf16 else jnp.float32,
+        vit_remat=getattr(args, "remat", False),
     )
     from sprc_tpu.utils.artifacts import ensure_bert_vocab
 
@@ -102,6 +103,10 @@ def finetune(args) -> None:
         pct_start=1.0 / 50.0,
         loss_weights={"loss_rtc": args.loss_rtc, "loss_align": args.loss_align},
         grad_accum_steps=args.grad_accum,
+        # the model's own frozen partition (visual_encoder for the flagship;
+        # rerank/instruct variants freeze more) — autodiff skips these
+        frozen_prefixes=tuple(
+            getattr(model, "FROZEN_PREFIXES", ("visual_encoder",))),
     )
     state, tx = create_train_state(params, tcfg, jax.random.PRNGKey(args.seed))
     if args.resume and os.path.isdir(args.resume):
@@ -249,6 +254,11 @@ def make_parser() -> argparse.ArgumentParser:
     p.add_argument("--seed", type=int, default=42)
     p.add_argument("--bf16", action="store_true", default=True)
     p.add_argument("--no-bf16", dest="bf16", action="store_false")
+    p.add_argument("--remat", action="store_true",
+                   help="activation-checkpoint the ViT blocks (needed for "
+                        "the reference b128 recipe on 16 GB chips when the "
+                        "ViT is trainable; frozen-ViT runs skip the ViT "
+                        "backward entirely and rarely need it)")
     p.add_argument("--mesh", action="store_true")
     p.add_argument("--validate-every", type=int, default=1)
     p.add_argument("--encode-batch", type=int, default=64)

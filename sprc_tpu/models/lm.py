@@ -201,6 +201,119 @@ def beam_generate(
     return jnp.asarray(out)
 
 
+def cached_beam_generate(
+    lm: QFormerLM,
+    params,
+    query_embeds: jnp.ndarray,
+    image_embeds: jnp.ndarray,
+    *,
+    bos_token_id: int,
+    eos_token_id: int,
+    pad_token_id: int,
+    num_beams: int = 3,
+    max_length: int = 30,
+    min_length: int = 10,
+    length_penalty: float = 1.0,
+) -> jnp.ndarray:
+    """Device-side KV-cached beam search -> token ids [B, max_length].
+
+    Replaces the host numpy beam loop (:func:`beam_generate`, kept as the
+    equality oracle): beam selection (log-softmax, top-K over K*V, beam
+    reordering of ids AND K/V caches) plus the next cached decode step run
+    as ONE jitted dispatch per token — the host loop paid one dispatch per
+    token per beam set plus a host argsort between. Reference default is
+    beam-3 (…cir_align_prompt.py:208; HF beam_search semantics with length
+    penalty at finalization). Token-identical to :func:`beam_generate`
+    (tests/test_lm_generation.py).
+    """
+    import numpy as np
+
+    B = query_embeds.shape[0]
+    K = num_beams
+    q_rep = jnp.repeat(query_embeds, K, axis=0)
+    img_rep = jnp.repeat(image_embeds, K, axis=0)
+
+    logits0, k_cache, v_cache, step = _cached_decode_setup(
+        lm, params, q_rep, img_rep,
+        bos_token_id=bos_token_id, max_length=max_length,
+    )
+    ids = jnp.full((B * K, max_length), pad_token_id, jnp.int32)
+    ids = ids.at[:, 0].set(bos_token_id)
+    scores = jnp.zeros((B, K), jnp.float32)
+    scores = scores.at[:, 1:].set(-1e9)  # beams identical at t=0: keep one
+    finished = jnp.zeros((B * K,), bool)
+
+    def _select(logits, ids, scores, finished, t, suppress_eos):
+        V = logits.shape[-1]
+        logits = logits.astype(jnp.float32)
+        logits = jnp.where(
+            suppress_eos, logits.at[:, eos_token_id].set(-1e9), logits
+        )
+        logp = jax.nn.log_softmax(logits, axis=-1)
+        # finished beams only extend with PAD at zero cost
+        logp = jnp.where(finished[:, None], -1e9, logp)
+        logp = logp.at[:, pad_token_id].set(
+            jnp.where(finished, 0.0, logp[:, pad_token_id])
+        )
+        total = (scores.reshape(B * K, 1) + logp).reshape(B, K * V)
+        new_scores, top = jax.lax.top_k(total, K)  # [B, K]
+        src_beam = top // V
+        tok = (top % V).astype(jnp.int32)
+        flat_src = (jnp.arange(B)[:, None] * K + src_beam).reshape(-1)
+        tok_flat = tok.reshape(-1)
+        ids = ids[flat_src].at[:, t].set(tok_flat)
+        finished = finished[flat_src] | (tok_flat == eos_token_id)
+        return ids, new_scores, finished, flat_src, tok_flat
+
+    @jax.jit
+    def beam_step(logits, ids, scores, finished, t, suppress_eos,
+                  k_cache, v_cache):
+        ids, scores, finished, flat_src, tok = _select(
+            logits, ids, scores, finished, t, suppress_eos
+        )
+        # reorder the caches to the surviving beams, then one cached step
+        k_cache = k_cache[:, flat_src]
+        v_cache = v_cache[:, flat_src]
+        logits, k_cache, v_cache = step(tok, t, k_cache, v_cache)
+        return logits, ids, scores, finished, k_cache, v_cache
+
+    @jax.jit
+    def beam_last(logits, ids, scores, finished, t, suppress_eos):
+        ids, scores, finished, _, _ = _select(
+            logits, ids, scores, finished, t, suppress_eos
+        )
+        return ids, scores, finished
+
+    logits = logits0
+    for t in range(1, max_length):
+        if t == max_length - 1:
+            ids, scores, finished = beam_last(
+                logits, ids, scores, finished, t, t < min_length
+            )
+            break
+        logits, ids, scores, finished, k_cache, v_cache = beam_step(
+            logits, ids, scores, finished, t, t < min_length,
+            k_cache, v_cache,
+        )
+        if t % 4 == 0 and bool(np.asarray(jnp.all(finished))):
+            break
+
+    # finalize with HF length penalty (host; one readback)
+    ids_np = np.asarray(ids)
+    scores_np = np.asarray(scores, np.float64)
+    out = np.full((B, max_length), pad_token_id, np.int32)
+    for b in range(B):
+        best_k, best_score = 0, -np.inf
+        for k in range(K):
+            row = ids_np[b * K + k]
+            length = int((row != pad_token_id).sum())
+            score = scores_np[b, k] / (length ** length_penalty)
+            if score > best_score:
+                best_k, best_score = k, score
+        out[b] = ids_np[b * K + best_k]
+    return jnp.asarray(out)
+
+
 def generate_captions(
     cir_model,
     cir_params,
@@ -299,28 +412,21 @@ def _p_ln(p, x, eps):
     return y * p["scale"].astype(jnp.float32) + p["bias"].astype(jnp.float32)
 
 
-def cached_greedy_generate(
+def _cached_decode_setup(
     lm: QFormerLM,
     params,
     query_embeds: jnp.ndarray,
     image_embeds: jnp.ndarray,
     *,
     bos_token_id: int,
-    eos_token_id: int,
-    pad_token_id: int,
-    max_length: int = 30,
-    min_length: int = 10,
-) -> jnp.ndarray:
-    """KV-cached greedy decode — the reference's ``past_key_values`` path
-    (Qformer.py:83-95,976-1138) done functionally.
+    max_length: int,
+):
+    """Shared KV-cache scaffolding for greedy AND beam decode: prefill over
+    [queries | BOS], per-layer K/V caches, and the jitted single-position
+    ``step(tok, t, k_cache, v_cache) -> (logits, k_cache, v_cache)``.
 
-    Prefill runs the full Q-Former ONCE over [queries | BOS] (capturing each
-    layer's input hidden states via sow); per-layer K/V caches are built from
-    those with the layer's own projections, and each subsequent token runs a
-    single-position step against the cache. Text positions use the text FFN
-    and never cross-attend (the decoder contract), so the step needs only
-    the self-attention + ffn_text weights. Stepwise-identical to
-    :func:`greedy_generate` (tests/test_lm_generation.py).
+    Returns ``(logits0, k_cache, v_cache, step)`` where logits0 are the
+    position-0 logits from the prefill.
     """
     cfg = lm.config
     qp = params["qformer"]
@@ -352,10 +458,6 @@ def cached_greedy_generate(
         sp = qp[f"layer_{i}"]["self_attn"]
         k_cache = k_cache.at[i, :, : Q + 1].set(_p_dense(sp["key"], h_in, dtype))
         v_cache = v_cache.at[i, :, : Q + 1].set(_p_dense(sp["value"], h_in, dtype))
-
-    ids = jnp.full((B, max_length), pad_token_id, jnp.int32)
-    ids = ids.at[:, 0].set(bos_token_id)
-    finished = jnp.zeros((B,), bool)
 
     word = qp["embeddings"]["word_embeddings"]["embedding"]
     pos = qp["embeddings"]["position_embeddings"]["embedding"]
@@ -407,6 +509,41 @@ def cached_greedy_generate(
         y = _p_ln(hp["ln"], y, eps).astype(dtype)
         return _p_dense(hp["decoder"], y, dtype)[:, 0, :], k_cache, v_cache
 
+    return first_logits(prefill_hidden), k_cache, v_cache, step
+
+
+def cached_greedy_generate(
+    lm: QFormerLM,
+    params,
+    query_embeds: jnp.ndarray,
+    image_embeds: jnp.ndarray,
+    *,
+    bos_token_id: int,
+    eos_token_id: int,
+    pad_token_id: int,
+    max_length: int = 30,
+    min_length: int = 10,
+) -> jnp.ndarray:
+    """KV-cached greedy decode — the reference's ``past_key_values`` path
+    (Qformer.py:83-95,976-1138) done functionally.
+
+    Prefill runs the full Q-Former ONCE over [queries | BOS] (capturing each
+    layer's input hidden states via sow); per-layer K/V caches are built from
+    those with the layer's own projections, and each subsequent token runs a
+    single-position step against the cache. Text positions use the text FFN
+    and never cross-attend (the decoder contract), so the step needs only
+    the self-attention + ffn_text weights. Stepwise-identical to
+    :func:`greedy_generate` (tests/test_lm_generation.py).
+    """
+    B = query_embeds.shape[0]
+    logits, k_cache, v_cache, step = _cached_decode_setup(
+        lm, params, query_embeds, image_embeds,
+        bos_token_id=bos_token_id, max_length=max_length,
+    )
+    ids = jnp.full((B, max_length), pad_token_id, jnp.int32)
+    ids = ids.at[:, 0].set(bos_token_id)
+    finished = jnp.zeros((B,), bool)
+
     def _select(logits, finished, ids, t, suppress_eos):
         logits = jnp.where(
             suppress_eos,
@@ -434,7 +571,6 @@ def cached_greedy_generate(
         _, finished, ids = _select(logits, finished, ids, t, suppress_eos)
         return finished, ids
 
-    logits = first_logits(prefill_hidden)
     for t in range(1, max_length):
         if t == max_length - 1:
             _, ids = sample_only(logits, finished, ids, t, t < min_length)

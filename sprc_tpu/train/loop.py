@@ -175,12 +175,26 @@ def make_train_step(
 
     batch keys: 'reference' [B,H,W,3], 'target' [B,H,W,3],
     'input_ids' [B,L], 'text_mask' [B,L].
+
+    Frozen subtrees (``cfg.frozen_prefixes``) are excluded from
+    differentiation itself — the reference's ``requires_grad=False``
+    (blip_fine_tune_2.py via …align_prompt.py:64-69) done at the autodiff
+    level: the jaxpr contains NO backward through (and saves no residuals
+    for) the frozen towers, instead of computing those grads and zeroing
+    them in the optimizer. Their optimizer updates stay zero via the
+    multi_transform partition (zeros are fed for their grad leaves).
     """
     weights = cfg.weights()
+    frozen_keys = set(cfg.frozen_prefixes)
 
-    def loss_fn(params, batch, dropout_rng):
+    def _split(params):
+        train = {k: v for k, v in params.items() if k not in frozen_keys}
+        frozen = {k: v for k, v in params.items() if k in frozen_keys}
+        return train, frozen
+
+    def loss_fn(train_params, frozen_params, batch, dropout_rng):
         losses = model.apply(
-            {"params": params},
+            {"params": {**train_params, **frozen_params}},
             batch["reference"],
             batch["target"],
             batch["input_ids"],
@@ -195,9 +209,14 @@ def make_train_step(
 
     def step_fn(state: TrainState, batch):
         rng, dropout_rng = jax.random.split(state.rng)
-        (total, losses), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            state.params, batch, dropout_rng
-        )
+        train_params, frozen_params = _split(state.params)
+        (total, losses), train_grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(train_params, frozen_params, batch, dropout_rng)
+        grads = {
+            **train_grads,
+            **jax.tree.map(jnp.zeros_like, frozen_params),
+        }
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
         new_state = state.replace(

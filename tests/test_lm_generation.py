@@ -198,3 +198,31 @@ def test_cached_greedy_matches_recompute():
     a = greedy_generate(lm, params, qe, ie, **kw)
     b = cached_greedy_generate(lm, params, qe, ie, **kw)
     np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_cached_beam_matches_host_beam():
+    """Device-side KV-cached beam search is token-identical to the host
+    numpy beam loop it replaces (VERDICT r2 item 8)."""
+    from sprc_tpu.models.lm import beam_generate, cached_beam_generate
+    from sprc_tpu.models.qformer import QFormerConfig
+    from sprc_tpu.models.lm import QFormerLM
+
+    cfg = QFormerConfig(
+        vocab_size=40, hidden_size=24, num_layers=3, num_heads=2,
+        intermediate_size=48, encoder_width=16, query_length=4,
+        dropout_rate=0.0, attention_dropout_rate=0.0, cross_attention_freq=2,
+    )
+    lm = QFormerLM(cfg)
+    rs = np.random.RandomState(7)
+    qe = jnp.asarray(rs.randn(2, 4, 24) * 0.1, jnp.float32)
+    ie = jnp.asarray(rs.randn(2, 7, 16) * 0.1, jnp.float32)
+    params = lm.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, 3), jnp.int32), qe[:1], None, ie[:1]
+    )["params"]
+    for penalty in (0.0, 1.0):
+        kw = dict(bos_token_id=2, eos_token_id=3, pad_token_id=0,
+                  num_beams=3, max_length=10, min_length=3,
+                  length_penalty=penalty)
+        host = np.asarray(beam_generate(lm, params, qe, ie, **kw))
+        dev = np.asarray(cached_beam_generate(lm, params, qe, ie, **kw))
+        np.testing.assert_array_equal(dev, host)
