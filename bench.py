@@ -321,7 +321,13 @@ def bench_train(batch, steps):
 
     model = _build()
     params = _fill_params(model, *_encode_dummy_args(model))
-    tcfg = TrainConfig(learning_rate=1e-5, total_steps=100)
+    tcfg = TrainConfig(
+        learning_rate=1e-5, total_steps=100,
+        # effective batch = batch * accum (reference recipe b128 =
+        # b64 x 2 on a 16 GB chip, or b128 x 1 now that the frozen tower
+        # is excluded from autodiff)
+        grad_accum_steps=int(os.environ.get("SPRC_BENCH_TRAIN_ACCUM", "1")),
+    )
     state, tx = create_train_state(params, tcfg)
     step = make_train_step(model, tx, tcfg, donate=False)
     L = model.cfg.max_txt_len

@@ -19,7 +19,9 @@ from typing import Optional
 def main(argv: Optional[list] = None) -> None:
     parser = argparse.ArgumentParser(description=__doc__)
     parser.add_argument("--cfg-path", required=True)
-    parser.add_argument("--data-path", required=True)
+    parser.add_argument("--data-path", required=False, default=None,
+                        help="dataset root (CIR runs; generic runs carry "
+                             "paths in their datasets section)")
     parser.add_argument("--vocab-path", default=None)
     parser.add_argument("--output-dir", default="./output")
     parser.add_argument("--model-path", default=None)
@@ -36,6 +38,18 @@ def main(argv: Optional[list] = None) -> None:
     cfg = Config(args.cfg_path, overrides=args.options)
     run = cfg.run
     model_cfg = cfg.model
+
+    # generic (non-CIR) tasks route through the builder/adapter runner
+    # (the reference's projects/* configs over RunnerBase; train/generic.py)
+    from sprc_tpu.train.generic import TASK_ADAPTERS, run_generic
+
+    if run.get("task") in TASK_ADAPTERS:
+        best = run_generic(cfg, args)
+        print({"task": run.get("task"), "best": best})
+        return
+
+    if args.data_path is None:
+        parser.error("--data-path is required for CIR runs")
 
     # translate config sections into the finetune CLI's namespace
     ft = make_parser().parse_args(

@@ -79,9 +79,29 @@ def build_model(
     cls = registry.get_model_class(name)
 
     cfg_cls = _family_config_class(cls)
+
+    def _coerce(cfg_cls_, kw):
+        """YAML-friendly overrides: a dict value for a dataclass-typed field
+        (e.g. ``vit_config_override``) is constructed into that dataclass."""
+        import typing
+
+        try:
+            hints = typing.get_type_hints(cfg_cls_)
+        except Exception:
+            hints = {}
+        for f in dataclasses.fields(cfg_cls_):
+            if f.name in kw and isinstance(kw[f.name], dict):
+                ann = hints.get(f.name, f.type)
+                for cand in (ann,) + tuple(typing.get_args(ann)):
+                    if dataclasses.is_dataclass(cand):
+                        kw[f.name] = cand(**kw[f.name])
+                        break
+        return kw
+
     if cfg_cls is not None and cfg_cls is not CirConfig:
         valid = {f.name for f in dataclasses.fields(cfg_cls)}
         kw = {k: v for k, v in overrides.items() if k in valid}
+        kw = _coerce(cfg_cls, kw)
         unknown = set(overrides) - valid
         if unknown:
             raise TypeError(
@@ -111,7 +131,7 @@ def build_model(
         vit_model=vit_model,
         vit_dtype=jnp.bfloat16 if vit_dtype is _UNSET else vit_dtype,
         qformer_dtype=jnp.float32 if qformer_dtype is _UNSET else qformer_dtype,
-        **overrides,
+        **_coerce(CirConfig, dict(overrides)),
     )
     return cls(cfg)
 

@@ -213,6 +213,125 @@ def cached_greedy_loop(
     return ids
 
 
+def cached_beam_loop(
+    logits0: jnp.ndarray,  # [B*K, V] logits at the last prefix position
+    state0,  # opaque step state (caches + params/memories), row dim = B*K
+    pos0: jnp.ndarray,  # [B*K] buffer position the NEXT token will occupy
+    step_fn: Callable,  # (tok [B*K], pos [B*K], state) -> (logits, state)
+    gather_fn: Callable,  # (state, rows [B*K]) -> state with cache rows gathered
+    *,
+    num_beams: int,
+    eos_token_id: int,
+    pad_token_id: int,
+    max_new_tokens: int,
+    min_new_tokens: int = 0,
+    length_penalty: float = 1.0,
+    readback_every: int = 4,
+) -> jnp.ndarray:
+    """Device-side KV-cached beam search over a ``prefill``/``decode_step``
+    surface -> best sequences [B, max_new_tokens].
+
+    The caller prefit the model over B*K rows (each item's prefix repeated
+    per beam — ``jnp.repeat(x, K, axis=0)``). Beam selection (log-softmax,
+    top-K over K*V, reordering of ids and cache rows via ``gather_fn``) and
+    the next cached step run as ONE jitted dispatch per token. Finalization
+    applies the HF length penalty (sequence score / length**penalty,
+    length counted over non-pad tokens incl. the implied bos).
+
+    Companion of :func:`cached_greedy_loop`; the Q-Former captioner's
+    dedicated version lives in models/lm.py (hand-rolled param math).
+    """
+    import numpy as np
+
+    BK = logits0.shape[0]
+    K = num_beams
+    assert BK % K == 0
+    B = BK // K
+
+    ids = jnp.full((BK, max_new_tokens), pad_token_id, jnp.int32)
+    scores = jnp.zeros((B, K), jnp.float32)
+    scores = scores.at[:, 1:].set(-1e9)  # beams identical at t=0: keep one
+    finished = jnp.zeros((BK,), bool)
+
+    def _select(logits, ids, scores, finished, t, suppress_eos):
+        # shapes derived from the traced args, NOT the enclosing call's
+        # (the fused jit is cached across calls with different batch sizes)
+        bk, V = logits.shape
+        b = bk // K
+        logits = logits.astype(jnp.float32)
+        logits = jnp.where(
+            suppress_eos, logits.at[:, eos_token_id].set(-1e9), logits
+        )
+        logp = jax.nn.log_softmax(logits, axis=-1)
+        logp = jnp.where(finished[:, None], -1e9, logp)
+        logp = logp.at[:, pad_token_id].set(
+            jnp.where(finished, 0.0, logp[:, pad_token_id])
+        )
+        total = (scores.reshape(bk, 1) + logp).reshape(b, K * V)
+        new_scores, top = jax.lax.top_k(total, K)
+        src_beam = top // V
+        tok = (top % V).astype(jnp.int32)
+        rows = (jnp.arange(b)[:, None] * K + src_beam).reshape(-1)
+        tok_flat = tok.reshape(-1)
+        ids = ids[rows].at[:, t].set(tok_flat)
+        finished = finished[rows] | (tok_flat == eos_token_id)
+        return ids, new_scores, finished, rows, tok_flat
+
+    def build_step():
+        def fused(logits, ids, scores, finished, t, suppress, pos, state):
+            ids, scores, finished, rows, tok = _select(
+                logits, ids, scores, finished, t, suppress
+            )
+            state = gather_fn(state, rows)
+            pos = pos[rows]
+            logits, state = step_fn(tok, pos, state)
+            return logits, ids, scores, finished, pos + 1, state
+        return fused
+
+    def build_last():
+        def last(logits, ids, scores, finished, t, suppress):
+            ids, scores, finished, _, _ = _select(
+                logits, ids, scores, finished, t, suppress
+            )
+            return ids, scores, finished
+        return last
+
+    key = ("cached_beam", K, eos_token_id, pad_token_id)
+    fused = _cached_jit(step_fn, key + ("step",), build_step)
+    last = _cached_jit(step_fn, key + ("last",), build_last)
+
+    logits = logits0
+    pos = pos0
+    state = state0
+    for t in range(max_new_tokens):
+        suppress = t < min_new_tokens
+        if t == max_new_tokens - 1:
+            ids, scores, finished = last(
+                logits, ids, scores, finished, t, suppress)
+            break
+        logits, ids, scores, finished, pos, state = fused(
+            logits, ids, scores, finished, t, suppress, pos, state)
+        if t % readback_every == readback_every - 1 and bool(
+            np.asarray(jnp.all(finished))
+        ):
+            break
+
+    ids_np = np.asarray(ids)
+    scores_np = np.asarray(scores, np.float64)
+    out = np.full((B, max_new_tokens), pad_token_id, np.int32)
+    for b in range(B):
+        best_k, best_score = 0, -np.inf
+        for k in range(K):
+            row = ids_np[b * K + k]
+            # +1 counts the implied bos/start token (HF length semantics)
+            length = int((row != pad_token_id).sum()) + 1
+            score = scores_np[b, k] / (length ** length_penalty)
+            if score > best_score:
+                best_k, best_score = k, score
+        out[b] = ids_np[b * K + best_k]
+    return jnp.asarray(out)
+
+
 def greedy_generate_fn(
     logits_fn: Callable,
     prompt_ids: jnp.ndarray,

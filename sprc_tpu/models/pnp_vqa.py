@@ -355,7 +355,25 @@ class PnpVqaPipeline:
 class Img2PromptVqaPipeline(PnpVqaPipeline):
     """Img2Prompt-VQA (reference img2prompt_vqa.py): PNP localization +
     filtered captioning, then LLM prompt construction. ``qa_model`` here is
-    the question-generation T5."""
+    the question-generation T5.
+
+    ``tagger``: answer-candidate extractor, ``caption -> [candidates]``.
+    The reference uses spaCy POS tags + noun chunks
+    (img2prompt_vqa.py:252-310); the built-in default is a dependency-free
+    stopword heuristic. To match the reference exactly, inject a spaCy
+    tagger::
+
+        nlp = spacy.load("en_core_web_sm")
+
+        def spacy_tagger(caption):
+            doc = nlp(caption)
+            cands = [t.text for t in doc
+                     if t.pos_ in ("NOUN", "VERB", "ADJ", "NUM", "PROPN")]
+            cands += [c.text for c in doc.noun_chunks]
+            return cands
+
+        pipe = Img2PromptVqaPipeline(..., tagger=spacy_tagger)
+    """
 
     tagger: Optional[Callable[[str], List[str]]] = None
     itm_filter_threshold: float = 0.5
@@ -421,11 +439,16 @@ class Img2PromptVqaPipeline(PnpVqaPipeline):
         return contexts, real[:num_question_generation] + ["yes."], ans_to_cap
 
     def forward_qa_generation(self, captions: Sequence[str], *,
-                              max_length: int = 30, ctx_max_length: int = 128):
+                              max_length: int = 30, ctx_max_length: int = 128,
+                              num_beams: int = 3):
         """T5 question generation per extracted answer
-        (img2prompt_vqa.py:312-348; greedy decode — see module deviations)."""
+        (img2prompt_vqa.py:312-348; beam-3 with KV-cached device beam,
+        matching the reference's ``num_beams=3`` generate call)."""
+        from sprc_tpu.models.generation import cached_beam_loop
+
         contexts, answers, ans_to_cap = self.answer_extraction(captions)
         model, params = self.qa_model, self.qa_params
+        K = num_beams
         questions = []
         for i in range(0, len(contexts), 10):
             enc = self.qa_tokenizer(contexts[i:i + 10], max_length=ctx_max_length)
@@ -434,27 +457,57 @@ class Img2PromptVqaPipeline(PnpVqaPipeline):
             enc_out = model.apply(
                 {"params": params}, ids, mask, method=model.encode_ids
             )
+            Bq = ids.shape[0]
+            enc_rep = jnp.repeat(enc_out, K, axis=0)
+            mask_rep = jnp.repeat(mask, K, axis=0)
 
-            logits_fn = self._cached_logits_fn("_qa_logits_fn2", self.qa_model)
-            if logits_fn is None:
+            name = f"_qg_prefill_fn_{max_length}"
+            prefill_fn = self._cached_logits_fn(name, self.qa_model)
+            if prefill_fn is None:
+                qa_model = self.qa_model
+                s_max = max_length
+
+                def prefill_fn(p, dec, enc_, m):
+                    return qa_model.apply(
+                        {"params": p}, dec, enc_, m, s_max,
+                        method=lambda mdl, *a: mdl.decode_prefill(*a))
+                prefill_fn = jax.jit(prefill_fn)
+                self._store_logits_fn(name, self.qa_model, prefill_fn)
+            step_fn_jit = self._cached_logits_fn("_qg_step_fn", self.qa_model)
+            if step_fn_jit is None:
                 qa_model = self.qa_model
 
-                def logits_fn(dec_ids, memory):
-                    enc_, mask_, params_ = memory
+                def step_fn_jit(p, tok, t, cache, em):
                     return qa_model.apply(
-                        {"params": params_}, dec_ids, enc_, mask_,
-                        method=qa_model.decode,
-                    )
-                self._store_logits_fn("_qa_logits_fn2", self.qa_model, logits_fn)
+                        {"params": p}, tok, t, cache, em,
+                        method=lambda mdl, *a: mdl.decode_step_logits(*a))
+                step_fn_jit = jax.jit(step_fn_jit)
+                self._store_logits_fn("_qg_step_fn", self.qa_model, step_fn_jit)
 
-            bos = jnp.full((ids.shape[0], 1), self.qa_tokenizer.pad_id, jnp.int32)
-            out = greedy_generate_fn(
-                logits_fn, bos, memory=(enc_out, mask, self.qa_params),
-                eos_token_id=self.qa_tokenizer.eos_id,
-                pad_token_id=self.qa_tokenizer.pad_id, max_length=max_length,
+            bos = jnp.full((Bq * K, 1), self.qa_tokenizer.pad_id, jnp.int32)
+            logits0, cache = prefill_fn(params, bos, enc_rep, mask_rep)
+
+            def step_fn(tok, pos, state):
+                cache, p, em = state
+                logits, cache = step_fn_jit(p, tok, pos[0], cache, em)
+                return logits, (cache, p, em)
+            step_fn.__sprc_step_cache__ = self.__dict__.setdefault(
+                "_qg_fused_cache", {})
+
+            def gather_fn(state, rows):
+                cache, p, em = state
+                cache = jax.tree.map(lambda x: x[rows], cache)
+                return (cache, p, em[rows])
+
+            out = cached_beam_loop(
+                logits0, (cache, params, mask_rep),
+                jnp.ones((Bq * K,), jnp.int32), step_fn, gather_fn,
+                num_beams=K, eos_token_id=self.qa_tokenizer.eos_id,
+                pad_token_id=self.qa_tokenizer.pad_id,
+                max_new_tokens=max_length - 1,
             )
             questions += [
-                self.qa_tokenizer.decode(row[1:]) for row in np.asarray(out)
+                self.qa_tokenizer.decode(row) for row in np.asarray(out)
             ]
         return {"questions": questions, "answers": answers,
                 "ans_to_cap_dict": ans_to_cap}

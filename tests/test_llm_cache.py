@@ -230,3 +230,88 @@ def test_t5_cached_equals_uncached(t5_tiny):
         logits0, (cache, params), jnp.ones((B,), jnp.int32), step_fn,
         eos_token_id=eos, pad_token_id=pad, max_new_tokens=max_new)
     np.testing.assert_array_equal(np.asarray(got), want)
+
+
+def test_t5_cached_beam_one_equals_greedy(t5_tiny):
+    """cached_beam_loop with num_beams=1 must reproduce the cached greedy
+    decode exactly; beam-3 must be well-formed and reach >= greedy score."""
+    from sprc_tpu.models.generation import cached_beam_loop
+
+    model, params, cfg = t5_tiny
+    B, Lenc, max_new = 2, 6, 7
+    rs = np.random.RandomState(5)
+    enc_ids = jnp.asarray(rs.randint(1, 83, (B, Lenc)), jnp.int32)
+    enc_mask = jnp.ones((B, Lenc), jnp.int32)
+    eos, pad = 1, 0
+
+    enc_out = model.apply(
+        {"params": params}, enc_ids, enc_mask,
+        method=lambda mdl, i, m: mdl.encode_ids(i, m))
+
+    step = jax.jit(
+        lambda p, tok, t, cache, em: model.apply(
+            {"params": p}, tok, t, cache, em,
+            method=lambda mdl, *a: mdl.decode_step_logits(*a)))
+
+    def run_beam(K):
+        enc_rep = jnp.repeat(enc_out, K, axis=0)
+        mask_rep = jnp.repeat(enc_mask, K, axis=0)
+        s_max = 1 + max_new
+        bos = jnp.full((B * K, 1), pad, jnp.int32)
+        logits0, cache = model.apply(
+            {"params": params}, bos, enc_rep, mask_rep,
+            method=lambda mdl, d, e, m: mdl.decode_prefill(d, e, m, s_max))
+
+        def step_fn(tok, pos, state):
+            cache, p, em = state
+            logits, cache = step(p, tok, pos[0], cache, em)
+            return logits, (cache, p, em)
+
+        def gather_fn(state, rows):
+            cache, p, em = state
+            return (jax.tree.map(lambda x: x[rows], cache), p, em[rows])
+
+        return np.asarray(cached_beam_loop(
+            logits0, (cache, params, mask_rep), jnp.ones((B * K,), jnp.int32),
+            step_fn, gather_fn, num_beams=K, eos_token_id=eos,
+            pad_token_id=pad, max_new_tokens=max_new, length_penalty=0.0))
+
+    beam1 = run_beam(1)
+
+    # greedy oracle: grow the decoder prefix, recompute every step
+    dec = np.full((B, 1 + max_new), pad, np.int32)
+    finished = np.zeros((B,), bool)
+    want = np.full((B, max_new), pad, np.int32)
+    for t in range(max_new):
+        logits = np.asarray(model.apply(
+            {"params": params}, jnp.asarray(dec[:, : t + 1]), enc_out,
+            enc_mask, method=lambda mdl, d, e, m: mdl.decode(d, e, m)))
+        tok = logits[:, -1].argmax(-1).astype(np.int32)
+        tok = np.where(finished, pad, tok)
+        want[:, t] = tok
+        dec[:, t + 1] = tok
+        finished |= tok == eos
+    np.testing.assert_array_equal(beam1, want)
+
+    beam3 = run_beam(3)
+    assert beam3.shape == (B, max_new)
+
+    def seq_logprob(row, b):
+        dec_in = np.concatenate([[pad], row])
+        logits = np.asarray(model.apply(
+            {"params": params}, jnp.asarray(dec_in[None, :-1]),
+            enc_out[b:b + 1], enc_mask[b:b + 1],
+            method=lambda mdl, d, e, m: mdl.decode(d, e, m)))[0]
+        lp = logits - logits.max(-1, keepdims=True)
+        lp = lp - np.log(np.exp(lp).sum(-1, keepdims=True))
+        total = 0.0
+        for t, tok in enumerate(row):
+            if tok == pad:
+                break
+            total += lp[t, tok]
+            if tok == eos:
+                break
+        return total
+
+    for b in range(B):
+        assert seq_logprob(beam3[b], b) >= seq_logprob(want[b], b) - 1e-5
