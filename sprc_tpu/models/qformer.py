@@ -225,6 +225,53 @@ class QFormerFFN(nn.Module):
         return LayerNormFP32(epsilon=cfg.layer_norm_eps, name="ln")(h + x)
 
 
+class _QFAttnParams(nn.Module):
+    """Param tree of QFormerAttention without applying it (fused-kernel
+    route; name-compatible with the unfused module)."""
+
+    config: QFormerConfig
+    kv_width: int
+
+    @nn.compact
+    def __call__(self):
+        from sprc_tpu.ops.layers import DenseParams, LayerNormParams
+
+        H = self.config.hidden_size
+
+        def d(name, inf):
+            k, b = DenseParams(inf, H, name=name)()
+            return {"kernel": k, "bias": b}
+
+        s, b = LayerNormParams(H, name="ln")()
+        return {
+            "query": d("query", H),
+            "key": d("key", self.kv_width),
+            "value": d("value", self.kv_width),
+            "out": d("out", H),
+            "ln": {"scale": s, "bias": b},
+        }
+
+
+class _QFFFNParams(nn.Module):
+    """Param tree of QFormerFFN without applying it."""
+
+    config: QFormerConfig
+
+    @nn.compact
+    def __call__(self):
+        from sprc_tpu.ops.layers import DenseParams, LayerNormParams
+
+        H, M = self.config.hidden_size, self.config.intermediate_size
+        k1, b1 = DenseParams(H, M, name="fc1")()
+        k2, b2 = DenseParams(M, H, name="fc2")()
+        s, b = LayerNormParams(H, name="ln")()
+        return {
+            "fc1": {"kernel": k1, "bias": b1},
+            "fc2": {"kernel": k2, "bias": b2},
+            "ln": {"scale": s, "bias": b},
+        }
+
+
 class QFormerLayer(nn.Module):
     config: QFormerConfig
     has_cross_attention: bool
@@ -241,7 +288,63 @@ class QFormerLayer(nn.Module):
         deterministic: bool = True,
         return_self_probs: bool = False,
     ):
+        import os
+
         cfg = self.config
+
+        # fused whole-layer kernel (ops/pallas_qformer.py) for the
+        # inference hot paths: column-bias masks only (the non-decoder
+        # mask shape), no dropout, no attention-prob outputs. Opt-in
+        # (SPRC_PALLAS_QF=1; "force" = interpret mode for CPU tests).
+        qf_flag = os.environ.get("SPRC_PALLAS_QF", "0")
+        col_bias_ok = self_bias is None or (
+            self_bias.ndim == 4 and self_bias.shape[1] == 1
+            and self_bias.shape[2] == 1
+        )
+        fused_ok = (
+            qf_flag in ("1", "force")
+            and (qf_flag == "force" or jax.default_backend() == "tpu")
+            and deterministic
+            and not return_self_probs
+            and col_bias_ok
+            and image_bias is None
+            and cfg.hidden_size % 128 == 0
+            and cfg.intermediate_size % 128 == 0
+        )
+        if fused_ok:
+            from sprc_tpu.ops.pallas_qformer import fused_qformer_layer
+
+            B, S, _ = hidden.shape
+            self_p = _QFAttnParams(cfg, cfg.hidden_size, name="self_attn")()
+            cross_p = None
+            # cross params only when the unfused path would create them
+            # (image present on a cross layer) — keeps param trees identical
+            if self.has_cross_attention and image_embeds is not None:
+                cross_p = _QFAttnParams(
+                    cfg, cfg.encoder_width, name="cross_attn")()
+            text_ffn_all = image_embeds is None
+            ffn_q_p = None
+            if not text_ffn_all:
+                ffn_q_p = _QFFFNParams(cfg, name="ffn_query")()
+            ffn_t_p = None
+            if text_ffn_all or S > query_length:
+                ffn_t_p = _QFFFNParams(cfg, name="ffn_text")()
+            if ffn_t_p is None:  # query-only pass: no text FFN params used
+                ffn_t_p = ffn_q_p
+            col_bias = (
+                jnp.zeros((B, S), jnp.float32) if self_bias is None
+                else self_bias[:, 0, 0, :].astype(jnp.float32)
+            )
+            img = None
+            if image_embeds is not None and self.has_cross_attention:
+                img = image_embeds.astype(cfg.dtype)
+            return fused_qformer_layer(
+                hidden.astype(cfg.dtype), col_bias, self_p, img, cross_p,
+                ffn_q_p, ffn_t_p, heads=cfg.num_heads,
+                eps=cfg.layer_norm_eps, Q=query_length,
+                text_ffn_all=text_ffn_all,
+            )
+
         attn_result = QFormerAttention(cfg, name="self_attn")(
             hidden, hidden, self_bias,
             deterministic=deterministic, return_probs=return_self_probs,

@@ -1,0 +1,276 @@
+"""Fused Q-Former layer kernel (query/rerank hot path).
+
+MEASUREMENTS.md round-2: the 768-wide Q-Former blocks that run twice per
+composed query (`inference`: fusion pass + prompt pass, reference
+validate_blip.py:359-410 hot loop 2) executed entirely as unfused XLA at
+~30-40% MFU — tiny [64, 768] per-item matmuls plus per-layer layout
+traffic. This kernel fuses ONE WHOLE LAYER per pallas_call: post-LN BERT
+self-attention (additive column bias), optional cross-attention into
+per-item image embeds, and the fork's dual FFN (query FFN positions < Q,
+text FFN after; or text-FFN-everywhere for the no_img pass — the "baiyang
+change", reference Qformer.py:434-468).
+
+Dense ops batch all G items' rows into single [G*S, W] dots (S=64 rows
+alone underfill the MXU); attention runs per item with heads stacked into
+one batched dot_general. LayerNorms are fp32 (LayerNormFP32 parity).
+Inference-only (no dropout, no VJP): serving paths gate on
+``deterministic`` and fall back to the unfused composition otherwise.
+
+Layout contract: weights arrive exactly as the flax param tree stores them
+(DenseGeneral [in, out] kernels, separate q/k/v), so the param tree is
+unchanged and checkpoints/interop are unaffected.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+
+from sprc_tpu.ops.pallas_block import _erf_approx
+
+_LOG2E = 1.4426950408889634
+
+
+def _gelu_exact_f32(x):
+    x32 = x.astype(jnp.float32)
+    return 0.5 * x32 * (1.0 + _erf_approx(x32 * (2.0 ** -0.5)))
+
+
+def _ln_f32(x32, s, b, eps):
+    m = x32.mean(-1, keepdims=True)
+    v = jnp.square(x32 - m).mean(-1, keepdims=True)
+    return (x32 - m) * jax.lax.rsqrt(v + eps) * s + b
+
+
+def _mm(x, w, b):
+    y = jax.lax.dot_general(
+        x, w, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    return y + b
+
+
+def _attend_bias(qkv3, S, Sk, W, heads, scale, dtype, col_bias):
+    """q [S, W], k/v [Sk, W] packed in qkv3=(q, k, v); col_bias [Sk] f32
+    additive or None -> ctx [S, W]."""
+    q, k, v = qkv3
+    D = W // heads
+    qh = jnp.stack([q[:, h * D:(h + 1) * D] for h in range(heads)])
+    kh = jnp.stack([k[:, h * D:(h + 1) * D] for h in range(heads)])
+    vh = jnp.stack([v[:, h * D:(h + 1) * D] for h in range(heads)])
+    s = jax.lax.dot_general(
+        qh * (scale * _LOG2E), kh, (((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    )  # [H, S, Sk]
+    if col_bias is not None:
+        s = s + (col_bias * _LOG2E)[None, None, :]
+    p = jnp.exp2(s - jnp.max(s, axis=-1, keepdims=True)).astype(dtype)
+    denom = jnp.sum(p.astype(jnp.float32), axis=-1, keepdims=True)
+    o = jax.lax.dot_general(
+        p, vh, (((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    ) / denom  # [H, S, D]
+    return jnp.concatenate([o[h] for h in range(heads)], axis=-1).astype(dtype)
+
+
+def _qf_layer_kernel(
+    x_ref, cb_ref,
+    wq_ref, bq_ref, wk_ref, bk_ref, wv_ref, bv_ref, wo_ref, bo_ref,
+    lno_s_ref, lno_b_ref,
+    img_ref,
+    cwq_ref, cbq_ref, cwk_ref, cbk_ref, cwv_ref, cbv_ref, cwo_ref, cbo_ref,
+    clno_s_ref, clno_b_ref,
+    f1q_w_ref, f1q_b_ref, f2q_w_ref, f2q_b_ref, lnq_s_ref, lnq_b_ref,
+    f1t_w_ref, f1t_b_ref, f2t_w_ref, f2t_b_ref, lnt_s_ref, lnt_b_ref,
+    o_ref, *, G: int, heads: int, eps: float, Q: int,
+    has_cross: bool, text_ffn_all: bool,
+):
+    S = x_ref.shape[1]
+    W = x_ref.shape[2]
+    scale = (W // heads) ** -0.5
+    xb = x_ref[...]  # [G, S, W]
+    dtype = xb.dtype
+    x2 = xb.reshape(G * S, W)
+
+    # ---- self-attention (post-LN): dense batched over G ---------------
+    q_all = _mm(x2, wq_ref[...], bq_ref[0]).astype(dtype)
+    k_all = _mm(x2, wk_ref[...], bk_ref[0]).astype(dtype)
+    v_all = _mm(x2, wv_ref[...], bv_ref[0]).astype(dtype)
+    ctxs = []
+    for g in range(G):
+        sl = slice(g * S, (g + 1) * S)
+        ctxs.append(_attend_bias(
+            (q_all[sl], k_all[sl], v_all[sl]), S, S, W, heads, scale, dtype,
+            cb_ref[g].astype(jnp.float32),
+        ))
+    ctx = jnp.concatenate(ctxs, axis=0)  # [G*S, W]
+    out = _mm(ctx, wo_ref[...], bo_ref[0])
+    attn = _ln_f32(out + x2.astype(jnp.float32),
+                   lno_s_ref[0], lno_b_ref[0], eps).astype(dtype)  # [G*S, W]
+
+    # ---- optional cross-attention on the first Q rows ------------------
+    attn3 = attn.reshape(G, S, W)
+    if has_cross:
+        Si = img_ref.shape[1]
+        q_rows = attn3[:, :Q, :].reshape(G * Q, W)
+        cq_all = _mm(q_rows, cwq_ref[...], cbq_ref[0]).astype(dtype)
+        img2 = img_ref[...].astype(dtype)  # [G, Si, Wi]
+        crs = []
+        for g in range(G):
+            ck = _mm(img2[g], cwk_ref[...], cbk_ref[0]).astype(dtype)
+            cv = _mm(img2[g], cwv_ref[...], cbv_ref[0]).astype(dtype)
+            crs.append(_attend_bias(
+                (cq_all[g * Q:(g + 1) * Q], ck, cv), Q, Si, W, heads, scale,
+                dtype, None,
+            ))
+        cctx = jnp.concatenate(crs, axis=0)  # [G*Q, W]
+        cout = _mm(cctx, cwo_ref[...], cbo_ref[0])
+        q_part = _ln_f32(cout + q_rows.astype(jnp.float32),
+                         clno_s_ref[0], clno_b_ref[0], eps).astype(dtype)
+    else:
+        q_part = attn3[:, :Q, :].reshape(G * Q, W)
+
+    # ---- dual FFN ------------------------------------------------------
+    def ffn(rows, w1, b1, w2, b2, ls, lb):
+        h = _mm(rows, w1, b1)
+        h = _gelu_exact_f32(h).astype(dtype)
+        h2 = _mm(h, w2, b2)
+        return _ln_f32(h2 + rows.astype(jnp.float32), ls, lb, eps).astype(dtype)
+
+    if text_ffn_all:
+        y = ffn(attn, f1t_w_ref[...], f1t_b_ref[0], f2t_w_ref[...],
+                f2t_b_ref[0], lnt_s_ref[0], lnt_b_ref[0])
+        o_ref[...] = y.reshape(G, S, W)
+        return
+
+    q_out = ffn(q_part, f1q_w_ref[...], f1q_b_ref[0], f2q_w_ref[...],
+                f2q_b_ref[0], lnq_s_ref[0], lnq_b_ref[0]).reshape(G, Q, W)
+    if S > Q:
+        t_rows = attn3[:, Q:, :].reshape(G * (S - Q), W)
+        t_out = ffn(t_rows, f1t_w_ref[...], f1t_b_ref[0], f2t_w_ref[...],
+                    f2t_b_ref[0], lnt_s_ref[0], lnt_b_ref[0]
+                    ).reshape(G, S - Q, W)
+        o_ref[...] = jnp.concatenate([q_out, t_out], axis=1)
+    else:
+        o_ref[...] = q_out
+
+
+def fused_qformer_layer(
+    x, col_bias, self_p, img, cross_p, ffn_q_p, ffn_t_p, *,
+    heads: int, eps: float, Q: int, text_ffn_all: bool, G: int = 16,
+):
+    """One fused Q-Former layer.
+
+    Args:
+      x: [B, S, W] hidden states (model dtype).
+      col_bias: [B, S] additive f32 column bias (0 / -10000); the inference
+        paths' non-decoder mask (make_additive_mask squeezed).
+      self_p: dict with query/key/value/out DenseGeneral params + ln.
+      img: [B, Si, Wi] image embeds or None.
+      cross_p: like self_p for the cross branch, or None.
+      ffn_q_p / ffn_t_p: dicts fc1/fc2/ln (ffn_q_p may be None when
+        ``text_ffn_all``).
+    """
+    B, S, W = x.shape
+    while B % G:
+        G //= 2
+    has_cross = img is not None and cross_p is not None
+
+    def dw(p):  # DenseGeneral kernel/bias in model dtype / f32 row
+        return (p["kernel"].astype(x.dtype),
+                p["bias"].astype(jnp.float32).reshape(1, -1))
+
+    def lw(p):
+        return (p["scale"].astype(jnp.float32).reshape(1, -1),
+                p["bias"].astype(jnp.float32).reshape(1, -1))
+
+    wq, bq = dw(self_p["query"])
+    wk, bk = dw(self_p["key"])
+    wv, bv = dw(self_p["value"])
+    wo, bo = dw(self_p["out"])
+    lno_s, lno_b = lw(self_p["ln"])
+
+    if has_cross:
+        cwq, cbq = dw(cross_p["query"])
+        cwk, cbk = dw(cross_p["key"])
+        cwv, cbv = dw(cross_p["value"])
+        cwo, cbo = dw(cross_p["out"])
+        clno_s, clno_b = lw(cross_p["ln"])
+        Wi = img.shape[2]
+        Si = img.shape[1]
+    else:
+        # zero-size placeholders keep the ref list static
+        cwq = cbq = cwk = cbk = cwv = cbv = cwo = cbo = None
+        clno_s = clno_b = None
+        Wi, Si = W, 1
+        cwq, cbq = jnp.zeros((W, W), x.dtype), jnp.zeros((1, W), jnp.float32)
+        cwk, cbk = jnp.zeros((Wi, W), x.dtype), jnp.zeros((1, W), jnp.float32)
+        cwv, cbv = jnp.zeros((Wi, W), x.dtype), jnp.zeros((1, W), jnp.float32)
+        cwo, cbo = jnp.zeros((W, W), x.dtype), jnp.zeros((1, W), jnp.float32)
+        clno_s, clno_b = (jnp.ones((1, W), jnp.float32),
+                          jnp.zeros((1, W), jnp.float32))
+        img = jnp.zeros((B, Si, Wi), x.dtype)
+
+    if text_ffn_all or ffn_q_p is None:
+        M = ffn_t_p["fc1"]["kernel"].shape[1]
+        f1q_w, f1q_b = (jnp.zeros((W, M), x.dtype),
+                        jnp.zeros((1, M), jnp.float32))
+        f2q_w, f2q_b = (jnp.zeros((M, W), x.dtype),
+                        jnp.zeros((1, W), jnp.float32))
+        lnq_s, lnq_b = (jnp.ones((1, W), jnp.float32),
+                        jnp.zeros((1, W), jnp.float32))
+    else:
+        f1q_w, f1q_b = dw(ffn_q_p["fc1"])
+        f2q_w, f2q_b = dw(ffn_q_p["fc2"])
+        lnq_s, lnq_b = lw(ffn_q_p["ln"])
+    f1t_w, f1t_b = dw(ffn_t_p["fc1"])
+    f2t_w, f2t_b = dw(ffn_t_p["fc2"])
+    lnt_s, lnt_b = lw(ffn_t_p["ln"])
+    M = f1t_w.shape[1]
+
+    kwargs = {}
+    if jax.default_backend() == "tpu":
+        from jax.experimental.pallas import tpu as pltpu
+
+        params_cls = getattr(pltpu, "CompilerParams", None) or getattr(
+            pltpu, "TPUCompilerParams"
+        )
+        kwargs["compiler_params"] = params_cls(
+            vmem_limit_bytes=100 * 1024 * 1024)
+
+    full = lambda r, c: pl.BlockSpec((r, c), lambda i: (0, 0))  # noqa: E731
+    return pl.pallas_call(
+        functools.partial(
+            _qf_layer_kernel, G=G, heads=heads, eps=eps, Q=Q,
+            has_cross=has_cross, text_ffn_all=text_ffn_all,
+        ),
+        grid=(B // G,),
+        in_specs=[
+            pl.BlockSpec((G, S, W), lambda i: (i, 0, 0)),
+            pl.BlockSpec((G, S), lambda i: (i, 0)),
+            full(W, W), full(1, W), full(W, W), full(1, W),
+            full(W, W), full(1, W), full(W, W), full(1, W),
+            full(1, W), full(1, W),
+            pl.BlockSpec((G, Si, Wi), lambda i: (i, 0, 0)),
+            full(W, W), full(1, W), full(Wi, W), full(1, W),
+            full(Wi, W), full(1, W), full(W, W), full(1, W),
+            full(1, W), full(1, W),
+            full(W, M), full(1, M), full(M, W), full(1, W),
+            full(1, W), full(1, W),
+            full(W, M), full(1, M), full(M, W), full(1, W),
+            full(1, W), full(1, W),
+        ],
+        out_specs=pl.BlockSpec((G, S, W), lambda i: (i, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((B, S, W), x.dtype),
+        interpret=jax.default_backend() != "tpu",
+        **kwargs,
+    )(
+        x, col_bias.astype(jnp.float32),
+        wq, bq, wk, bk, wv, bv, wo, bo, lno_s, lno_b,
+        img.astype(x.dtype),
+        cwq, cbq, cwk, cbk, cwv, cbv, cwo, cbo, clno_s, clno_b,
+        f1q_w, f1q_b, f2q_w, f2q_b, lnq_s, lnq_b,
+        f1t_w, f1t_b, f2t_w, f2t_b, lnt_s, lnt_b,
+    )
