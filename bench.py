@@ -70,7 +70,7 @@ def _reps(timed_loop, reps=None):
     return med, {"best": round(vals[-1], 2), "spread_pct": round(spread, 2)}
 
 
-def _build(vit_quant=None, act_scales=None):
+def _build(vit_quant=None, act_scales=None, remat=False):
     import dataclasses
 
     import jax.numpy as jnp
@@ -83,6 +83,7 @@ def _build(vit_quant=None, act_scales=None):
     vit = "eva_clip_g" if os.environ.get("SPRC_BENCH_VIT") == "eva" else "clip_L"
     cfg = CirConfig(
         vit_model=vit, vit_dtype=jnp.bfloat16, qformer_dtype=jnp.bfloat16,
+        qformer_remat=remat,
     )
     if vit_quant:
         vcfg = dataclasses.replace(
@@ -319,7 +320,9 @@ def bench_train(batch, steps):
 
     from sprc_tpu.train.loop import TrainConfig, create_train_state, make_train_step
 
-    model = _build()
+    # SPRC_BENCH_TRAIN_REMAT=1: activation-checkpoint the Q-Former layers
+    # (the b128 memory item: saved cross-attn K/V + prob residuals)
+    model = _build(remat=os.environ.get("SPRC_BENCH_TRAIN_REMAT") == "1")
     params = _fill_params(model, *_encode_dummy_args(model))
     tcfg = TrainConfig(
         learning_rate=1e-5, total_steps=100,
@@ -329,7 +332,9 @@ def bench_train(batch, steps):
         grad_accum_steps=int(os.environ.get("SPRC_BENCH_TRAIN_ACCUM", "1")),
     )
     state, tx = create_train_state(params, tcfg)
-    step = make_train_step(model, tx, tcfg, donate=False)
+    # donate: the old state is dead after each step; double-buffering the
+    # ~2.6 GB fp32 train state costs real headroom at b128 on 16 GB
+    step = make_train_step(model, tx, tcfg, donate=True)
     L = model.cfg.max_txt_len
     gen = jax.jit(
         lambda k: {

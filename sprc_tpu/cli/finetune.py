@@ -61,6 +61,7 @@ def finetune(args) -> None:
         checkpoint_path=args.model_path,
         vit_dtype=jnp.bfloat16 if args.bf16 else jnp.float32,
         vit_remat=getattr(args, "remat", False),
+        qformer_remat=getattr(args, "remat", False),
     )
     from sprc_tpu.utils.artifacts import ensure_bert_vocab
 

@@ -49,6 +49,7 @@ class CirConfig:
     vit_dtype: Any = jnp.bfloat16
     qformer_dtype: Any = jnp.float32
     vit_remat: bool = False
+    qformer_remat: bool = False  # activation-checkpoint the Q-Former layers
     # "int8": frozen-tower int8 MXU path (see ViTConfig.quant); serving only
     vit_quant: Optional[str] = None
     # test-size overrides (None = full size)
@@ -77,6 +78,7 @@ class CirConfig:
             cross_attention_freq=self.cross_attention_freq,
             query_length=self.num_query_token,
             dtype=self.qformer_dtype,
+            remat=self.qformer_remat,
         )
 
 

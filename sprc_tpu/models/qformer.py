@@ -62,6 +62,10 @@ class QFormerConfig:
     attention_dropout_rate: float = 0.1
     initializer_range: float = 0.02
     dtype: jnp.dtype = jnp.float32
+    # activation-checkpoint each layer (reference Qformer gradient
+    # checkpointing, Qformer.py:531-554): the big train-memory item at
+    # ViT-L b128 is the Q-Former's saved cross-attn K/V + prob residuals
+    remat: bool = False
 
     @property
     def head_dim(self) -> int:
@@ -440,19 +444,32 @@ class QFormer(nn.Module):
                 # cache outside (models/lm.py cached_greedy_generate)
                 self.sow("intermediates", f"hidden_{i}", hidden)
             want_probs = output_attentions and i == cfg.num_layers - 1
-            result = QFormerLayer(
+            layer = QFormerLayer(
                 cfg,
                 has_cross_attention=(i % cfg.cross_attention_freq == 0),
                 name=f"layer_{i}",
-            )(
-                hidden,
-                self_bias,
-                layer_image,
-                image_bias,
-                query_length,
-                deterministic=deterministic,
-                return_self_probs=want_probs,
             )
+            if cfg.remat and not want_probs:
+                # statics (query_length / deterministic) ride the closure;
+                # tensors and Nones are the checkpointed pytree args
+                def _call(mdl, h, sb, li, ib, _q=query_length,
+                          _d=deterministic):
+                    return mdl(h, sb, li, ib, _q, deterministic=_d,
+                               return_self_probs=False)
+
+                result = nn.remat(_call, prevent_cse=False)(
+                    layer, hidden, self_bias, layer_image, image_bias
+                )
+            else:
+                result = layer(
+                    hidden,
+                    self_bias,
+                    layer_image,
+                    image_bias,
+                    query_length,
+                    deterministic=deterministic,
+                    return_self_probs=want_probs,
+                )
             if want_probs:
                 hidden, last_probs = result
             else:

@@ -96,8 +96,17 @@ class WhitespaceTokenizer:
 
     def _id(self, word: str) -> int:
         if word not in self._vocab:
-            # stable hash-slot assignment keeps ids reproducible per word
-            slot = 3 + (hash(word) % (self.vocab_size - 3))
+            import zlib
+
+            # deterministic hash (Python's hash() is salted per process)
+            # + linear probing: distinct words get distinct slots while
+            # free slots remain, so decode() round-trips
+            n = self.vocab_size - 3
+            slot = 3 + (zlib.crc32(word.encode("utf-8")) % n)
+            for _ in range(n):
+                if slot not in self._inv or self._inv[slot] == word:
+                    break
+                slot = 3 + ((slot - 3 + 1) % n)
             self._vocab[word] = slot
             self._inv.setdefault(slot, word)
         return self._vocab[word]

@@ -139,6 +139,12 @@ def make_optimizer(cfg: TrainConfig, params: Any) -> optax.GradientTransformatio
         weight_decay=cfg.weight_decay,
     )
     labels = _param_labels(params, cfg.frozen_prefixes)
+    if cfg.grad_accum_steps > 1:
+        # accumulate INSIDE the partition: optax.masked hands the frozen
+        # leaves to MultiSteps as MaskedNode sentinels, so the grad
+        # accumulator only materializes for trainable params (a full-tree
+        # MultiSteps wasted ~1.2 GB on frozen-ViT zero-grads at ViT-L)
+        adamw = optax.MultiSteps(adamw, cfg.grad_accum_steps)
     tx = optax.multi_transform(
         {"train": adamw, "frozen": optax.set_to_zero()}, labels
     )
@@ -146,8 +152,6 @@ def make_optimizer(cfg: TrainConfig, params: Any) -> optax.GradientTransformatio
         # applied to the final update so it composes with the partition;
         # matches torch per-group lr scaling (scales grad step AND wd step)
         tx = optax.chain(tx, scale_by_tree(layer_decay_scales(params, cfg.layer_decay)))
-    if cfg.grad_accum_steps > 1:
-        tx = optax.MultiSteps(tx, cfg.grad_accum_steps)
     return tx
 
 
