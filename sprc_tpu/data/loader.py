@@ -77,6 +77,10 @@ class DataLoader:
         self.host_id = host_id
         self.num_hosts = num_hosts
         self.prefetch = prefetch
+        # failure accounting (SURVEY §5.3): the reference silently shrinks
+        # batches on corrupt images; here every drop is warned AND counted
+        # so a rotting dataset is visible (epoch summary per-iterator)
+        self.dropped_total = 0
 
     def set_epoch(self, epoch: int) -> None:
         self.epoch = epoch
@@ -107,12 +111,16 @@ class DataLoader:
         q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
         stop = threading.Event()
 
+        dropped = [0]
+
         def load_batch(batch_idx: Sequence[int]):
             samples = []
             for j in batch_idx:
                 s = self.dataset[j]
                 if s is None:
                     log.warning("dropped unreadable sample %d", j)
+                    dropped[0] += 1
+                    self.dropped_total += 1
                     continue
                 samples.append(s)
             return self.collate(samples) if samples else None
@@ -138,4 +146,10 @@ class DataLoader:
                     yield item
         finally:
             stop.set()
+            if dropped[0]:
+                log.warning(
+                    "epoch %d: dropped %d/%d unreadable samples "
+                    "(total this loader: %d)",
+                    self.epoch, dropped[0], len(indices), self.dropped_total,
+                )
             pool.shutdown(wait=False)

@@ -51,6 +51,15 @@ class RunnerConfig:
     save_every: int = 1
     resume: Optional[str] = None
     log_every_steps: int = 50
+    # failure detection (SURVEY §5.3 — beyond the reference's silent
+    # batch-shrinking): abort on a non-finite loss, after snapshotting the
+    # pre-divergence state for post-mortem. Checked at the logging cadence
+    # so the device pipeline isn't synced every step.
+    nan_guard: bool = True
+
+
+class NonFiniteLossError(RuntimeError):
+    """Training diverged (NaN/Inf loss); the last state was snapshotted."""
 
 
 class EpochRunner:
@@ -91,13 +100,32 @@ class EpochRunner:
                     from sprc_tpu.parallel.mesh import shard_batch
 
                     prepared = shard_batch(self.mesh, prepared)
+                prev_state = self.state
                 self.state, metrics = self.step_fn(self.state, prepared)
                 n += 1
                 for k, v in metrics.items():
                     running[k] = running.get(k, 0.0) + float(v)
                 if i % self.cfg.log_every_steps == 0:
+                    row = {k: float(v) for k, v in metrics.items()}
                     self._log({"kind": "step", "epoch": epoch, "step": i,
-                               **{k: float(v) for k, v in metrics.items()}})
+                               **row})
+                    if self.cfg.nan_guard and not all(
+                        v == v and abs(v) != float("inf")
+                        for v in row.values()
+                    ):
+                        snap = os.path.join(
+                            self.cfg.output_dir, "diverged_state")
+                        try:
+                            save_state(snap, prev_state)
+                        except Exception:  # noqa: BLE001 - donated buffers
+                            snap = "(pre-divergence state unavailable: "\
+                                   "donated)"
+                        self._log({"kind": "diverged", "epoch": epoch,
+                                   "step": i, "snapshot": snap, **row})
+                        raise NonFiniteLossError(
+                            f"non-finite loss at epoch {epoch} step {i}: "
+                            f"{row}; pre-divergence state: {snap}"
+                        )
             epoch_row = {k: v / max(1, n) for k, v in running.items()}
             epoch_row.update(kind="train", epoch=epoch, seconds=round(time.time() - t0, 1))
             self._log(epoch_row)

@@ -74,3 +74,33 @@ def test_iter_runner(setup, rng):
     runner.train()
     assert int(runner.state.step) == 5
     assert task.eval_calls == 3  # after inner epochs of 2,2,1
+
+
+def test_nan_guard_aborts_and_snapshots(setup, rng, tmp_path):
+    """§5.3 failure detection: a non-finite loss aborts the run loudly with
+    a pre-divergence snapshot (vs the reference's nothing)."""
+    from sprc_tpu.train.runner import NonFiniteLossError
+
+    model, state, tx, step, outdir = setup
+
+    calls = {"n": 0}
+
+    def poisoned_step(state, batch):
+        state, metrics = step(state, batch)
+        calls["n"] += 1
+        if calls["n"] >= 2:
+            metrics = dict(metrics)
+            metrics["loss"] = jnp.float32(float("nan"))
+        return state, metrics
+
+    task = SyntheticTask(rng)
+    runner = EpochRunner(
+        model, state, tx, poisoned_step, task,
+        RunnerConfig(output_dir=str(tmp_path), max_epochs=1,
+                     log_every_steps=1),
+    )
+    with pytest.raises(NonFiniteLossError, match="non-finite loss"):
+        runner.train()
+    log = (tmp_path / "log.jsonl").read_text()
+    assert '"kind": "diverged"' in log
+    assert os.path.isdir(tmp_path / "diverged_state")
