@@ -103,7 +103,7 @@ def _qf_layer_kernel(
         sl = slice(g * S, (g + 1) * S)
         ctxs.append(_attend_bias(
             (q_all[sl], k_all[sl], v_all[sl]), S, S, W, heads, scale, dtype,
-            cb_ref[g].astype(jnp.float32),
+            cb_ref[g, 0, :].astype(jnp.float32),
         ))
     ctx = jnp.concatenate(ctxs, axis=0)  # [G*S, W]
     out = _mm(ctx, wo_ref[...], bo_ref[0])
@@ -147,14 +147,14 @@ def _qf_layer_kernel(
 
     q_out = ffn(q_part, f1q_w_ref[...], f1q_b_ref[0], f2q_w_ref[...],
                 f2q_b_ref[0], lnq_s_ref[0], lnq_b_ref[0]).reshape(G, Q, W)
+    # slice-writes instead of a 3-D VMEM concatenate
+    o_ref[:, :Q, :] = q_out
     if S > Q:
         t_rows = attn3[:, Q:, :].reshape(G * (S - Q), W)
         t_out = ffn(t_rows, f1t_w_ref[...], f1t_b_ref[0], f2t_w_ref[...],
                     f2t_b_ref[0], lnt_s_ref[0], lnt_b_ref[0]
                     ).reshape(G, S - Q, W)
-        o_ref[...] = jnp.concatenate([q_out, t_out], axis=1)
-    else:
-        o_ref[...] = q_out
+        o_ref[:, Q:, :] = t_out
 
 
 def fused_qformer_layer(
@@ -174,8 +174,19 @@ def fused_qformer_layer(
         ``text_ffn_all``).
     """
     B, S, W = x.shape
-    while B % G:
-        G //= 2
+    # pad the batch up to a G multiple instead of shrinking G (a gallery
+    # tile like the rerank 750 = 2*3*5^3 would otherwise force G=2, and a
+    # [2, S] col-bias block violates Mosaic's (8, 128) tile rule anyway)
+    B_pad = -(-B // G) * G
+    pad = B_pad - B
+    if pad:
+        x = jnp.concatenate(
+            [x, jnp.zeros((pad,) + x.shape[1:], x.dtype)], axis=0)
+        col_bias = jnp.concatenate(
+            [col_bias, jnp.zeros((pad, S), col_bias.dtype)], axis=0)
+        if img is not None:
+            img = jnp.concatenate(
+                [img, jnp.zeros((pad,) + img.shape[1:], img.dtype)], axis=0)
     has_cross = img is not None and cross_p is not None
 
     def dw(p):  # DenseGeneral kernel/bias in model dtype / f32 row
@@ -211,7 +222,7 @@ def fused_qformer_layer(
         cwo, cbo = jnp.zeros((W, W), x.dtype), jnp.zeros((1, W), jnp.float32)
         clno_s, clno_b = (jnp.ones((1, W), jnp.float32),
                           jnp.zeros((1, W), jnp.float32))
-        img = jnp.zeros((B, Si, Wi), x.dtype)
+        img = jnp.zeros((B_pad, Si, Wi), x.dtype)
 
     if text_ffn_all or ffn_q_p is None:
         M = ffn_t_p["fc1"]["kernel"].shape[1]
@@ -241,15 +252,15 @@ def fused_qformer_layer(
             vmem_limit_bytes=100 * 1024 * 1024)
 
     full = lambda r, c: pl.BlockSpec((r, c), lambda i: (0, 0))  # noqa: E731
-    return pl.pallas_call(
+    out = pl.pallas_call(
         functools.partial(
             _qf_layer_kernel, G=G, heads=heads, eps=eps, Q=Q,
             has_cross=has_cross, text_ffn_all=text_ffn_all,
         ),
-        grid=(B // G,),
+        grid=(B_pad // G,),
         in_specs=[
             pl.BlockSpec((G, S, W), lambda i: (i, 0, 0)),
-            pl.BlockSpec((G, S), lambda i: (i, 0)),
+            pl.BlockSpec((G, 1, S), lambda i: (i, 0, 0)),
             full(W, W), full(1, W), full(W, W), full(1, W),
             full(W, W), full(1, W), full(W, W), full(1, W),
             full(1, W), full(1, W),
@@ -263,14 +274,15 @@ def fused_qformer_layer(
             full(1, W), full(1, W),
         ],
         out_specs=pl.BlockSpec((G, S, W), lambda i: (i, 0, 0)),
-        out_shape=jax.ShapeDtypeStruct((B, S, W), x.dtype),
+        out_shape=jax.ShapeDtypeStruct((B_pad, S, W), x.dtype),
         interpret=jax.default_backend() != "tpu",
         **kwargs,
     )(
-        x, col_bias.astype(jnp.float32),
+        x, col_bias.astype(jnp.float32)[:, None, :],
         wq, bq, wk, bk, wv, bv, wo, bo, lno_s, lno_b,
         img.astype(x.dtype),
         cwq, cbq, cwk, cbk, cwv, cbv, cwo, cbo, clno_s, clno_b,
         f1q_w, f1q_b, f2q_w, f2q_b, lnq_s, lnq_b,
         f1t_w, f1t_b, f2t_w, f2t_b, lnt_s, lnt_b,
     )
+    return out[:B] if pad else out
