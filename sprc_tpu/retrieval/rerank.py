@@ -71,9 +71,22 @@ class ItmRerankScorer:
         self.step = step
         self.max_txt_len = max_txt_len or model.cfg.max_txt_len
 
+        import jax.numpy as jnp
+
+        top_ = self.top
+
         def _score(p, refs, cands, ids, mask):
+            # repeat each query's reference/text per candidate ON DEVICE
+            # (the reference's einops repeat,
+            # blip2_qformer_cir_rerank.py:408-419, was a host-side
+            # np.repeat here: ~400 MB of duplicated reference embeds
+            # uploaded per CIRR tile)
+            refs_rep = jnp.repeat(refs, top_, axis=0)
+            ids_rep = jnp.repeat(ids, top_, axis=0)
+            mask_rep = jnp.repeat(mask, top_, axis=0)
             return model.apply(
-                {"params": p}, refs, cands, ids, mask, method=model.inference_rerank
+                {"params": p}, refs_rep, cands, ids_rep, mask_rep,
+                method=model.inference_rerank,
             )
 
         self._score = jax.jit(_score)
@@ -83,22 +96,24 @@ class ItmRerankScorer:
 
         s = refs.shape[0]
         tok = self.tokenizer(list(captions), max_length=self.max_txt_len)
-        # repeat each query's reference/text per candidate (the reference's
-        # einops repeat, blip2_qformer_cir_rerank.py:408-419)
-        refs_rep = np.repeat(refs, self.top, axis=0)
-        ids = np.repeat(tok["input_ids"], self.top, axis=0)
-        mask = np.repeat(tok["attention_mask"], self.top, axis=0)
+        ids = np.asarray(tok["input_ids"])
+        mask = np.asarray(tok["attention_mask"])
 
-        full = self.step * self.top
-        nrows = refs_rep.shape[0]
-        if nrows < full:  # pad to compiled shape
-            pad = full - nrows
-            refs_rep = np.concatenate([refs_rep, np.zeros((pad,) + refs_rep.shape[1:], refs_rep.dtype)])
-            cands = np.concatenate([cands, np.zeros((pad,) + cands.shape[1:], cands.dtype)])
+        nrows = s * self.top
+        if s < self.step:  # pad the QUERY axis to the compiled shape
+            pad = self.step - s
+            refs = np.concatenate(
+                [refs, np.zeros((pad,) + refs.shape[1:], refs.dtype)])
             ids = np.concatenate([ids, np.zeros((pad, ids.shape[1]), ids.dtype)])
-            mask = np.concatenate([mask, np.ones((pad, mask.shape[1]), mask.dtype)])
+            mask = np.concatenate(
+                [mask, np.ones((pad, mask.shape[1]), mask.dtype)])
+        full = self.step * self.top
+        if cands.shape[0] < full:
+            pad = full - cands.shape[0]
+            cands = np.concatenate(
+                [cands, np.zeros((pad,) + cands.shape[1:], cands.dtype)])
         scores = self._score(
-            self.params, jnp.asarray(refs_rep), jnp.asarray(cands),
+            self.params, jnp.asarray(refs), jnp.asarray(cands),
             jnp.asarray(ids), jnp.asarray(mask),
         )
         return np.asarray(scores)[: nrows]
