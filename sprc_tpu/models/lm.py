@@ -323,13 +323,16 @@ def generate_captions(
     *,
     max_length: int = 30,
     min_length: int = 10,
+    num_beams: int = 3,
 ) -> list[str]:
     """Caption images with a CIR model's Q-Former + an LM head.
 
-    Mirrors the reference ``generate`` (…cir_align_prompt.py:202-263, greedy
-    path): frozen ViT -> ln_vision -> query tokens decode with [DEC] bos.
-    The LM head weights come from the stage-1 checkpoint (cls.predictions.*,
-    importable via :func:`qformer_lm_params_from_torch`).
+    Mirrors the reference ``generate`` (…cir_align_prompt.py:202-263,
+    default num_beams=3; pass num_beams=1 for greedy): frozen ViT ->
+    ln_vision -> query tokens decode with [DEC] bos, device-side KV-cached
+    beam search. The LM head weights come from the stage-1 checkpoint
+    (cls.predictions.*, importable via
+    :func:`qformer_lm_params_from_torch`).
     """
     frozen = cir_model.apply(
         {"params": cir_params}, images, method=cir_model.encode_image
@@ -341,13 +344,17 @@ def generate_captions(
     )
     lm = QFormerLM(cir_model.cfg.qformer_config())
     params = {"qformer": cir_params["qformer"], "lm_head": lm_head_params}
-    ids = greedy_generate(
-        lm, params, queries, frozen,
+    kw = dict(
         bos_token_id=tokenizer.bos_id,
         eos_token_id=tokenizer.sep_id,
         pad_token_id=tokenizer.pad_id,
         max_length=max_length, min_length=min_length,
     )
+    if num_beams > 1:
+        ids = cached_beam_generate(
+            lm, params, queries, frozen, num_beams=num_beams, **kw)
+    else:
+        ids = cached_greedy_generate(lm, params, queries, frozen, **kw)
     return [tokenizer.decode(row) for row in np.asarray(ids)]
 
 

@@ -226,3 +226,44 @@ def test_cached_beam_matches_host_beam():
         host = np.asarray(beam_generate(lm, params, qe, ie, **kw))
         dev = np.asarray(cached_beam_generate(lm, params, qe, ie, **kw))
         np.testing.assert_array_equal(dev, host)
+
+
+def test_generate_captions_beam_and_greedy():
+    """generate_captions drives the cached decoders end-to-end on a tiny CIR
+    model (reference default num_beams=3, …cir_align_prompt.py:208)."""
+    import jax
+    from sprc_tpu.loader import build_model, init_params
+    from sprc_tpu.models.lm import QFormerLM, generate_captions
+    from sprc_tpu.models.qformer import QFormerConfig
+    from sprc_tpu.models.vit import ViTConfig
+
+    vcfg = ViTConfig(image_size=28, patch_size=14, width=24, depth=1,
+                     num_heads=2, mlp_hidden=48, qkv_fused_no_kbias=True,
+                     dtype=jnp.float32)
+    qcfg = QFormerConfig(vocab_size=40, hidden_size=24, num_layers=2,
+                         num_heads=2, intermediate_size=48, encoder_width=24,
+                         query_length=3, dropout_rate=0.0)
+    model = build_model("blip2_cir_align_prompt", image_size=28,
+                        num_query_token=3, max_txt_len=6, vocab_size=40,
+                        vit_dtype=jnp.float32, vit_config_override=vcfg,
+                        qformer_config_override=qcfg)
+    params = init_params(model)
+    lm = QFormerLM(qcfg)
+    lm_head = lm.init(
+        jax.random.PRNGKey(1), jnp.zeros((1, 2), jnp.int32),
+        jnp.zeros((1, 3, 24)), None, jnp.zeros((1, 5, 24)),
+    )["params"]["lm_head"]
+
+    class Tok:
+        bos_id, sep_id, pad_id = 2, 3, 0
+
+        def decode(self, ids):
+            return " ".join(str(int(i)) for i in ids
+                            if int(i) not in (0, 2, 3))
+
+    imgs = jnp.asarray(np.random.RandomState(0).rand(2, 28, 28, 3), jnp.float32)
+    for beams in (1, 3):
+        caps = generate_captions(
+            model, params, lm_head, imgs, Tok(),
+            max_length=8, min_length=2, num_beams=beams)
+        assert len(caps) == 2 and all(isinstance(c, str) for c in caps)
