@@ -54,9 +54,53 @@ def _mm(x, w, b):
 
 def _attend_bias(qkv3, S, Sk, W, heads, scale, dtype, col_bias):
     """q [S, W], k/v [Sk, W] packed in qkv3=(q, k, v); col_bias [Sk] f32
-    additive or None -> ctx [S, W]."""
+    additive or None -> ctx [S, W].
+
+    Variant via SPRC_QF_ATTN (Mosaic compile-crash isolation: the default
+    batched form with [H, 64, 64] sub-lane-width intermediates SIGABRTs
+    the compiler at Q-Former shapes):
+      batched  - heads stacked, one batched dot (the ViT kernels' form)
+      f32      - batched but probs stay f32 (no bf16 <128-lane arrays)
+      padk     - K/V columns padded to a 128 multiple, bias masks the pad
+      perhead  - per-head 2-D matmuls
+    """
+    import os
+
+    mode = os.environ.get("SPRC_QF_ATTN", "padk")
     q, k, v = qkv3
     D = W // heads
+
+    if mode == "padk":
+        pad = (-Sk) % 128
+        if pad:
+            k = jnp.concatenate(
+                [k, jnp.zeros((pad, W), k.dtype)], axis=0)
+            v = jnp.concatenate(
+                [v, jnp.zeros((pad, W), v.dtype)], axis=0)
+            base = jnp.zeros((Sk,), jnp.float32) if col_bias is None else col_bias
+            col_bias = jnp.concatenate(
+                [base, jnp.full((pad,), -1e9, jnp.float32)], axis=0)
+        Sk = Sk + pad
+
+    if mode == "perhead":
+        outs = []
+        for h in range(heads):
+            qh = q[:, h * D:(h + 1) * D] * (scale * _LOG2E)
+            kh = k[:, h * D:(h + 1) * D]
+            vh = v[:, h * D:(h + 1) * D]
+            s = jax.lax.dot_general(
+                qh, kh, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)  # [S, Sk]
+            if col_bias is not None:
+                s = s + (col_bias * _LOG2E)[None, :]
+            p = jnp.exp2(s - jnp.max(s, axis=-1, keepdims=True))
+            o = jax.lax.dot_general(
+                p, vh, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ) / jnp.sum(p, axis=-1, keepdims=True)
+            outs.append(o)
+        return jnp.concatenate(outs, axis=-1).astype(dtype)
+
     qh = jnp.stack([q[:, h * D:(h + 1) * D] for h in range(heads)])
     kh = jnp.stack([k[:, h * D:(h + 1) * D] for h in range(heads)])
     vh = jnp.stack([v[:, h * D:(h + 1) * D] for h in range(heads)])
@@ -66,12 +110,19 @@ def _attend_bias(qkv3, S, Sk, W, heads, scale, dtype, col_bias):
     )  # [H, S, Sk]
     if col_bias is not None:
         s = s + (col_bias * _LOG2E)[None, None, :]
-    p = jnp.exp2(s - jnp.max(s, axis=-1, keepdims=True)).astype(dtype)
-    denom = jnp.sum(p.astype(jnp.float32), axis=-1, keepdims=True)
-    o = jax.lax.dot_general(
-        p, vh, (((2,), (1,)), ((0,), (0,))),
-        preferred_element_type=jnp.float32,
-    ) / denom  # [H, S, D]
+    if mode in ("f32", "padk"):
+        p = jnp.exp2(s - jnp.max(s, axis=-1, keepdims=True))  # f32 probs
+        o = jax.lax.dot_general(
+            p, vh, (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        ) / jnp.sum(p, axis=-1, keepdims=True)
+    else:
+        p = jnp.exp2(s - jnp.max(s, axis=-1, keepdims=True)).astype(dtype)
+        denom = jnp.sum(p.astype(jnp.float32), axis=-1, keepdims=True)
+        o = jax.lax.dot_general(
+            p, vh, (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        ) / denom  # [H, S, D]
     return jnp.concatenate([o[h] for h in range(heads)], axis=-1).astype(dtype)
 
 
@@ -87,28 +138,38 @@ def _qf_layer_kernel(
     o_ref, *, G: int, heads: int, eps: float, Q: int,
     has_cross: bool, text_ffn_all: bool,
 ):
+    import os
+
+    stage = os.environ.get("SPRC_QF_STAGE", "")  # compile-bisection knob
     S = x_ref.shape[1]
     W = x_ref.shape[2]
     scale = (W // heads) ** -0.5
     xb = x_ref[...]  # [G, S, W]
     dtype = xb.dtype
     x2 = xb.reshape(G * S, W)
+    cb = cb_ref[...]  # [G, 1, S]
 
     # ---- self-attention (post-LN): dense batched over G ---------------
     q_all = _mm(x2, wq_ref[...], bq_ref[0]).astype(dtype)
     k_all = _mm(x2, wk_ref[...], bk_ref[0]).astype(dtype)
     v_all = _mm(x2, wv_ref[...], bv_ref[0]).astype(dtype)
-    ctxs = []
-    for g in range(G):
-        sl = slice(g * S, (g + 1) * S)
-        ctxs.append(_attend_bias(
-            (q_all[sl], k_all[sl], v_all[sl]), S, S, W, heads, scale, dtype,
-            cb_ref[g, 0, :].astype(jnp.float32),
-        ))
-    ctx = jnp.concatenate(ctxs, axis=0)  # [G*S, W]
+    if stage == "dense":  # skip attention math entirely
+        ctx = q_all
+    else:
+        ctxs = []
+        for g in range(G):
+            sl = slice(g * S, (g + 1) * S)
+            ctxs.append(_attend_bias(
+                (q_all[sl], k_all[sl], v_all[sl]), S, S, W, heads, scale,
+                dtype, cb[g, 0].astype(jnp.float32),
+            ))
+        ctx = jnp.concatenate(ctxs, axis=0)  # [G*S, W]
     out = _mm(ctx, wo_ref[...], bo_ref[0])
     attn = _ln_f32(out + x2.astype(jnp.float32),
                    lno_s_ref[0], lno_b_ref[0], eps).astype(dtype)  # [G*S, W]
+    if stage in ("dense", "attn"):  # bisection: stop before FFN/cross
+        o_ref[...] = attn.reshape(G, S, W)
+        return
 
     # ---- optional cross-attention on the first Q rows ------------------
     attn3 = attn.reshape(G, S, W)
