@@ -213,3 +213,27 @@ def test_visualizer(cirr_root, tmp_path, rng):
     import os
 
     assert len(os.listdir(tmp_path / "vis")) == 2
+
+
+def test_loader_counts_dropped_samples(caplog):
+    """§5.3 failure accounting: unreadable (None) samples are counted, not
+    just silently dropped (reference collate filter, data_utils.py:14-21)."""
+    import logging
+
+    from sprc_tpu.data.loader import DataLoader
+
+    class Flaky:
+        def __len__(self):
+            return 8
+
+        def __getitem__(self, i):
+            if i in (2, 5):
+                return None
+            return {"x": np.full((2,), i, np.float32)}
+
+    loader = DataLoader(Flaky(), batch_size=4, num_workers=1)
+    with caplog.at_level(logging.WARNING):
+        batches = list(loader)
+    assert loader.dropped_total == 2
+    assert sum(b["x"].shape[0] for b in batches) == 6
+    assert any("dropped 2/8" in r.getMessage() for r in caplog.records)
