@@ -322,8 +322,24 @@ def bench_train(batch, steps):
 
     # SPRC_BENCH_TRAIN_REMAT=1: activation-checkpoint the Q-Former layers
     # (the b128 memory item: saved cross-attn K/V + prob residuals)
-    model = _build(remat=os.environ.get("SPRC_BENCH_TRAIN_REMAT") == "1")
+    remat = os.environ.get("SPRC_BENCH_TRAIN_REMAT") == "1"
+    model = _build(remat=remat)
     params = _fill_params(model, *_encode_dummy_args(model))
+    if os.environ.get("SPRC_BENCH_TRAIN_INT8") == "1":
+        # int8 FROZEN-tower forwards in the train step (numerics opt-in:
+        # the towers are excluded from autodiff, so quantization only
+        # perturbs the Q-Former's inputs — MEASUREMENTS.md round-3 SOL
+        # table puts the two ViT forwards at ~165 of ~315 ms/step)
+        from sprc_tpu.models.vit import calibrate_act_scales
+
+        calib = _build(vit_quant="int8_calib")
+        cal_imgs = jax.random.uniform(
+            jax.random.PRNGKey(99), (16, 224, 224, 3), jnp.float32
+        )
+        scales = calibrate_act_scales(
+            calib, params, cal_imgs, method=calib.extract_target_features
+        )
+        model = _build(vit_quant="int8_static", act_scales=scales, remat=remat)
     tcfg = TrainConfig(
         learning_rate=1e-5, total_steps=100,
         # effective batch = batch * accum (reference recipe b128 =

@@ -52,7 +52,12 @@ def _run(model, params, flag, **kw):
             os.environ["SPRC_PALLAS_QF"] = old
 
 
-def test_fusion_pass_parity(setup):
+@pytest.mark.parametrize("attn", ["batched", "f32", "padk", "perhead"])
+def test_fusion_pass_parity(setup, attn, monkeypatch):
+    """All four SPRC_QF_ATTN in-kernel attention variants (added to isolate
+    the Mosaic compile crash at real dims) must agree with the unfused
+    composition — they differ in layout/padding, not math."""
+    monkeypatch.setenv("SPRC_QF_ATTN", attn)
     model, params, ids, queries, img, mask = setup
     kw = dict(input_ids=ids, query_embeds=queries, attention_mask=mask,
               image_embeds=img)
