@@ -34,6 +34,11 @@ import numpy as np
 # imported __graft_entry__ exports SPRC_PALLAS_BLOCK=0 into child envs, which
 # would silently bench the unfused path. SPRC_BENCH_PALLAS=0 opts out.
 os.environ["SPRC_PALLAS_BLOCK"] = os.environ.get("SPRC_BENCH_PALLAS", "1")
+# fused whole-layer Q-Former kernel (ops/pallas_qformer.py): on chip it
+# moved query 2008->3693 q/s, rerank 2782->4642 cand/s, encode int8
+# 1023->1116 imgs/s. Forced for the same parent-env reason as above;
+# SPRC_BENCH_PALLAS_QF=0 opts out.
+os.environ["SPRC_PALLAS_QF"] = os.environ.get("SPRC_BENCH_PALLAS_QF", "1")
 
 BASELINE_IMGS_PER_SEC = 5000.0
 
@@ -423,8 +428,10 @@ def main() -> None:
         run("encode_int8_imgs_per_sec", bench_encode_int8, enc_batch, enc_steps)
     if "query" in modes:
         run(
+            # b512 measured best with the fused QF kernel (3693 q/s vs
+            # 2881 at b256; the larger tile amortizes the per-dispatch cost)
             "query_scoring_queries_per_sec", bench_query,
-            int(os.environ.get("SPRC_BENCH_QUERY_BATCH", "256")) if tpu else 2,
+            int(os.environ.get("SPRC_BENCH_QUERY_BATCH", "512")) if tpu else 2,
             10 if tpu else 2, 10000 if tpu else 16,
         )
     if "train" in modes:

@@ -298,9 +298,13 @@ class QFormerLayer(nn.Module):
 
         # fused whole-layer kernel (ops/pallas_qformer.py) for the
         # inference hot paths: column-bias masks only (the non-decoder
-        # mask shape), no dropout, no attention-prob outputs. Opt-in
-        # (SPRC_PALLAS_QF=1; "force" = interpret mode for CPU tests).
-        qf_flag = os.environ.get("SPRC_PALLAS_QF", "0")
+        # mask shape), no dropout, no attention-prob outputs. Default ON
+        # for TPU (measured on chip: query 2008->3693 q/s, rerank
+        # 2782->4642 cand/s, encode int8 1023->1116 imgs/s); training and
+        # decoder passes fall through the gates below to the unfused
+        # composition. SPRC_PALLAS_QF=0 opts out; "force" = interpret
+        # mode for CPU tests.
+        qf_flag = os.environ.get("SPRC_PALLAS_QF", "1")
         col_bias_ok = self_bias is None or (
             self_bias.ndim == 4 and self_bias.shape[1] == 1
             and self_bias.shape[2] == 1

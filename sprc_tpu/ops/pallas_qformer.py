@@ -56,17 +56,22 @@ def _attend_bias(qkv3, S, Sk, W, heads, scale, dtype, col_bias):
     """q [S, W], k/v [Sk, W] packed in qkv3=(q, k, v); col_bias [Sk] f32
     additive or None -> ctx [S, W].
 
-    Variant via SPRC_QF_ATTN (Mosaic compile-crash isolation: the default
-    batched form with [H, 64, 64] sub-lane-width intermediates SIGABRTs
-    the compiler at Q-Former shapes):
+    Variant via SPRC_QF_ATTN. Default ``perhead``: on this stack's remote
+    Mosaic compiler, every batched-head form (``batched``, ``f32``, and
+    even the 128-padded-K ``padk``) SIGABRTs at real Q-Former dims
+    (W=768, G>=8 — /tmp/qf_bisect2.log round 3); plain per-head 2-D
+    matmuls are the only variant that compiles there, and they measured
+    query scoring at 2881 q/s vs the 2008 q/s unfused baseline. All four
+    variants are parity-tested against the unfused composition
+    (tests/test_pallas_qformer.py) — they differ in layout, not math.
       batched  - heads stacked, one batched dot (the ViT kernels' form)
       f32      - batched but probs stay f32 (no bf16 <128-lane arrays)
       padk     - K/V columns padded to a 128 multiple, bias masks the pad
-      perhead  - per-head 2-D matmuls
+      perhead  - per-head 2-D matmuls (default)
     """
     import os
 
-    mode = os.environ.get("SPRC_QF_ATTN", "padk")
+    mode = os.environ.get("SPRC_QF_ATTN", "perhead")
     q, k, v = qkv3
     D = W // heads
 
