@@ -112,6 +112,10 @@ class DataLoader:
         stop = threading.Event()
 
         dropped = [0]
+        # += on the counters is a read-modify-write racing across pool
+        # workers; unsynchronized it can lose drops and undercount the
+        # epoch summary (the whole point of the accounting)
+        dropped_lock = threading.Lock()
 
         def load_batch(batch_idx: Sequence[int]):
             samples = []
@@ -119,8 +123,9 @@ class DataLoader:
                 s = self.dataset[j]
                 if s is None:
                     log.warning("dropped unreadable sample %d", j)
-                    dropped[0] += 1
-                    self.dropped_total += 1
+                    with dropped_lock:
+                        dropped[0] += 1
+                        self.dropped_total += 1
                     continue
                 samples.append(s)
             return self.collate(samples) if samples else None

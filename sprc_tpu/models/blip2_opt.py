@@ -20,8 +20,12 @@ from sprc_tpu.models.opt import OPTConfig, OPTForCausalLM
 from sprc_tpu.ops.layers import DenseGeneral
 from sprc_tpu.registry import registry
 
-# long-lived jitted decode programs per model id (strong model ref pins it)
-_OPT_GEN_CACHE: Dict[int, Dict] = {}
+# long-lived jitted decode programs keyed by the module itself (linen
+# modules hash by VALUE: config-equal instances share one entry, so memory
+# scales with distinct architectures, not with instances — an id()-keyed
+# table with a strong '_model' ref would immortalize every instance ever
+# used for generation)
+_OPT_GEN_CACHE: Dict[object, Dict] = {}
 
 
 @registry.register_model("blip2_opt", override=True)
@@ -126,7 +130,7 @@ class Blip2OPT(Blip2CirBase):
 
             # long-lived jitted programs per model instance (fresh jits per
             # call would recompile the decode program every call)
-            entry = _OPT_GEN_CACHE.setdefault(id(self), {"_model": self})
+            entry = _OPT_GEN_CACHE.setdefault(self, {})
             if ("prefill", s_max) not in entry:
                 entry[("prefill", s_max)] = jax.jit(
                     lambda p, *a: self.apply(

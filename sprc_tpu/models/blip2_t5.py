@@ -21,7 +21,8 @@ from sprc_tpu.ops.layers import DenseGeneral
 from sprc_tpu.registry import registry
 
 # long-lived jitted decode programs per model id (strong model ref pins it)
-_T5_GEN_CACHE: Dict[int, Dict] = {}
+# keyed by the module itself (value-hashable); see blip2_opt.py note
+_T5_GEN_CACHE: Dict[object, Dict] = {}
 
 
 @registry.register_model("blip2_t5", override=True)
@@ -121,7 +122,7 @@ class Blip2T5(Blip2CirBase):
             from sprc_tpu.models.generation import cached_greedy_loop
 
             s_max = 1 + max_new_tokens
-            entry = _T5_GEN_CACHE.setdefault(id(self), {"_model": self})
+            entry = _T5_GEN_CACHE.setdefault(self, {})
             if ("prefill", s_max) not in entry:
                 entry[("prefill", s_max)] = jax.jit(
                     lambda p, d, e, m: self.apply(

@@ -296,7 +296,14 @@ def cached_beam_loop(
             return ids, scores, finished
         return last
 
-    key = ("cached_beam", K, eos_token_id, pad_token_id)
+    # gather_fn is baked into the compiled step; key on its code object so a
+    # DIFFERENT gather implementation sharing one step-cache dict (e.g. the
+    # persistent _qg_fused_cache) can't silently reuse the first one's
+    # program, while per-call closures of the SAME source still hit the
+    # cache. Contract: gather_fn must not close over per-call tensors —
+    # thread them through ``state`` (same rule as step_fn above).
+    key = ("cached_beam", K, eos_token_id, pad_token_id,
+           getattr(gather_fn, "__code__", gather_fn))
     fused = _cached_jit(step_fn, key + ("step",), build_step)
     last = _cached_jit(step_fn, key + ("last",), build_last)
 

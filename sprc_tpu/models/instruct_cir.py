@@ -138,7 +138,8 @@ class VicunaInstructCir(_InstructBase):
 
 # long-lived jitted prefill/step programs per (model id): a fresh jit per
 # generate call would recompile the whole decode program each call
-_GEN_CACHE: Dict[int, Dict] = {}
+# keyed by the module itself (value-hashable); see blip2_opt.py note
+_GEN_CACHE: Dict[object, Dict] = {}
 
 
 def instruct_generate(
@@ -172,8 +173,7 @@ def instruct_generate(
         Q = model.cfg.num_query_token
         s_max = Q + L + max_new_tokens
 
-        # the strong model ref pins the id so it can't be recycled by GC
-        entry = _GEN_CACHE.setdefault(id(model), {"_model": model})
+        entry = _GEN_CACHE.setdefault(model, {})
         key = ("prefill", s_max)
         if key not in entry:
             def _prefill_method(mdl, images, bert_ids, bert_mask, ids, mask,

@@ -14,6 +14,7 @@ the single compiled shape avoids per-length recompilation.
 
 from __future__ import annotations
 
+import functools
 from typing import Optional
 
 import jax
@@ -233,7 +234,7 @@ def cached_beam_generate(
     q_rep = jnp.repeat(query_embeds, K, axis=0)
     img_rep = jnp.repeat(image_embeds, K, axis=0)
 
-    logits0, k_cache, v_cache, step = _cached_decode_setup(
+    logits0, k_cache, v_cache, _ = _cached_decode_setup(
         lm, params, q_rep, img_rep,
         bos_token_id=bos_token_id, max_length=max_length,
     )
@@ -243,57 +244,18 @@ def cached_beam_generate(
     scores = scores.at[:, 1:].set(-1e9)  # beams identical at t=0: keep one
     finished = jnp.zeros((B * K,), bool)
 
-    def _select(logits, ids, scores, finished, t, suppress_eos):
-        V = logits.shape[-1]
-        logits = logits.astype(jnp.float32)
-        logits = jnp.where(
-            suppress_eos, logits.at[:, eos_token_id].set(-1e9), logits
-        )
-        logp = jax.nn.log_softmax(logits, axis=-1)
-        # finished beams only extend with PAD at zero cost
-        logp = jnp.where(finished[:, None], -1e9, logp)
-        logp = logp.at[:, pad_token_id].set(
-            jnp.where(finished, 0.0, logp[:, pad_token_id])
-        )
-        total = (scores.reshape(B * K, 1) + logp).reshape(B, K * V)
-        new_scores, top = jax.lax.top_k(total, K)  # [B, K]
-        src_beam = top // V
-        tok = (top % V).astype(jnp.int32)
-        flat_src = (jnp.arange(B)[:, None] * K + src_beam).reshape(-1)
-        tok_flat = tok.reshape(-1)
-        ids = ids[flat_src].at[:, t].set(tok_flat)
-        finished = finished[flat_src] | (tok_flat == eos_token_id)
-        return ids, new_scores, finished, flat_src, tok_flat
-
-    @jax.jit
-    def beam_step(logits, ids, scores, finished, t, suppress_eos,
-                  k_cache, v_cache):
-        ids, scores, finished, flat_src, tok = _select(
-            logits, ids, scores, finished, t, suppress_eos
-        )
-        # reorder the caches to the surviving beams, then one cached step
-        k_cache = k_cache[:, flat_src]
-        v_cache = v_cache[:, flat_src]
-        logits, k_cache, v_cache = step(tok, t, k_cache, v_cache)
-        return logits, ids, scores, finished, k_cache, v_cache
-
-    @jax.jit
-    def beam_last(logits, ids, scores, finished, t, suppress_eos):
-        ids, scores, finished, _, _ = _select(
-            logits, ids, scores, finished, t, suppress_eos
-        )
-        return ids, scores, finished
-
     logits = logits0
+    Q = query_embeds.shape[1]
     for t in range(1, max_length):
         if t == max_length - 1:
-            ids, scores, finished = beam_last(
-                logits, ids, scores, finished, t, t < min_length
+            ids, scores, finished = _qf_beam_last(
+                logits, ids, scores, finished, t, t < min_length,
+                eos=eos_token_id, pad=pad_token_id,
             )
             break
-        logits, ids, scores, finished, k_cache, v_cache = beam_step(
-            logits, ids, scores, finished, t, t < min_length,
-            k_cache, v_cache,
+        logits, ids, scores, finished, k_cache, v_cache = _qf_beam_step(
+            lm, params, logits, ids, scores, finished, t, t < min_length,
+            k_cache, v_cache, eos=eos_token_id, pad=pad_token_id, Q=Q,
         )
         if t % 4 == 0 and bool(np.asarray(jnp.all(finished))):
             break
@@ -419,6 +381,190 @@ def _p_ln(p, x, eps):
     return y * p["scale"].astype(jnp.float32) + p["bias"].astype(jnp.float32)
 
 
+def _qf_head_logits_impl(lm, params, x):
+    """LM head over [B, 1, hid] -> [B, V] logits."""
+    cfg = lm.config
+    dtype, eps = cfg.dtype, cfg.layer_norm_eps
+    hp = params["lm_head"]
+    y = _p_dense(hp["transform"], x, dtype)
+    y = jax.nn.gelu(y, approximate=False)
+    y = _p_ln(hp["ln"], y, eps).astype(dtype)
+    return _p_dense(hp["decoder"], y, dtype)[:, 0, :]
+
+
+def _qf_prefill_impl(lm, params, query_embeds, image_embeds,
+                     bos_token_id, max_length):
+    """Prefill over [queries | BOS]: per-layer K/V caches in padded
+    [B, S_max, hid] buffers + the position-0 logits, one fused program."""
+    cfg = lm.config
+    qp = params["qformer"]
+    dtype = cfg.dtype
+    B, Q = query_embeds.shape[:2]
+    hid = cfg.hidden_size
+    S_max = Q + max_length
+
+    bos = jnp.full((B, 1), bos_token_id, jnp.int32)
+    prefill_hidden, state = lm.apply(
+        {"params": params}, bos, query_embeds, None, image_embeds,
+        mutable=["intermediates"],
+        method=lambda m, ids, qe, am, ie: m.qformer(
+            input_ids=ids, query_embeds=qe, attention_mask=am,
+            image_embeds=ie, is_decoder=True, sow_hidden=True,
+        ),
+    )
+    inter = state["intermediates"]["qformer"]
+
+    k_cache = jnp.zeros((cfg.num_layers, B, S_max, hid), dtype)
+    v_cache = jnp.zeros((cfg.num_layers, B, S_max, hid), dtype)
+    for i in range(cfg.num_layers):
+        h_in = inter[f"hidden_{i}"][0]  # [B, Q+1, hid]
+        sp = qp[f"layer_{i}"]["self_attn"]
+        k_cache = k_cache.at[i, :, : Q + 1].set(_p_dense(sp["key"], h_in, dtype))
+        v_cache = v_cache.at[i, :, : Q + 1].set(_p_dense(sp["value"], h_in, dtype))
+
+    logits0 = _qf_head_logits_impl(lm, params, prefill_hidden[:, Q:, :])
+    return logits0, k_cache, v_cache
+
+
+def _qf_step_impl(lm, params, tok, t, k_cache, v_cache, Q):
+    """One cached decode step for text position t (0-based; its K/V goes
+    to cache slot Q+t). Returns next-token logits + updated caches."""
+    cfg = lm.config
+    qp = params["qformer"]
+    dtype, eps = cfg.dtype, cfg.layer_norm_eps
+    H, Dh = cfg.num_heads, cfg.head_dim
+    hid = cfg.hidden_size
+    B = tok.shape[0]
+    S_max = k_cache.shape[2]
+    word = qp["embeddings"]["word_embeddings"]["embedding"]
+    pos = qp["embeddings"]["position_embeddings"]["embedding"]
+
+    def head_split(x):  # [B, S, hid] -> [B, S, H, Dh]
+        return x.reshape(x.shape[0], x.shape[1], H, Dh)
+
+    x = word[tok] + pos[t]  # [B, hid]
+    x = _p_ln(qp["embeddings"]["ln"], x[:, None, :], eps).astype(dtype)
+    valid = jnp.arange(S_max) <= (Q + t)  # queries + text <= t
+    bias = jnp.where(valid, 0.0, -1e10)[None, None, None, :]
+    for i in range(cfg.num_layers):
+        lp = qp[f"layer_{i}"]
+        sp = lp["self_attn"]
+        q_ = _p_dense(sp["query"], x, dtype)
+        k_new = _p_dense(sp["key"], x, dtype)
+        v_new = _p_dense(sp["value"], x, dtype)
+        k_cache = k_cache.at[i, :, Q + t].set(k_new[:, 0])
+        v_cache = v_cache.at[i, :, Q + t].set(v_new[:, 0])
+        scores = jnp.einsum(
+            "bqhd,bkhd->bhqk", head_split(q_),
+            head_split(k_cache[i]), preferred_element_type=jnp.float32,
+        ) * (Dh ** -0.5)
+        probs = jax.nn.softmax(scores + bias, axis=-1)
+        ctx = jnp.einsum(
+            "bhqk,bkhd->bqhd", probs.astype(dtype), head_split(v_cache[i])
+        ).reshape(B, 1, hid)
+        att = _p_ln(sp["ln"], _p_dense(sp["out"], ctx, dtype) + x, eps).astype(dtype)
+        h = _p_dense(lp["ffn_text"]["fc1"], att, dtype)
+        h = jax.nn.gelu(h, approximate=False)
+        h = _p_dense(lp["ffn_text"]["fc2"], h, dtype)
+        x = _p_ln(lp["ffn_text"]["ln"], h + att, eps).astype(dtype)
+    return _qf_head_logits_impl(lm, params, x), k_cache, v_cache
+
+
+# Module-level jits with the (hashable, value-equal) flax module + static
+# ints as static args: the compiled programs are shared across generate
+# CALLS and across model instances with equal configs. Per-call @jax.jit
+# closures here would retrace/recompile the whole per-token decode program
+# on every generate_captions call (remote compiles cost minutes — the
+# anti-pattern models/generation.py:20-27 documents).
+_qf_prefill = functools.partial(
+    jax.jit, static_argnames=("lm", "bos_token_id", "max_length")
+)(_qf_prefill_impl)
+_qf_step = functools.partial(
+    jax.jit, static_argnames=("lm", "Q")
+)(_qf_step_impl)
+
+
+def _qf_greedy_select(logits, finished, ids, t, suppress_eos, eos, pad):
+    logits = jnp.where(suppress_eos, logits.at[:, eos].set(-1e9), logits)
+    next_tok = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+    next_tok = jnp.where(finished, pad, next_tok)
+    ids = ids.at[:, t].set(next_tok)
+    return next_tok, finished | (next_tok == eos), ids
+
+
+def _qf_greedy_step_impl(lm, params, logits, finished, ids, t, suppress_eos,
+                         k_cache, v_cache, eos, pad, Q):
+    """Token selection + bookkeeping + one cached step in ONE dispatch
+    (the unfused host loop paid ~6 small dispatches per token — ~250 ms
+    of relay RTT each through the axon tunnel)."""
+    next_tok, finished, ids = _qf_greedy_select(
+        logits, finished, ids, t, suppress_eos, eos, pad)
+    logits, k_cache, v_cache = _qf_step_impl(
+        lm, params, next_tok, t, k_cache, v_cache, Q)
+    return logits, finished, ids, k_cache, v_cache
+
+
+def _qf_greedy_last_impl(logits, finished, ids, t, suppress_eos, eos, pad):
+    """Final position: select the token WITHOUT running a wasted KV step
+    whose logits nothing would consume."""
+    _, finished, ids = _qf_greedy_select(
+        logits, finished, ids, t, suppress_eos, eos, pad)
+    return finished, ids
+
+
+def _qf_beam_select(logits, ids, scores, finished, t, suppress_eos, eos, pad):
+    B, K = scores.shape
+    V = logits.shape[-1]
+    logits = logits.astype(jnp.float32)
+    logits = jnp.where(suppress_eos, logits.at[:, eos].set(-1e9), logits)
+    logp = jax.nn.log_softmax(logits, axis=-1)
+    # finished beams only extend with PAD at zero cost
+    logp = jnp.where(finished[:, None], -1e9, logp)
+    logp = logp.at[:, pad].set(jnp.where(finished, 0.0, logp[:, pad]))
+    total = (scores.reshape(B * K, 1) + logp).reshape(B, K * V)
+    new_scores, top = jax.lax.top_k(total, K)  # [B, K]
+    src_beam = top // V
+    tok = (top % V).astype(jnp.int32)
+    flat_src = (jnp.arange(B)[:, None] * K + src_beam).reshape(-1)
+    tok_flat = tok.reshape(-1)
+    ids = ids[flat_src].at[:, t].set(tok_flat)
+    finished = finished[flat_src] | (tok_flat == eos)
+    return ids, new_scores, finished, flat_src, tok_flat
+
+
+def _qf_beam_step_impl(lm, params, logits, ids, scores, finished, t,
+                       suppress_eos, k_cache, v_cache, eos, pad, Q):
+    ids, scores, finished, flat_src, tok = _qf_beam_select(
+        logits, ids, scores, finished, t, suppress_eos, eos, pad)
+    # reorder the caches to the surviving beams, then one cached step
+    k_cache = k_cache[:, flat_src]
+    v_cache = v_cache[:, flat_src]
+    logits, k_cache, v_cache = _qf_step_impl(
+        lm, params, tok, t, k_cache, v_cache, Q)
+    return logits, ids, scores, finished, k_cache, v_cache
+
+
+def _qf_beam_last_impl(logits, ids, scores, finished, t, suppress_eos,
+                       eos, pad):
+    ids, scores, finished, _, _ = _qf_beam_select(
+        logits, ids, scores, finished, t, suppress_eos, eos, pad)
+    return ids, scores, finished
+
+
+_qf_greedy_step = functools.partial(
+    jax.jit, static_argnames=("lm", "eos", "pad", "Q")
+)(_qf_greedy_step_impl)
+_qf_greedy_last = functools.partial(
+    jax.jit, static_argnames=("eos", "pad")
+)(_qf_greedy_last_impl)
+_qf_beam_step = functools.partial(
+    jax.jit, static_argnames=("lm", "eos", "pad", "Q")
+)(_qf_beam_step_impl)
+_qf_beam_last = functools.partial(
+    jax.jit, static_argnames=("eos", "pad")
+)(_qf_beam_last_impl)
+
+
 def _cached_decode_setup(
     lm: QFormerLM,
     params,
@@ -435,88 +581,16 @@ def _cached_decode_setup(
     Returns ``(logits0, k_cache, v_cache, step)`` where logits0 are the
     position-0 logits from the prefill.
     """
-    cfg = lm.config
-    qp = params["qformer"]
-    dtype = cfg.dtype
-    eps = cfg.layer_norm_eps
-    B = query_embeds.shape[0]
     Q = query_embeds.shape[1]
-    H, Dh = cfg.num_heads, cfg.head_dim
-    hid = cfg.hidden_size
-    S_max = Q + max_length
-
-    # ---- prefill over [queries | BOS]
-    bos = jnp.full((B, 1), bos_token_id, jnp.int32)
-    prefill_hidden, state = lm.apply(
-        {"params": params}, bos, query_embeds, None, image_embeds,
-        mutable=["intermediates"],
-        method=lambda m, ids, qe, am, ie: m.qformer(
-            input_ids=ids, query_embeds=qe, attention_mask=am,
-            image_embeds=ie, is_decoder=True, sow_hidden=True,
-        ),
+    logits0, k_cache, v_cache = _qf_prefill(
+        lm, params, query_embeds, image_embeds,
+        bos_token_id=bos_token_id, max_length=max_length,
     )
-    inter = state["intermediates"]["qformer"]
 
-    # per-layer K/V caches in padded [B, S_max, hid] buffers
-    k_cache = jnp.zeros((cfg.num_layers, B, S_max, hid), dtype)
-    v_cache = jnp.zeros((cfg.num_layers, B, S_max, hid), dtype)
-    for i in range(cfg.num_layers):
-        h_in = inter[f"hidden_{i}"][0]  # [B, Q+1, hid]
-        sp = qp[f"layer_{i}"]["self_attn"]
-        k_cache = k_cache.at[i, :, : Q + 1].set(_p_dense(sp["key"], h_in, dtype))
-        v_cache = v_cache.at[i, :, : Q + 1].set(_p_dense(sp["value"], h_in, dtype))
-
-    word = qp["embeddings"]["word_embeddings"]["embedding"]
-    pos = qp["embeddings"]["position_embeddings"]["embedding"]
-
-    def head_split(x):  # [B, S, hid] -> [B, S, H, Dh]
-        return x.reshape(x.shape[0], x.shape[1], H, Dh)
-
-    @jax.jit
-    def first_logits(prefill_hidden):
-        # position-0 logits from the prefill's last hidden (no recompute)
-        hp = params["lm_head"]
-        y = _p_dense(hp["transform"], prefill_hidden[:, Q:, :], dtype)
-        y = jax.nn.gelu(y, approximate=False)
-        y = _p_ln(hp["ln"], y, eps).astype(dtype)
-        return _p_dense(hp["decoder"], y, dtype)[:, 0, :]
-
-    @jax.jit
     def step(tok, t, k_cache, v_cache):
-        """One cached decode step for text position t (0-based; its K/V goes
-        to cache slot Q+t). Returns next-token logits + updated caches."""
-        x = word[tok] + pos[t]  # [B, hid]
-        x = _p_ln(qp["embeddings"]["ln"], x[:, None, :], eps).astype(dtype)
-        valid = jnp.arange(S_max) <= (Q + t)  # queries + text <= t
-        bias = jnp.where(valid, 0.0, -1e10)[None, None, None, :]
-        for i in range(cfg.num_layers):
-            lp = qp[f"layer_{i}"]
-            sp = lp["self_attn"]
-            q_ = _p_dense(sp["query"], x, dtype)
-            k_new = _p_dense(sp["key"], x, dtype)
-            v_new = _p_dense(sp["value"], x, dtype)
-            k_cache = k_cache.at[i, :, Q + t].set(k_new[:, 0])
-            v_cache = v_cache.at[i, :, Q + t].set(v_new[:, 0])
-            scores = jnp.einsum(
-                "bqhd,bkhd->bhqk", head_split(q_),
-                head_split(k_cache[i]), preferred_element_type=jnp.float32,
-            ) * (Dh ** -0.5)
-            probs = jax.nn.softmax(scores + bias, axis=-1)
-            ctx = jnp.einsum(
-                "bhqk,bkhd->bqhd", probs.astype(dtype), head_split(v_cache[i])
-            ).reshape(B, 1, hid)
-            att = _p_ln(sp["ln"], _p_dense(sp["out"], ctx, dtype) + x, eps).astype(dtype)
-            h = _p_dense(lp["ffn_text"]["fc1"], att, dtype)
-            h = jax.nn.gelu(h, approximate=False)
-            h = _p_dense(lp["ffn_text"]["fc2"], h, dtype)
-            x = _p_ln(lp["ffn_text"]["ln"], h + att, eps).astype(dtype)
-        hp = params["lm_head"]
-        y = _p_dense(hp["transform"], x, dtype)
-        y = jax.nn.gelu(y, approximate=False)
-        y = _p_ln(hp["ln"], y, eps).astype(dtype)
-        return _p_dense(hp["decoder"], y, dtype)[:, 0, :], k_cache, v_cache
+        return _qf_step(lm, params, tok, t, k_cache, v_cache, Q=Q)
 
-    return first_logits(prefill_hidden), k_cache, v_cache, step
+    return logits0, k_cache, v_cache, step
 
 
 def cached_greedy_generate(
@@ -543,7 +617,8 @@ def cached_greedy_generate(
     :func:`greedy_generate` (tests/test_lm_generation.py).
     """
     B = query_embeds.shape[0]
-    logits, k_cache, v_cache, step = _cached_decode_setup(
+    Q = query_embeds.shape[1]
+    logits, k_cache, v_cache, _ = _cached_decode_setup(
         lm, params, query_embeds, image_embeds,
         bos_token_id=bos_token_id, max_length=max_length,
     )
@@ -551,39 +626,16 @@ def cached_greedy_generate(
     ids = ids.at[:, 0].set(bos_token_id)
     finished = jnp.zeros((B,), bool)
 
-    def _select(logits, finished, ids, t, suppress_eos):
-        logits = jnp.where(
-            suppress_eos,
-            logits.at[:, eos_token_id].set(-1e9),
-            logits,
-        )
-        next_tok = jnp.argmax(logits, axis=-1).astype(jnp.int32)
-        next_tok = jnp.where(finished, pad_token_id, next_tok)
-        ids = ids.at[:, t].set(next_tok)
-        return next_tok, finished | (next_tok == eos_token_id), ids
-
-    @jax.jit
-    def sample_and_step(logits, finished, ids, t, suppress_eos, k_cache, v_cache):
-        """Token selection + bookkeeping + one cached step in ONE dispatch
-        (the unfused host loop paid ~6 small dispatches per token — ~250 ms
-        of relay RTT each through the axon tunnel)."""
-        next_tok, finished, ids = _select(logits, finished, ids, t, suppress_eos)
-        logits, k_cache, v_cache = step(next_tok, t, k_cache, v_cache)
-        return logits, finished, ids, k_cache, v_cache
-
-    @jax.jit
-    def sample_only(logits, finished, ids, t, suppress_eos):
-        """Final position: select the token WITHOUT running a wasted KV step
-        whose logits nothing would consume."""
-        _, finished, ids = _select(logits, finished, ids, t, suppress_eos)
-        return finished, ids
-
     for t in range(1, max_length):
         if t == max_length - 1:
-            _, ids = sample_only(logits, finished, ids, t, t < min_length)
+            _, ids = _qf_greedy_last(
+                logits, finished, ids, t, t < min_length,
+                eos=eos_token_id, pad=pad_token_id,
+            )
             break
-        logits, finished, ids, k_cache, v_cache = sample_and_step(
-            logits, finished, ids, t, t < min_length, k_cache, v_cache
+        logits, finished, ids, k_cache, v_cache = _qf_greedy_step(
+            lm, params, logits, finished, ids, t, t < min_length,
+            k_cache, v_cache, eos=eos_token_id, pad=pad_token_id, Q=Q,
         )
         # early-exit readback only every 4 tokens: each host sync costs a
         # full dispatch round trip

@@ -150,6 +150,17 @@ class PnpVqaPipeline:
     def _store_logits_fn(self, name: str, model, fn) -> None:
         self.__dict__[name] = (model, fn)
 
+    def _fused_cache(self, name: str, model) -> Dict:
+        """Persistent decode-loop program cache, invalidated when the
+        model object it was built for is swapped (same hazard as
+        ``_cached_logits_fn``: the fused programs close over the old
+        module's jitted apply)."""
+        entry = self.__dict__.get(name)
+        if entry is None or entry[0] is not model:
+            entry = (model, {})
+            self.__dict__[name] = entry
+        return entry[1]
+
     # -- stage 1: localization ------------------------------------------
     def forward_itm(self, images, questions: Sequence[str], *, block_num=7):
         """-> gradcams [B, num_patches] (token-averaged map)."""
@@ -310,8 +321,8 @@ class PnpVqaPipeline:
                 cache, p, em = state
                 logits, cache = step_fn_jit(p, tok, pos[0], cache, em)
                 return logits, (cache, p, em)
-            step_fn.__sprc_step_cache__ = self.__dict__.setdefault(
-                "_qa_fused_cache", {})
+            step_fn.__sprc_step_cache__ = self._fused_cache(
+                "_qa_fused_cache", self.qa_model)
 
             from sprc_tpu.models.generation import cached_greedy_loop
 
@@ -491,8 +502,8 @@ class Img2PromptVqaPipeline(PnpVqaPipeline):
                 cache, p, em = state
                 logits, cache = step_fn_jit(p, tok, pos[0], cache, em)
                 return logits, (cache, p, em)
-            step_fn.__sprc_step_cache__ = self.__dict__.setdefault(
-                "_qg_fused_cache", {})
+            step_fn.__sprc_step_cache__ = self._fused_cache(
+                "_qg_fused_cache", self.qa_model)
 
             def gather_fn(state, rows):
                 cache, p, em = state
@@ -615,7 +626,8 @@ class FiDT5(nn.Module):
 
 
 # long-lived jitted FiD decode programs per model id
-_FID_GEN_CACHE: Dict[int, Dict] = {}
+# keyed by the module itself (value-hashable); see blip2_opt.py note
+_FID_GEN_CACHE: Dict[object, Dict] = {}
 
 
 def fid_generate(model, params, input_ids, attention_mask, *, pad_id: int,
@@ -638,7 +650,7 @@ def fid_generate(model, params, input_ids, attention_mask, *, pad_id: int,
         from sprc_tpu.models.generation import cached_greedy_loop
 
         s_max = max_length
-        entry = _FID_GEN_CACHE.setdefault(id(model), {"_model": model})
+        entry = _FID_GEN_CACHE.setdefault(model, {})
         if ("prefill", s_max) not in entry:
             entry[("prefill", s_max)] = jax.jit(
                 lambda p, d, e, m: model.apply(

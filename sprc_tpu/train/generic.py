@@ -247,8 +247,9 @@ def run_generic(cfg, args) -> Dict[str, float]:
     adapter = TASK_ADAPTERS[task_name](
         tokenizer, max_txt_len=int(run.get("max_txt_len", 35))
     )
+    batch_size = int(run.get("batch_size", 8))
     task = BuilderTask(
-        datasets, adapter, batch_size=int(run.get("batch_size", 8)),
+        datasets, adapter, batch_size=batch_size,
         seed=int(run.get("seed", 42)),
     )
 
@@ -257,10 +258,16 @@ def run_generic(cfg, args) -> Dict[str, float]:
         jax.random.PRNGKey(int(run.get("seed", 42))),
         *type(adapter).example_init(image_size),
     )["params"]
+    # OneCycle horizon = the actual run length unless the config pins it:
+    # a fixed default (the old 1000) would collapse the LR to its final
+    # value after step 1000 and silently under-train multi-epoch runs.
+    max_epochs = int(run.get("max_epochs", 1))
+    steps_per_epoch = max(1, len(datasets["train"]) // batch_size)
     tcfg = TrainConfig(
         learning_rate=float(run.get("learning_rate", 1e-5)),
         weight_decay=float(run.get("weight_decay", 0.05)),
-        total_steps=int(run.get("total_steps", 1000)),
+        total_steps=int(run.get("total_steps",
+                                max_epochs * steps_per_epoch)),
         frozen_prefixes=tuple(
             getattr(model, "FROZEN_PREFIXES", ())),
     )
@@ -271,7 +278,7 @@ def run_generic(cfg, args) -> Dict[str, float]:
         model, state, tx, step_fn, task,
         RunnerConfig(
             output_dir=args.output_dir,
-            max_epochs=int(run.get("max_epochs", 1)),
+            max_epochs=max_epochs,
             log_every_steps=int(run.get("log_freq", 10)),
         ),
     )

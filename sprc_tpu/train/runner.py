@@ -20,6 +20,8 @@ import os
 import time
 from typing import Any, Dict, Iterable, Optional
 
+import jax
+
 from sprc_tpu.registry import registry
 
 
@@ -100,7 +102,15 @@ class EpochRunner:
                     from sprc_tpu.parallel.mesh import shard_batch
 
                     prepared = shard_batch(self.mesh, prepared)
-                prev_state = self.state
+                if self.cfg.nan_guard and i % self.cfg.log_every_steps == 0:
+                    # host copy BEFORE the step: the step donates its input
+                    # state (train/loop.py donate=True default), so after
+                    # divergence is detected the previous device state's
+                    # buffers are already deleted — a post-hoc save can
+                    # never work. Refreshed at the check cadence, this is a
+                    # state from at most log_every_steps steps before the
+                    # detected divergence.
+                    host_snap = jax.device_get(self.state)
                 self.state, metrics = self.step_fn(self.state, prepared)
                 n += 1
                 for k, v in metrics.items():
@@ -115,11 +125,7 @@ class EpochRunner:
                     ):
                         snap = os.path.join(
                             self.cfg.output_dir, "diverged_state")
-                        try:
-                            save_state(snap, prev_state)
-                        except Exception:  # noqa: BLE001 - donated buffers
-                            snap = "(pre-divergence state unavailable: "\
-                                   "donated)"
+                        save_state(snap, host_snap)
                         self._log({"kind": "diverged", "epoch": epoch,
                                    "step": i, "snapshot": snap, **row})
                         raise NonFiniteLossError(

@@ -267,3 +267,54 @@ def test_generate_captions_beam_and_greedy():
             model, params, lm_head, imgs, Tok(),
             max_length=8, min_length=2, num_beams=beams)
         assert len(caps) == 2 and all(isinstance(c, str) for c in caps)
+
+
+def test_cached_decode_reuses_compiled_programs():
+    """A second generate call (even through a DIFFERENT but config-equal
+    QFormerLM instance) must hit the module-level jit caches instead of
+    retracing the per-token decode program — remote compiles cost minutes
+    per retrace through the TPU tunnel."""
+    from sprc_tpu.models import lm as lm_mod
+    from sprc_tpu.models.lm import (
+        QFormerLM, cached_beam_generate, cached_greedy_generate,
+    )
+    from sprc_tpu.models.qformer import QFormerConfig
+
+    cfg = QFormerConfig(
+        vocab_size=40, hidden_size=24, num_layers=2, num_heads=2,
+        intermediate_size=48, encoder_width=16, query_length=4,
+        dropout_rate=0.0, attention_dropout_rate=0.0, cross_attention_freq=2,
+    )
+    rs = np.random.RandomState(11)
+    qe = jnp.asarray(rs.randn(2, 4, 24) * 0.1, jnp.float32)
+    ie = jnp.asarray(rs.randn(2, 7, 16) * 0.1, jnp.float32)
+    lm1 = QFormerLM(cfg)
+    params = lm1.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, 3), jnp.int32), qe[:1], None,
+        ie[:1],
+    )["params"]
+    kw = dict(bos_token_id=2, eos_token_id=3, pad_token_id=0,
+              max_length=8, min_length=2)
+
+    first = np.asarray(cached_greedy_generate(lm1, params, qe, ie, **kw))
+    sizes = {
+        name: getattr(lm_mod, name)._cache_size()
+        for name in ("_qf_prefill", "_qf_step", "_qf_greedy_step",
+                     "_qf_beam_step")
+    }
+    # fresh-but-equal module instance: still no retrace
+    again = np.asarray(
+        cached_greedy_generate(QFormerLM(cfg), params, qe, ie, **kw))
+    np.testing.assert_array_equal(again, first)
+    cached_beam_generate(lm1, params, qe, ie, num_beams=3, **kw)
+    cached_beam_generate(QFormerLM(cfg), params, qe, ie, num_beams=3, **kw)
+    after = {
+        name: getattr(lm_mod, name)._cache_size()
+        for name in sizes
+    }
+    # greedy entries unchanged; beam adds exactly one entry per jit (the
+    # K-times-larger batch), not one per call
+    assert after["_qf_greedy_step"] == sizes["_qf_greedy_step"]
+    assert after["_qf_step"] == sizes["_qf_step"]
+    assert after["_qf_prefill"] == sizes["_qf_prefill"] + 1
+    assert after["_qf_beam_step"] <= sizes["_qf_beam_step"] + 1

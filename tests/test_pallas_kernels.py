@@ -280,3 +280,60 @@ def test_vit_block_fused_odd_batches(B, rng, monkeypatch):
     monkeypatch.setenv("SPRC_PALLAS_BLOCK", "force")
     got = ViTBlock(cfg).apply({"params": params}, x)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=5e-5)
+
+
+@pytest.mark.parametrize("dense", ["", "batched"])
+def test_fused_vit_block_dense_variants_match_xla(dense, rng, monkeypatch):
+    """SPRC_FBLK_DENSE=batched (all G items' rows in one [G*S, W] dot per
+    dense op — the round-3 megakernel A/B) must agree with the per-group
+    default and the XLA reference; it differs in batching, not math."""
+    from sprc_tpu.ops.pallas_block import _full_xla_ref, fused_vit_block
+
+    monkeypatch.setenv("SPRC_FBLK_DENSE", dense)
+    B, S, W, H, M = 8, 13, 64, 4, 128
+    shapes = [(B, S, W), (W,), (W,), (W, 3 * W), (3 * W,), (W, W), (W,),
+              (W,), (W,), (W, M), (M,), (M, W), (W,)]
+    args = [jnp.asarray((rng.randn(*sh) * 0.1).astype(np.float32))
+            for sh in shapes]
+    args[1] = args[1] + 1
+    args[7] = args[7] + 1
+    scale = (W // H) ** -0.5
+    got = fused_vit_block(*args, H, 1e-5, scale, False, 4)
+    want = _full_xla_ref(*args, heads=H, eps=1e-5, scale=scale, quick=False)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=5e-6)
+
+
+@pytest.mark.parametrize("dense", ["", "batched"])
+def test_fused_vit_block_i8_dense_variants_agree(dense, rng, monkeypatch):
+    """int8 path: the batched-dense variant must be BIT-identical to the
+    per-group default (same requant chain, different dot batching)."""
+    from sprc_tpu.ops.pallas_block import fused_vit_block_i8
+    from sprc_tpu.ops.quant import quantize_weight
+
+    B, S, W, H, M = 4, 9, 32, 2, 64
+    x = jnp.asarray((rng.randn(B, S, W) * 0.5).astype(np.float32))
+    l1s = jnp.ones(W); l1b = jnp.zeros(W)
+    l2s = jnp.ones(W); l2b = jnp.zeros(W)
+    wqkv = jnp.asarray((rng.randn(W, 3 * W) * 0.05).astype(np.float32))
+    wproj = jnp.asarray((rng.randn(W, W) * 0.05).astype(np.float32))
+    w1 = jnp.asarray((rng.randn(W, M) * 0.05).astype(np.float32))
+    w2 = jnp.asarray((rng.randn(M, W) * 0.05).astype(np.float32))
+    zb3, zbW, zbM = jnp.zeros(3 * W), jnp.zeros(W), jnp.zeros(M)
+    scale = (W // H) ** -0.5
+    wq8, sq = quantize_weight(wqkv)
+    wp8, sp = quantize_weight(wproj)
+    w18, s1 = quantize_weight(w1)
+    w28, s2 = quantize_weight(w2)
+    acts = (4.0 / 127, 3.0 / 127, 4.0 / 127, 3.0 / 127)
+
+    def run():
+        return np.asarray(fused_vit_block_i8(
+            x, l1s, l1b, wq8, sq, zb3, wp8, sp, zbW, l2s, l2b,
+            w18, s1, zbM, w28, s2, zbW, heads=H, eps=1e-5,
+            scale=scale, quick=True, acts=acts, G=4))
+
+    monkeypatch.setenv("SPRC_FBLK_DENSE", dense)
+    got = run()
+    monkeypatch.setenv("SPRC_FBLK_DENSE", "")
+    base = run()
+    np.testing.assert_allclose(got, base, atol=2e-6)

@@ -86,12 +86,17 @@ def test_nan_guard_aborts_and_snapshots(setup, rng, tmp_path):
     calls = {"n": 0}
 
     def poisoned_step(state, batch):
-        state, metrics = step(state, batch)
+        new_state, metrics = step(state, batch)
+        # simulate donation: the production step (donate=True) deletes the
+        # input state's device buffers — the snapshot must not depend on
+        # them (CPU ignores real donation, which once masked exactly that)
+        jax.tree.map(
+            lambda x: x.delete() if hasattr(x, "delete") else None, state)
         calls["n"] += 1
         if calls["n"] >= 2:
             metrics = dict(metrics)
             metrics["loss"] = jnp.float32(float("nan"))
-        return state, metrics
+        return new_state, metrics
 
     task = SyntheticTask(rng)
     runner = EpochRunner(
