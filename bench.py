@@ -319,7 +319,7 @@ def bench_rerank(steps, *, top=50, step_q=15):
     return _reps(timed)
 
 
-def bench_train(batch, steps):
+def bench_train(batch, steps, int8=False):
     import jax
     import jax.numpy as jnp
 
@@ -330,7 +330,7 @@ def bench_train(batch, steps):
     remat = os.environ.get("SPRC_BENCH_TRAIN_REMAT") == "1"
     model = _build(remat=remat)
     params = _fill_params(model, *_encode_dummy_args(model))
-    if os.environ.get("SPRC_BENCH_TRAIN_INT8") == "1":
+    if int8 or os.environ.get("SPRC_BENCH_TRAIN_INT8") == "1":
         # int8 FROZEN-tower forwards in the train step (numerics opt-in:
         # the towers are excluded from autodiff, so quantization only
         # perturbs the Q-Former's inputs — MEASUREMENTS.md round-3 SOL
@@ -347,10 +347,10 @@ def bench_train(batch, steps):
         model = _build(vit_quant="int8_static", act_scales=scales, remat=remat)
     tcfg = TrainConfig(
         learning_rate=1e-5, total_steps=100,
-        # effective batch = batch * accum (reference recipe b128 =
-        # b64 x 2 on a 16 GB chip, or b128 x 1 now that the frozen tower
-        # is excluded from autodiff)
-        grad_accum_steps=int(os.environ.get("SPRC_BENCH_TRAIN_ACCUM", "1")),
+        # effective batch = batch * accum; default b64 x 2 = the reference
+        # recipe's 128 (blip_fine_tune_2.py:251), measured BEST at 210.7
+        # imgs/s bf16 (b128 dense OOMs the 16 GB chip)
+        grad_accum_steps=int(os.environ.get("SPRC_BENCH_TRAIN_ACCUM", "2")),
     )
     state, tx = create_train_state(params, tcfg)
     # donate: the old state is dead after each step; double-buffering the
@@ -435,11 +435,18 @@ def main() -> None:
             10 if tpu else 2, 10000 if tpu else 16,
         )
     if "train" in modes:
-        run("train_step_imgs_per_sec", bench_train,
-            # b64 measured best (204 imgs/s vs 164 at b32; b128 OOMs the 16 GB
-            # chip without remat — reference effective-128 = b64 + grad_accum 2)
-            int(os.environ.get("SPRC_BENCH_TRAIN_BATCH", "64")) if tpu else 2,
+        train_batch = int(
+            os.environ.get("SPRC_BENCH_TRAIN_BATCH", "64")) if tpu else 2
+        # b64 measured best (204 imgs/s vs 164 at b32; b128 OOMs the 16 GB
+        # chip without remat — reference effective-128 = b64 + grad_accum 2)
+        run("train_step_imgs_per_sec", bench_train, train_batch,
             6 if tpu else 2)
+        if args.mode == "all":
+            # int8 FROZEN-tower forwards (numerics opt-in for real training,
+            # +15-19% measured; towers are outside autodiff so quantization
+            # only perturbs the Q-Former's inputs)
+            run("train_step_int8_frozen_imgs_per_sec", bench_train,
+                train_batch, 6 if tpu else 2, int8=True)
     if "rerank" in modes:
         run("rerank_candidates_per_sec", bench_rerank,
             6 if tpu else 2,

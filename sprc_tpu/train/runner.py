@@ -58,10 +58,19 @@ class RunnerConfig:
     # pre-divergence state for post-mortem. Checked at the logging cadence
     # so the device pipeline isn't synced every step.
     nan_guard: bool = True
+    # preemption handling (§5.3/§5.4): convert SIGTERM into a clean
+    # between-steps stop that saves a fully resumable state. The reference
+    # has nothing here — a preempted run loses everything since the last
+    # best-checkpoint save.
+    preempt_guard: bool = True
 
 
 class NonFiniteLossError(RuntimeError):
     """Training diverged (NaN/Inf loss); the last state was snapshotted."""
+
+
+class PreemptedError(RuntimeError):
+    """SIGTERM received; a resumable state was saved before raising."""
 
 
 class EpochRunner:
@@ -80,6 +89,31 @@ class EpochRunner:
         with open(os.path.join(self.cfg.output_dir, "log.jsonl"), "a") as f:
             f.write(json.dumps(row) + "\n")
 
+    def _install_guard(self):
+        if not self.cfg.preempt_guard:
+            return None
+        from sprc_tpu.utils.preempt import PreemptionGuard
+
+        return PreemptionGuard.install()
+
+    def _check_preempted(self, guard, **where) -> None:
+        """Between-steps cooperative stop: save a fully resumable state
+        (params + optimizer + step — restartable via ``cfg.resume``) and
+        raise. Never called from inside jitted code."""
+        if guard is None or not guard.should_stop:
+            return
+        from sprc_tpu.train.checkpoint import save_state
+
+        snap = os.path.join(self.cfg.output_dir, "last_state")
+        save_state(snap, self.state)
+        self._log({"kind": "preempted", "signal": guard.received_signal,
+                   "snapshot": snap, **where})
+        guard.restore()
+        raise PreemptedError(
+            f"preempted (signal {guard.received_signal}); resumable state "
+            f"saved to {snap}"
+        )
+
     def train(self) -> Dict[str, float]:
         from sprc_tpu.train.checkpoint import (
             BestCheckpointKeeper,
@@ -91,6 +125,7 @@ class EpochRunner:
             self.state = restore_state(self.cfg.resume, self.state)
         keeper = BestCheckpointKeeper(self.cfg.output_dir)
         best: Dict[str, float] = {}
+        guard = self._install_guard()
 
         for epoch in range(self.cfg.max_epochs):
             t0 = time.time()
@@ -112,6 +147,7 @@ class EpochRunner:
                     # detected divergence.
                     host_snap = jax.device_get(self.state)
                 self.state, metrics = self.step_fn(self.state, prepared)
+                self._check_preempted(guard, epoch=epoch, step=i)
                 n += 1
                 for k, v in metrics.items():
                     running[k] = running.get(k, 0.0) + float(v)
@@ -147,6 +183,8 @@ class EpochRunner:
                         best = dict(results)
             if (epoch + 1) % self.cfg.save_every == 0:
                 save_state(os.path.join(self.cfg.output_dir, "last_state"), self.state)
+        if guard is not None:
+            guard.restore()
         return best
 
 
@@ -164,6 +202,7 @@ class IterRunner(EpochRunner):
 
         keeper = BestCheckpointKeeper(self.cfg.output_dir)
         best: Dict[str, float] = {}
+        guard = self._install_guard()
         it = 0
         epoch = 0
         loader = iter(self.task.train_loader(epoch))
@@ -183,6 +222,7 @@ class IterRunner(EpochRunner):
 
                     prepared = shard_batch(self.mesh, prepared)
                 self.state, metrics = self.step_fn(self.state, prepared)
+                self._check_preempted(guard, iter=it)
                 it += 1
                 n += 1
                 for k, v in metrics.items():
@@ -196,6 +236,8 @@ class IterRunner(EpochRunner):
                 if metric is not None and keeper.maybe_save(metric, self.state.params, it):
                     best = dict(results)
             save_state(os.path.join(self.cfg.output_dir, "last_state"), self.state)
+        if guard is not None:
+            guard.restore()
         return best
 
 

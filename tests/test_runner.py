@@ -109,3 +109,52 @@ def test_nan_guard_aborts_and_snapshots(setup, rng, tmp_path):
     log = (tmp_path / "log.jsonl").read_text()
     assert '"kind": "diverged"' in log
     assert os.path.isdir(tmp_path / "diverged_state")
+
+
+def test_preemption_saves_resumable_state(setup, rng, tmp_path):
+    """§5.3/§5.4: SIGTERM between steps -> full resumable state saved, loop
+    exits via PreemptedError, and a fresh runner resumes from it."""
+    import signal
+
+    from sprc_tpu.train.runner import PreemptedError
+
+    model, state, tx, step, outdir = setup
+
+    calls = {"n": 0}
+
+    def signaling_step(state, batch):
+        out = step(state, batch)
+        calls["n"] += 1
+        if calls["n"] == 2:
+            # deliver SIGTERM to ourselves, exactly like a preempting
+            # scheduler would; the guard's handler runs before the next
+            # between-steps check
+            os.kill(os.getpid(), signal.SIGTERM)
+        return out
+
+    task = SyntheticTask(rng)
+    runner = EpochRunner(
+        model, state, tx, signaling_step, task,
+        RunnerConfig(output_dir=str(tmp_path), max_epochs=3,
+                     log_every_steps=1),
+    )
+    prev_handler = signal.getsignal(signal.SIGTERM)
+    with pytest.raises(PreemptedError, match="resumable state"):
+        runner.train()
+    # handler restored after the raise
+    assert signal.getsignal(signal.SIGTERM) is prev_handler
+    assert calls["n"] == 2  # stopped right after the signaled step
+    snap = tmp_path / "last_state"
+    assert os.path.isdir(snap)
+    log = (tmp_path / "log.jsonl").read_text()
+    assert '"kind": "preempted"' in log
+
+    # resume: a fresh runner restores params + opt state + step counter
+    task2 = SyntheticTask(rng)
+    runner2 = EpochRunner(
+        model, state, tx, step, task2,
+        RunnerConfig(output_dir=str(tmp_path), max_epochs=1,
+                     resume=str(snap), log_every_steps=1),
+    )
+    runner2.train()
+    assert int(runner2.state.step) == 2 + 3  # resumed at 2, one more epoch
