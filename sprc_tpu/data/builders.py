@@ -227,6 +227,44 @@ class MultimodalClassificationDataset(AnnotationDataset):
         }
 
 
+class NLVRPairDataset(AnnotationDataset):
+    """NLVR2 (image0, image1, sentence, label) (reference
+    datasets/nlvr_datasets.py:24-63; labels True/False -> 0/1 per the
+    reference's class_labels)."""
+
+    CLASS_LABELS = {"True": 0, "False": 1, True: 0, False: 1}
+
+    def __getitem__(self, index):
+        ann = self.annotation[index]
+        images = ann["images"]
+        label = self.CLASS_LABELS.get(ann["label"], ann["label"])
+        load = lambda name: self.vis_processor(
+            _load_image(os.path.join(self.vis_root, name)))
+        return {
+            "image0": load(images[0]),
+            "image1": load(images[1]),
+            "text_input": self.text_processor(
+                ann.get("sentence", ann.get("text_input", ""))),
+            "label": int(label),
+        }
+
+
+class AVSDDialDataset(AnnotationDataset):
+    """AVSD dialogue turns + pre-extracted video features (reference
+    datasets/avsd_dialogue_datasets.py): the GPT dialogue text processor
+    consumes the whole annotation (caption/summary/dialog/question/answer),
+    the video processor loads i3d/vggish ``.npy`` streams by video name."""
+
+    def __getitem__(self, index):
+        ann = self.annotation[index]
+        item = dict(self.text_processor(ann))
+        vis = self.vis_processor(
+            self.vis_root, ann.get("image_id", ann.get("video_id", "")))
+        item["video_fts"] = vis["video_fts"]
+        item["video_token_type_ids"] = vis["token_type_ids"]
+        return item
+
+
 class VideoRetrievalDataset(RetrievalDataset):
     MEDIA_KEY = "video"
 
@@ -310,6 +348,7 @@ for _n in ("coco_vqa", "ok_vqa", "aok_vqa", "gqa", "vg_vqa"):
     _register(_n, VQADataset, VQAEvalDataset)
 for _n in ("msrvtt_qa", "msvd_qa"):
     _register(_n, VideoQADataset, VideoQADataset)
-for _n in ("nlvr", "snli_ve", "imagenet"):
+for _n in ("snli_ve", "imagenet"):
     _register(_n, MultimodalClassificationDataset, MultimodalClassificationDataset)
-_register("avsd_dialogue", VideoCaptionDataset, VideoCaptionDataset)
+_register("nlvr", NLVRPairDataset, NLVRPairDataset)
+_register("avsd_dialogue", AVSDDialDataset, AVSDDialDataset)

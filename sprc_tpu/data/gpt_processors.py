@@ -61,11 +61,52 @@ class GPT2SpecialTokens:
         return self._special[name]
 
 
+class SyntheticGPT2Tokens:
+    """Word-hash stand-in with reference-ordered special-token ids — lets the
+    dialogue pipeline run offline/synthetic (smoke tests, run-config CI)
+    without a GPT-2 ``tokenizer.json``."""
+
+    def __init__(self, base_vocab: int = 1000):
+        self.base = base_vocab
+        self._special = {
+            t: base_vocab + i for i, t in enumerate(SPECIAL_TOKEN_ADD_ORDER)}
+
+    def encode(self, text: str) -> List[int]:
+        return [hash(w) % self.base for w in str(text).split()]
+
+    def special_token_id(self, name: str) -> int:
+        return self._special[name]
+
+    @property
+    def vocab_size(self) -> int:
+        return self.base + len(SPECIAL_TOKEN_ADD_ORDER)
+
+
+def _resolve_gpt_tokenizer(tokenizer, tokenizer_json, synthetic_vocab):
+    """YAML-constructable tokenizer resolution (data/builders._processor
+    instantiates processors from config kwargs, where only strings/ints can
+    appear)."""
+    if tokenizer is not None:
+        return tokenizer
+    if tokenizer_json:
+        return GPT2SpecialTokens(tokenizer_json)
+    if synthetic_vocab:
+        return SyntheticGPT2Tokens(int(synthetic_vocab))
+    raise ValueError(
+        "GPT processors need one of: tokenizer (instance), tokenizer_json "
+        "(offline HF gpt2 tokenizer.json path), or synthetic_vocab (int, "
+        "synthetic smoke-test tokenizer)"
+    )
+
+
 class GPTDialogueProcessor:
     """ann dict -> {input_ids, token_type_ids, labels} int32 arrays."""
 
-    def __init__(self, tokenizer, max_turns: int = 3, use_caption: bool = True):
-        self.tokenizer = tokenizer
+    def __init__(self, tokenizer=None, max_turns: int = 3,
+                 use_caption: bool = True, tokenizer_json: Optional[str] = None,
+                 synthetic_vocab: int = 0):
+        self.tokenizer = _resolve_gpt_tokenizer(
+            tokenizer, tokenizer_json, synthetic_vocab)
         self.max_turns = max_turns
         self.use_caption = use_caption
 
@@ -127,9 +168,12 @@ class GPTDialogueProcessor:
 class GPTVideoFeatureProcessor:
     """(ft_root, vname) -> {video_fts [T, D], token_type_ids [T]}."""
 
-    def __init__(self, tokenizer, visual_ft: Optional[Sequence[str]] = None,
-                 audio_ft: Optional[Sequence[str]] = None):
-        self.tokenizer = tokenizer
+    def __init__(self, tokenizer=None, visual_ft: Optional[Sequence[str]] = None,
+                 audio_ft: Optional[Sequence[str]] = None,
+                 tokenizer_json: Optional[str] = None,
+                 synthetic_vocab: int = 0):
+        self.tokenizer = _resolve_gpt_tokenizer(
+            tokenizer, tokenizer_json, synthetic_vocab)
         self.visual_ft = list(visual_ft or ["i3d_rgb"])
         self.audio_ft = list(audio_ft or ["vggish"])
 

@@ -294,6 +294,13 @@ class AlbefRetrieval(nn.Module):
 # ------------------------------------------------- functional momentum state
 
 
+def _copy(x):
+    """Fresh device buffer — ``jnp.asarray`` is a no-op on device arrays, and
+    momentum copies that ALIAS the live params break train-state donation
+    (the same buffer would be donated twice)."""
+    return jnp.array(x, copy=True)
+
+
 def init_albef_state(params, cfg: AlbefConfig, seed: int = 0) -> Dict[str, Any]:
     """Momentum params + normalized feature queues + id queue + pointer."""
     rng = np.random.RandomState(seed)
@@ -303,7 +310,7 @@ def init_albef_state(params, cfg: AlbefConfig, seed: int = 0) -> Dict[str, Any]:
     tq /= np.linalg.norm(tq, axis=0, keepdims=True)
     keys = getattr(cfg, "momentum_keys", AlbefRetrieval.MOMENTUM_KEYS)
     return {
-        "params_m": {k: jax.tree.map(jnp.asarray, params[k]) for k in keys},
+        "params_m": {k: jax.tree.map(_copy, params[k]) for k in keys},
         "image_queue": jnp.asarray(iq),
         "text_queue": jnp.asarray(tq),
         "idx_queue": jnp.full((cfg.queue_size,), -100, jnp.int32),

@@ -25,7 +25,7 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from sprc_tpu.models.albef import MedEncoder, momentum_update
+from sprc_tpu.models.albef import MedEncoder, _copy, momentum_update
 from sprc_tpu.models.qformer import QFormerConfig
 from sprc_tpu.models.vit import ClipViT, ViTConfig, blip_vit_b_config
 from sprc_tpu.ops.layers import DenseGeneral
@@ -138,7 +138,7 @@ class MultimodalClassifier(nn.Module):
 def init_classifier_state(params) -> Dict[str, Any]:
     return {
         "params_m": {
-            k: jax.tree.map(jnp.asarray, params[k])
+            k: jax.tree.map(_copy, params[k])
             for k in MultimodalClassifier.MOMENTUM_KEYS
         }
     }

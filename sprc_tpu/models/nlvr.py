@@ -28,7 +28,7 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from sprc_tpu.models.albef import momentum_update
+from sprc_tpu.models.albef import _copy, momentum_update
 from sprc_tpu.models.qformer import (
     QFormerAttention,
     QFormerConfig,
@@ -303,7 +303,7 @@ class NLVRClassifier(nn.Module):
 def init_nlvr_state(params) -> Dict[str, Any]:
     return {
         "params_m": {
-            k: jax.tree.map(jnp.asarray, params[k])
+            k: jax.tree.map(_copy, params[k])
             for k in NLVRClassifier.MOMENTUM_KEYS
         }
     }

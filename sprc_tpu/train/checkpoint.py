@@ -46,6 +46,10 @@ def save_state(path: str, state) -> None:
         "opt_state": jax.tree.map(np.asarray, state.opt_state),
         "rng": np.asarray(state.rng),
     }
+    if getattr(state, "aux", None) is not None:
+        # momentum/queue families (TrainState.aux): persisted so resume is
+        # exact — the reference cannot resume these buffers at all
+        tree["aux"] = jax.tree.map(np.asarray, state.aux)
     _checkpointer().save(os.path.abspath(path), tree, force=True)
 
 
@@ -58,12 +62,15 @@ def restore_state(path: str, state_template):
         jax.tree.structure(state_template.opt_state),
         jax.tree.leaves(restored["opt_state"]),
     )
-    return state_template.replace(
+    out = state_template.replace(
         step=jnp.asarray(restored["step"]),
         params=restored["params"],
         opt_state=opt_state,
         rng=jnp.asarray(restored["rng"]),
     )
+    if "aux" in restored and restored["aux"] is not None:
+        out = out.replace(aux=jax.tree.map(jnp.asarray, restored["aux"]))
+    return out
 
 
 class CheckpointManager:

@@ -117,12 +117,310 @@ class VQAAdapter:
                 jnp.zeros((1,), jnp.int32), jnp.ones((1,), jnp.float32))
 
 
+class RetrievalAdapter:
+    """Items {image, text_input, image_id} -> ITC/ITM retrieval training for
+    the momentum-queue families (reference retrieval.py +
+    {blip,albef}_models retrieval forward). The momentum params + feature
+    queues are functional state threaded through ``TrainState.aux``; alpha
+    follows the reference two-epoch ramp (albef_retrieval.py:104-105) via
+    per-batch ``step_extras``."""
+
+    uses_aux = True
+
+    def __init__(self, tokenizer, max_txt_len: int = 35):
+        self.tokenizer = tokenizer
+        self.max_txt_len = max_txt_len
+        self._alpha = 0.4
+
+    def collate(self, items: List[dict]) -> Dict[str, np.ndarray]:
+        texts = [it["text_input"] for it in items]
+        tok = self.tokenizer(texts, max_length=self.max_txt_len)
+        enc = self.tokenizer(texts, max_length=self.max_txt_len,
+                             enc_token=True)
+        return {
+            "images": np.stack([np.asarray(it["image"], np.float32)
+                                for it in items]),
+            "input_ids": tok["input_ids"],
+            "text_mask": tok["attention_mask"],
+            "enc_input_ids": enc["input_ids"],
+            "image_ids": np.asarray([it["image_id"] for it in items],
+                                    np.int32),
+        }
+
+    def step_extras(self, epoch: int, i: int, iters_per_epoch: int):
+        ramp = min(1.0, (epoch * iters_per_epoch + i) / (2 * iters_per_epoch))
+        return {"alpha": np.float32(self._alpha * ramp)}
+
+    def init_aux(self, model, params):
+        from sprc_tpu.models.albef import init_albef_state
+
+        return init_albef_state(params, model.cfg)
+
+    def _helper(self, model):
+        from sprc_tpu.models.albef import (
+            albef_pretrain_train_step,
+            albef_train_step,
+        )
+        from sprc_tpu.models.blip1 import (
+            blip_pretrain_train_step,
+            blip_retrieval_train_step,
+        )
+
+        return {
+            "AlbefRetrieval": albef_train_step,
+            "AlbefPretrain": albef_pretrain_train_step,
+            "BlipPretrain": blip_pretrain_train_step,
+        }.get(type(model).__name__, blip_retrieval_train_step)
+
+    def loss_fn(self, model) -> Callable:
+        self._alpha = float(getattr(model.cfg, "alpha", 0.4))
+        helper = self._helper(model)
+
+        def apply_fn(params, aux, batch, rng):
+            alpha = batch.get("alpha", self._alpha)
+            return helper(model, params, aux, batch, alpha=alpha, rng=rng)
+
+        return apply_fn
+
+    def init_params(self, model, rng, image_size: int):
+        cfg = model.cfg
+        E, K, B, T = cfg.embed_dim, cfg.queue_size, 1, 4
+        imgs = jnp.zeros((B, image_size, image_size, 3), jnp.float32)
+        ids = jnp.zeros((B, T), jnp.int32)
+        mask = jnp.ones((B, T), jnp.int32)
+        iid = jnp.zeros((B,), jnp.int32)
+        queues = (jnp.zeros((B, E)), jnp.zeros((B, E)), jnp.zeros((E, K)),
+                  jnp.zeros((E, K)), jnp.full((K,), -100, jnp.int32),
+                  jnp.asarray(0.4))
+        name = type(model).__name__
+        if name == "AlbefRetrieval":
+            args = (imgs, ids, mask, iid) + queues
+        elif name == "AlbefPretrain":
+            # (..., masked_ids, mlm_labels, image_ids, feats/queues,
+            #  mlm_logits_m, alpha)
+            V = model.cfg.text_config().vocab_size
+            args = (imgs, ids, mask, ids,
+                    jnp.full((B, T), -100, jnp.int32), iid) + queues[:-1] + (
+                jnp.zeros((B, T, V)), jnp.asarray(0.4))
+        elif name == "BlipPretrain":
+            args = (imgs, ids, mask, ids, ids, iid) + queues
+        else:  # BlipRetrieval
+            args = (imgs, ids, mask, ids, iid) + queues
+        return model.init(
+            {"params": rng, "sample": jax.random.PRNGKey(1)}, *args
+        )["params"]
+
+
+class PretrainAdapter(CaptionAdapter):
+    """image_text_pretrain over (image, text) pair datasets. Parameter-only
+    families (BLIP-2 stage 1: ITC+ITM+LM, blip2_qformer.py forward) reuse
+    the caption collate/loss; the momentum-queue pretrainers
+    (blip_pretrain) dispatch to :class:`RetrievalAdapter`'s aux machinery
+    via ``specialize``."""
+
+    def specialize(self, model):
+        name = type(model).__name__
+        if name not in ("BlipPretrain", "AlbefPretrain", "AlbefRetrieval",
+                        "BlipRetrieval"):
+            return self
+        repl = RetrievalAdapter(self.tokenizer, self.max_txt_len)
+        tok = self.tokenizer
+        base_collate = repl.collate
+        if name == "BlipPretrain":
+            # dec_input_ids: bos([DEC])-prefixed caption (blip1.py:646)
+            bos = getattr(tok, "bos_id", None)
+
+            def collate(items, _c=base_collate, _bos=bos):
+                out = _c(items)
+                dec = np.array(out["input_ids"])
+                dec[:, 0] = _bos if _bos is not None else dec[0, 0]
+                out["dec_input_ids"] = dec
+                return out
+
+            repl.collate = collate
+        elif name == "AlbefPretrain":
+            # host-side BERT masking (albef.py mlm_mask, reference :340-370)
+            from sprc_tpu.models.albef import mlm_mask
+
+            mask_id = tok.vocab.get("[MASK]", tok.cls_id)
+            V = model.cfg.text_config().vocab_size
+            mrng = np.random.RandomState(0)
+
+            def collate(items, _c=base_collate):
+                out = _c(items)
+                masked, labels = mlm_mask(
+                    mrng, out["input_ids"], V, mask_id,
+                    pad_token_id=tok.pad_id, cls_token_id=tok.cls_id)
+                out["masked_ids"] = masked
+                out["mlm_labels"] = labels
+                return out
+
+            repl.collate = collate
+        return repl
+
+
+class ClassificationAdapter:
+    """multimodal_classification: snli_ve-style (image, sentence, label)
+    and NLVR pairs (image0, image1, sentence, label), with the reference's
+    momentum soft-distillation when the model config enables it
+    (classification.py / nlvr.py train steps); alpha ramps over one epoch
+    (classifier) or two (NLVR)."""
+
+    uses_aux = False  # set per-model in loss_fn
+
+    def __init__(self, tokenizer, max_txt_len: int = 40):
+        self.tokenizer = tokenizer
+        self.max_txt_len = max_txt_len
+        self._alpha = 0.4
+        self._ramp_epochs = 1
+
+    def collate(self, items: List[dict]) -> Dict[str, np.ndarray]:
+        tok = self.tokenizer(
+            [it["text_input"] for it in items], max_length=self.max_txt_len)
+        out = {
+            "input_ids": tok["input_ids"],
+            "text_mask": tok["attention_mask"],
+            "labels": np.asarray([int(it["label"]) for it in items],
+                                 np.int32),
+        }
+        if "image0" in items[0]:
+            out["image0"] = np.stack(
+                [np.asarray(it["image0"], np.float32) for it in items])
+            out["image1"] = np.stack(
+                [np.asarray(it["image1"], np.float32) for it in items])
+        else:
+            out["images"] = np.stack(
+                [np.asarray(it["image"], np.float32) for it in items])
+        return out
+
+    def step_extras(self, epoch: int, i: int, iters_per_epoch: int):
+        ramp = min(1.0, (epoch * iters_per_epoch + i)
+                   / (self._ramp_epochs * iters_per_epoch))
+        return {"alpha": np.float32(self._alpha * ramp)}
+
+    def init_aux(self, model, params):
+        if type(model).__name__ == "NLVRClassifier":
+            from sprc_tpu.models.nlvr import init_nlvr_state
+
+            return init_nlvr_state(params)
+        from sprc_tpu.models.classification import init_classifier_state
+
+        return init_classifier_state(params)
+
+    def loss_fn(self, model) -> Callable:
+        cfg = model.cfg
+        self._alpha = float(getattr(cfg, "alpha", 0.4))
+        is_nlvr = type(model).__name__ == "NLVRClassifier"
+        distill = bool(getattr(cfg, "use_distill", False)) and (
+            not is_nlvr or getattr(cfg, "flavor", "albef") == "albef")
+        self.uses_aux = distill
+        self._ramp_epochs = 2 if is_nlvr else 1
+        if is_nlvr:
+            from sprc_tpu.models.nlvr import nlvr_train_step as helper
+        else:
+            from sprc_tpu.models.classification import (
+                classifier_train_step as helper,
+            )
+
+        if distill:
+            def apply_fn(params, aux, batch, rng):
+                return helper(model, params, aux, batch,
+                              alpha=batch.get("alpha", self._alpha))
+            return apply_fn
+
+        def apply_fn(params, batch, rng):
+            if is_nlvr:
+                out = model.apply(
+                    {"params": params}, batch["image0"], batch["image1"],
+                    batch["input_ids"], batch["text_mask"], batch["labels"],
+                    None, jnp.asarray(0.0, jnp.float32))
+            else:
+                out = model.apply(
+                    {"params": params}, batch["images"], batch["input_ids"],
+                    batch["text_mask"], batch["labels"], None,
+                    jnp.asarray(0.0, jnp.float32))
+            return out
+        return apply_fn
+
+    def init_params(self, model, rng, image_size: int):
+        imgs = jnp.zeros((1, image_size, image_size, 3), jnp.float32)
+        ids = jnp.zeros((1, 4), jnp.int32)
+        mask = jnp.ones((1, 4), jnp.int32)
+        lbl = jnp.zeros((1,), jnp.int32)
+        if type(model).__name__ == "NLVRClassifier":
+            return model.init(rng, imgs, imgs, ids, mask, lbl)["params"]
+        return model.init(rng, imgs, ids, mask, lbl)["params"]
+
+
+class DialogueAdapter:
+    """AVSD dialogue (reference dialogue.py + avsd_dialogue_datasets.py
+    collater): GPT-processed items {input_ids, token_type_ids, labels,
+    video_fts, video_token_type_ids} -> padded [video prefix | text] batch
+    for :class:`~sprc_tpu.models.gpt_dialogue.GPTDialogue`. Pad ids come
+    from the dataset's GPT text processor (``attach``)."""
+
+    def __init__(self, tokenizer=None, max_txt_len: int = 0):
+        self.pad_id = 0
+
+    def attach(self, dataset) -> None:
+        tok = getattr(dataset.text_processor, "tokenizer", None)
+        if tok is not None:
+            self.pad_id = tok.special_token_id("<pad>")
+
+    def collate(self, items: List[dict]) -> Dict[str, np.ndarray]:
+        B = len(items)
+        L = max(len(it["input_ids"]) for it in items)
+        T = max(len(it["video_fts"]) for it in items)
+        D = items[0]["video_fts"].shape[1]
+        ids = np.full((B, L), self.pad_id, np.int32)
+        text_tt = np.full((B, L), self.pad_id, np.int32)
+        labels = np.full((B, T + L), -1, np.int32)
+        fts = np.ones((B, T, D), np.float32)  # pad value 1.0 (reference)
+        vid_tt = np.full((B, T), self.pad_id, np.int32)
+        attn = np.zeros((B, T + L), np.int32)
+        for i, it in enumerate(items):
+            l, t = len(it["input_ids"]), len(it["video_fts"])
+            ids[i, :l] = it["input_ids"]
+            text_tt[i, :l] = it["token_type_ids"]
+            labels[i, T: T + l] = it["labels"]
+            fts[i, :t] = it["video_fts"]
+            vid_tt[i, :t] = it["video_token_type_ids"]
+            attn[i, :t] = 1
+            attn[i, T: T + l] = 1
+        return {
+            "input_ids": ids,
+            "video_fts": fts,
+            "attn_mask": attn,
+            "token_type_ids": np.concatenate([vid_tt, text_tt], axis=1),
+            "labels": labels,
+        }
+
+    def loss_fn(self, model) -> Callable:
+        def apply_fn(params, batch, rng):
+            return model.apply(
+                {"params": params}, batch["input_ids"], batch["video_fts"],
+                batch["attn_mask"], batch["token_type_ids"], batch["labels"])
+        return apply_fn
+
+    def init_params(self, model, rng, image_size: int):
+        D = model.cfg.len_video_ft
+        return model.init(
+            rng, jnp.zeros((1, 2), jnp.int32), jnp.zeros((1, 2, D)),
+            jnp.ones((1, 4), jnp.int32), jnp.zeros((1, 4), jnp.int32),
+            -jnp.ones((1, 4), jnp.int32),
+        )["params"]
+
+
 # reference task-name -> adapter (lavis/tasks/__init__.py names)
 TASK_ADAPTERS: Dict[str, Any] = {
     "captioning": CaptionAdapter,
     "vqa": VQAAdapter,
     "gqa": VQAAdapter,
     "aok_vqa": VQAAdapter,
+    "retrieval": RetrievalAdapter,
+    "image_text_pretrain": PretrainAdapter,
+    "multimodal_classification": ClassificationAdapter,
+    "dialogue": DialogueAdapter,
 }
 
 
@@ -143,9 +441,17 @@ class BuilderTask(BaseTask):
         ds = self.datasets["train"]
         order = np.random.RandomState(self.seed + epoch).permutation(len(ds))
         bs = self.batch_size
-        for s in range(0, len(order) - bs + 1, bs):
+        extras = getattr(self.adapter, "step_extras", None)
+        iters_per_epoch = max(1, len(ds) // bs)
+        for bi, s in enumerate(range(0, len(order) - bs + 1, bs)):
             items = [ds[int(i)] for i in order[s: s + bs]]
-            yield self.adapter.collate(items)
+            batch = self.adapter.collate(items)
+            if extras is not None:
+                # per-step scalar inputs (e.g. the distillation-alpha ramp,
+                # reference albef_retrieval.py:104-105) — traced array args,
+                # so per-step values don't recompile
+                batch.update(extras(epoch, bi, iters_per_epoch))
+            yield batch
 
     def prepare_batch(self, batch):
         return batch
@@ -157,10 +463,13 @@ class BuilderTask(BaseTask):
         return None
 
 
-def make_generic_train_step(model, tx, cfg: TrainConfig, apply_fn: Callable):
+def make_generic_train_step(model, tx, cfg: TrainConfig, apply_fn: Callable,
+                            uses_aux: bool = False):
     """Jitted step over an adapter's ``apply_fn(params, batch, rng) ->
     {loss...}`` with the same frozen-prefix autodiff exclusion as the CIR
-    step (train/loop.py)."""
+    step (train/loop.py). With ``uses_aux`` the adapter's apply_fn is
+    ``(params, aux, batch, rng) -> (losses, new_aux)`` and the functional
+    model state (momentum copies, feature queues) rides ``state.aux``."""
     frozen_keys = set(cfg.frozen_prefixes)
 
     def _split(params):
@@ -168,8 +477,7 @@ def make_generic_train_step(model, tx, cfg: TrainConfig, apply_fn: Callable):
         frozen = {k: v for k, v in params.items() if k in frozen_keys}
         return train, frozen
 
-    def loss_fn(train_params, frozen_params, batch, rng):
-        losses = apply_fn({**train_params, **frozen_params}, batch, rng)
+    def _total_and_scalars(losses):
         if "loss" in losses:  # families returning a pre-summed total
             total = losses["loss"]
         else:
@@ -182,12 +490,21 @@ def make_generic_train_step(model, tx, cfg: TrainConfig, apply_fn: Callable):
                    if getattr(v, "ndim", 0) == 0}
         return total, scalars
 
+    def loss_fn(train_params, frozen_params, aux, batch, rng):
+        params = {**train_params, **frozen_params}
+        if uses_aux:
+            losses, new_aux = apply_fn(params, aux, batch, rng)
+        else:
+            losses, new_aux = apply_fn(params, batch, rng), None
+        total, scalars = _total_and_scalars(losses)
+        return total, (scalars, new_aux)
+
     def step_fn(state: TrainState, batch):
         rng, dropout_rng = jax.random.split(state.rng)
         train_params, frozen_params = _split(state.params)
-        (total, losses), train_grads = jax.value_and_grad(
+        (total, (losses, new_aux)), train_grads = jax.value_and_grad(
             loss_fn, has_aux=True
-        )(train_params, frozen_params, batch, dropout_rng)
+        )(train_params, frozen_params, state.aux, batch, dropout_rng)
         grads = {
             **train_grads,
             **jax.tree.map(jnp.zeros_like, frozen_params),
@@ -197,7 +514,8 @@ def make_generic_train_step(model, tx, cfg: TrainConfig, apply_fn: Callable):
         metrics = dict(losses)
         metrics["loss"] = total
         return state.replace(
-            step=state.step + 1, params=params, opt_state=opt_state, rng=rng
+            step=state.step + 1, params=params, opt_state=opt_state, rng=rng,
+            aux=new_aux if uses_aux else state.aux,
         ), metrics
 
     return jax.jit(step_fn, donate_argnums=(0,))
@@ -247,6 +565,10 @@ def run_generic(cfg, args) -> Dict[str, float]:
     adapter = TASK_ADAPTERS[task_name](
         tokenizer, max_txt_len=int(run.get("max_txt_len", 35))
     )
+    if hasattr(adapter, "specialize"):  # model-dependent re-dispatch
+        adapter = adapter.specialize(model)
+    if hasattr(adapter, "attach"):  # dataset-derived state (pad ids)
+        adapter.attach(datasets["train"])
     batch_size = int(run.get("batch_size", 8))
     task = BuilderTask(
         datasets, adapter, batch_size=batch_size,
@@ -254,10 +576,13 @@ def run_generic(cfg, args) -> Dict[str, float]:
     )
 
     image_size = getattr(model.cfg, "image_size", 224)
-    params = model.init(
-        jax.random.PRNGKey(int(run.get("seed", 42))),
-        *type(adapter).example_init(image_size),
-    )["params"]
+    init_rng = jax.random.PRNGKey(int(run.get("seed", 42)))
+    if hasattr(adapter, "init_params"):  # model-dependent init signature
+        params = adapter.init_params(model, init_rng, image_size)
+    else:
+        params = model.init(
+            init_rng, *type(adapter).example_init(image_size)
+        )["params"]
     # OneCycle horizon = the actual run length unless the config pins it:
     # a fixed default (the old 1000) would collapse the LR to its final
     # value after step 1000 and silently under-train multi-epoch runs.
@@ -272,7 +597,12 @@ def run_generic(cfg, args) -> Dict[str, float]:
             getattr(model, "FROZEN_PREFIXES", ())),
     )
     state, tx = create_train_state(params, tcfg)
-    step_fn = make_generic_train_step(model, tx, tcfg, adapter.loss_fn(model))
+    apply_fn = adapter.loss_fn(model)  # may set adapter.uses_aux
+    uses_aux = bool(getattr(adapter, "uses_aux", False))
+    if uses_aux:
+        state = state.replace(aux=adapter.init_aux(model, params))
+    step_fn = make_generic_train_step(model, tx, tcfg, apply_fn,
+                                      uses_aux=uses_aux)
 
     runner = EpochRunner(
         model, state, tx, step_fn, task,

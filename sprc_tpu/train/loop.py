@@ -54,6 +54,12 @@ class TrainState(struct.PyTreeNode):
     params: Any
     opt_state: Any
     rng: jax.Array
+    # non-parameter model state threaded through the step for families with
+    # functional momentum copies / feature queues (ALBEF/BLIP retrieval &
+    # pretrain — reference in-place buffers, models/albef.py). None for the
+    # parameter-only families; saved/restored by checkpoint.save_state when
+    # present so resume is exact.
+    aux: Any = None
 
 
 def _param_labels(params: Any, frozen_prefixes: Tuple[str, ...]) -> Any:

@@ -136,6 +136,227 @@ datasets:
     _run_cli(cfg, tmp_path, vocab_file)
 
 
+def test_retrieval_run_config_end_to_end(tmp_path, vocab_file):
+    """retrieval task (momentum queue + hard-neg ITM, blip_retrieval) from
+    YAML: the functional aux state (params_m + queues) threads through
+    TrainState.aux and the queue pointer advances."""
+    img_root = str(tmp_path / "imgs")
+    names = _write_images(img_root, 4)
+    ann = [
+        {"image": n, "image_id": f"id{i}", "caption": "a red cat"}
+        for i, n in enumerate(names)
+    ]
+    ann_path = tmp_path / "ret_ann.json"
+    ann_path.write_text(json.dumps(ann))
+
+    cfg = tmp_path / "run.yaml"
+    cfg.write_text(f"""
+run:
+  task: retrieval
+  batch_size: 2
+  max_epochs: 1
+  learning_rate: 1e-3
+  max_txt_len: 8
+model:
+  arch: blip_retrieval
+  image_size: 28
+  embed_dim: 16
+  queue_size: 8
+  momentum: 0.9
+  vocab_size: 30524
+  vit_config_override: {TINY_VIT}
+  text_config_override: {TINY_TXT}
+datasets:
+  coco_retrieval:
+    build_info:
+      annotations:
+        train: {json.dumps(str(ann_path))}
+      images: {json.dumps(img_root)}
+    vis_processor:
+      train: {{name: blip_image_eval, image_size: 28}}
+    text_processor:
+      train: {{name: blip_caption}}
+""")
+    _run_cli(cfg, tmp_path, vocab_file)
+
+
+def test_nlvr_run_config_end_to_end(tmp_path, vocab_file):
+    """multimodal_classification over NLVR pairs (albef_nlvr distilled)."""
+    img_root = str(tmp_path / "imgs")
+    names = _write_images(img_root, 4)
+    ann = [
+        {"images": [names[i], names[(i + 1) % 4]], "sentence": "a cat",
+         "label": "True" if i % 2 else "False"}
+        for i in range(4)
+    ]
+    ann_path = tmp_path / "nlvr_ann.json"
+    ann_path.write_text(json.dumps(ann))
+
+    cfg = tmp_path / "run.yaml"
+    cfg.write_text(f"""
+run:
+  task: multimodal_classification
+  batch_size: 2
+  max_epochs: 1
+  learning_rate: 1e-3
+  max_txt_len: 8
+model:
+  arch: albef_nlvr
+  flavor: albef
+  num_classes: 2
+  image_size: 28
+  use_distill: true
+  momentum: 0.9
+  vocab_size: 30524
+  vit_config_override: {TINY_VIT}
+  text_config_override: {TINY_TXT}
+datasets:
+  nlvr:
+    build_info:
+      annotations:
+        train: {json.dumps(str(ann_path))}
+      images: {json.dumps(img_root)}
+    vis_processor:
+      train: {{name: blip_image_eval, image_size: 28}}
+    text_processor:
+      train: {{name: blip_caption}}
+""")
+    _run_cli(cfg, tmp_path, vocab_file)
+
+
+def test_pretrain_stage1_run_config_end_to_end(tmp_path, vocab_file):
+    """image_text_pretrain with the parameter-only BLIP-2 stage-1 family."""
+    img_root = str(tmp_path / "imgs")
+    names = _write_images(img_root, 4)
+    ann = [
+        {"image": n, "image_id": f"id{i}", "caption": "a blue dog"}
+        for i, n in enumerate(names)
+    ]
+    ann_path = tmp_path / "pair_ann.json"
+    ann_path.write_text(json.dumps(ann))
+
+    qf = ("{vocab_size: 30524, hidden_size: 32, num_layers: 2, num_heads: 2, "
+          "intermediate_size: 64, encoder_width: 32, query_length: 4, "
+          "dropout_rate: 0.0}")
+    cfg = tmp_path / "run.yaml"
+    cfg.write_text(f"""
+run:
+  task: image_text_pretrain
+  batch_size: 2
+  max_epochs: 1
+  learning_rate: 1e-3
+  max_txt_len: 8
+model:
+  arch: blip2
+  image_size: 28
+  num_query_token: 4
+  max_txt_len: 8
+  vit_config_override: {TINY_VIT}
+  qformer_config_override: {qf}
+datasets:
+  conceptual_caption_3m:
+    build_info:
+      annotations:
+        train: {json.dumps(str(ann_path))}
+      images: {json.dumps(img_root)}
+    vis_processor:
+      train: {{name: blip_image_eval, image_size: 28}}
+    text_processor:
+      train: {{name: blip_caption}}
+""")
+    _run_cli(cfg, tmp_path, vocab_file)
+
+
+def test_pretrain_momentum_run_config_end_to_end(tmp_path, vocab_file):
+    """image_text_pretrain specialized to the momentum-queue BlipPretrain
+    family (aux state + [DEC]-prefixed decoder ids)."""
+    img_root = str(tmp_path / "imgs")
+    names = _write_images(img_root, 4)
+    ann = [
+        {"image": n, "image_id": f"id{i}", "caption": "a blue dog"}
+        for i, n in enumerate(names)
+    ]
+    ann_path = tmp_path / "pair_ann.json"
+    ann_path.write_text(json.dumps(ann))
+
+    cfg = tmp_path / "run.yaml"
+    cfg.write_text(f"""
+run:
+  task: image_text_pretrain
+  batch_size: 2
+  max_epochs: 1
+  learning_rate: 1e-3
+  max_txt_len: 8
+model:
+  arch: blip_pretrain
+  image_size: 28
+  embed_dim: 16
+  queue_size: 8
+  momentum: 0.9
+  vocab_size: 30524
+  vit_config_override: {TINY_VIT}
+  text_config_override: {TINY_TXT}
+datasets:
+  conceptual_caption_3m:
+    build_info:
+      annotations:
+        train: {json.dumps(str(ann_path))}
+      images: {json.dumps(img_root)}
+    vis_processor:
+      train: {{name: blip_image_eval, image_size: 28}}
+    text_processor:
+      train: {{name: blip_caption}}
+""")
+    _run_cli(cfg, tmp_path, vocab_file)
+
+
+def test_dialogue_run_config_end_to_end(tmp_path, vocab_file):
+    """dialogue task: AVSD items (GPT-processed turns + feature streams)
+    through the synthetic offline tokenizer."""
+    ft_root = tmp_path / "fts"
+    rs = np.random.RandomState(0)
+    for stream in ("i3d_rgb", "vggish"):
+        os.makedirs(ft_root / stream, exist_ok=True)
+    ann = []
+    for i in range(4):
+        vname = f"vid{i}"
+        np.save(ft_root / "i3d_rgb" / f"{vname}.npy",
+                rs.rand(3, 4).astype(np.float32))
+        np.save(ft_root / "vggish" / f"{vname}.npy",
+                rs.rand(3, 4).astype(np.float32))
+        ann.append({
+            "image_id": vname, "caption": "a cat", "summary": "cat video",
+            "dialog": [{"question": "what", "answer": "a cat"}],
+            "question": "color", "answer": "red",
+        })
+    ann_path = tmp_path / "avsd_ann.json"
+    ann_path.write_text(json.dumps(ann))
+
+    cfg = tmp_path / "run.yaml"
+    cfg.write_text(f"""
+run:
+  task: dialogue
+  batch_size: 2
+  max_epochs: 1
+  learning_rate: 1e-3
+model:
+  arch: gpt_dialogue
+  gpt: {{vocab_size: 64, n_embd: 32, n_layer: 2, n_head: 2, n_positions: 128}}
+  len_video_ft: 8
+datasets:
+  avsd_dialogue:
+    build_info:
+      annotations:
+        train: {json.dumps(str(ann_path))}
+      videos: {json.dumps(str(ft_root))}
+    vis_processor:
+      train: {{name: gpt_video_ft, synthetic_vocab: 50}}
+    text_processor:
+      train: {{name: gpt_dialogue, synthetic_vocab: 50}}
+""")
+    _run_cli(cfg, tmp_path, vocab_file)
+
+
 def test_shipped_run_configs_route_to_adapters():
     """The shipped projects-style configs parse and name a known task +
     registered builder + registered model arch."""
@@ -143,7 +364,9 @@ def test_shipped_run_configs_route_to_adapters():
     from sprc_tpu.registry import registry
     from sprc_tpu.train.generic import TASK_ADAPTERS
 
-    for name in ("caption_coco_ft", "vqav2_ft", "okvqa_ft", "aokvqa_ft"):
+    for name in ("caption_coco_ft", "vqav2_ft", "okvqa_ft", "aokvqa_ft",
+                 "retrieval_coco_ft", "nlvr_ft", "pretrain_stage1",
+                 "dialogue_avsd_ft"):
         cfg = Config(f"configs/runs/{name}.yaml")
         assert cfg.run["task"] in TASK_ADAPTERS, name
         assert registry.get_model_class(cfg.model["arch"]) is not None, name

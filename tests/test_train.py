@@ -141,6 +141,34 @@ def test_checkpoint_roundtrip(tmp_path, rng):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-7)
 
 
+def test_checkpoint_roundtrip_with_aux(tmp_path, rng):
+    """TrainState.aux (momentum/queue families) persists through
+    save_state/restore_state; states without aux restore aux=None."""
+    from sprc_tpu.train.checkpoint import restore_state, save_state
+
+    model = tiny_model()
+    params = init_params(model, image_size=28)
+    cfg = TrainConfig(learning_rate=1e-3, total_steps=100)
+    state, tx = create_train_state(params, cfg)
+    aux = {"queue": jnp.arange(6, dtype=jnp.float32).reshape(2, 3),
+           "ptr": jnp.asarray(4, jnp.int32)}
+    state = state.replace(aux=aux)
+    path = str(tmp_path / "ckpt_aux")
+    save_state(path, state)
+    template, _ = create_train_state(params, cfg)
+    restored = restore_state(path, template)
+    assert restored.aux is not None
+    np.testing.assert_array_equal(np.asarray(restored.aux["queue"]),
+                                  np.asarray(aux["queue"]))
+    assert int(restored.aux["ptr"]) == 4
+
+    # aux-less states still roundtrip with aux=None
+    path2 = str(tmp_path / "ckpt_noaux")
+    save_state(path2, template)
+    restored2 = restore_state(path2, template)
+    assert restored2.aux is None
+
+
 def test_layer_decay_scales(rng):
     from sprc_tpu.train.loop import layer_decay_scales
 
