@@ -6,6 +6,8 @@ Modes (env SPRC_BENCH_MODE or --mode; default "all"):
   query       - composed-query scoring: fuse_reference + token-max sim
                 against a 10k gallery (queries/sec/chip)
   train       - full SPRC train step fwd+bwd+update (imgs/sec/chip)
+  train_cached - cached frozen-feature train step (Q-Former-only; exact for
+                the reference recipe — see train/feature_cache.py)
   rerank      - two-stage ITM rerank scoring over [ref; cand] 2x257-token
                 memory (candidates/sec/chip), CIRR val tile top=50 step=15
                 (reference blip2_qformer_cir_rerank.py:399-445)
@@ -319,6 +321,59 @@ def bench_rerank(steps, *, top=50, step_q=15):
     return _reps(timed)
 
 
+def bench_train_cached(batch, steps):
+    """Cached frozen-feature train step (train/feature_cache.py): the batch
+    carries precomputed encode_tower outputs, so the step is Q-Former-only
+    fwd+bwd+update. Exact for the reference recipe (deterministic transform
+    + frozen eval-mode tower); throughput in triplets(imgs)/sec as in the
+    ``train`` mode. The one-time cache build runs at the encode rate and
+    amortizes over epochs (50 for CIRR)."""
+    import jax
+    import jax.numpy as jnp
+
+    from sprc_tpu.train.loop import TrainConfig, create_train_state, make_train_step
+
+    model = _build()
+    params = _fill_params(model, *_encode_dummy_args(model))
+    tcfg = TrainConfig(
+        learning_rate=1e-5, total_steps=100,
+        grad_accum_steps=int(os.environ.get("SPRC_BENCH_TRAIN_ACCUM", "1")),
+    )
+    state, tx = create_train_state(params, tcfg)
+    step = make_train_step(model, tx, tcfg, donate=True, from_embeds=True)
+    S = model.cfg.vit_config().seq_len
+    D = model.cfg.vit_config().width
+    L = model.cfg.max_txt_len
+    gen = jax.jit(
+        lambda k: {
+            "reference_embeds": jax.random.normal(k, (batch, S, D), jnp.bfloat16),
+            "target_embeds": jax.random.normal(
+                jax.random.fold_in(k, 1), (batch, S, D), jnp.bfloat16
+            ),
+            "input_ids": jax.random.randint(
+                jax.random.fold_in(k, 2), (batch, L), 0, 30000
+            ),
+            "text_mask": jnp.ones((batch, L), jnp.int32),
+        }
+    )
+    batches = [gen(jax.random.PRNGKey(i)) for i in range(3)]
+    jax.block_until_ready(batches)
+    state, metrics = step(state, batches[0])  # compile + warm
+    _readback(metrics["loss"])
+
+    def timed():
+        nonlocal state
+        t0 = time.perf_counter()
+        for i in range(steps):
+            state, metrics = step(state, batches[i % len(batches)])
+            loss = _readback(metrics["loss"])
+        dt = time.perf_counter() - t0
+        assert np.isfinite(loss)
+        return batch * steps / dt
+
+    return _reps(timed)
+
+
 def bench_train(batch, steps, int8=False):
     import jax
     import jax.numpy as jnp
@@ -396,8 +451,8 @@ def main() -> None:
     ap.add_argument(
         "--mode",
         default=os.environ.get("SPRC_BENCH_MODE", "all"),
-        choices=["all", "encode", "encode_int8", "query", "train", "index",
-                 "rerank"],
+        choices=["all", "encode", "encode_int8", "query", "train",
+                 "train_cached", "index", "rerank"],
     )
     args = ap.parse_args()
 
@@ -418,7 +473,8 @@ def main() -> None:
             extras[f"{name}_error"] = f"{type(e).__name__}: {e}"[:200]
 
     modes = (
-        ["encode", "encode_int8", "query", "train", "rerank", "index"]
+        ["encode", "encode_int8", "query", "train", "train_cached", "rerank",
+         "index"]
         if args.mode == "all"
         else [args.mode]
     )
@@ -447,6 +503,14 @@ def main() -> None:
             # only perturbs the Q-Former's inputs)
             run("train_step_int8_frozen_imgs_per_sec", bench_train,
                 train_batch, 6 if tpu else 2, int8=True)
+    if "train_cached" in modes:
+        # cached frozen-feature step (exact for the reference recipe):
+        # Q-Former-only fwd+bwd — no ViT activations, so the full reference
+        # batch 128 fits the 16 GB chip dense
+        run("train_cached_step_imgs_per_sec", bench_train_cached,
+            int(os.environ.get("SPRC_BENCH_TRAIN_CACHED_BATCH", "128"))
+            if tpu else 2,
+            10 if tpu else 2)
     if "rerank" in modes:
         run("rerank_candidates_per_sec", bench_rerank,
             6 if tpu else 2,

@@ -41,6 +41,64 @@ def _prepare_batch(batch, tokenizer, processor, max_txt_len, caption_key, fiq_rn
     }
 
 
+def _prepare_batch_cached(
+    batch, cache, tokenizer, processor, max_txt_len, caption_key, fiq_rng=None
+):
+    """Host-side: names -> cached tower features, captions -> tokens."""
+    from sprc_tpu.text.processors import randomize_fiq_captions
+
+    if caption_key == "caption":
+        captions = [processor(c) for c in batch["caption"]]
+    else:
+        flat = [c for pair in batch["captions"] for c in pair]
+        captions = [processor(c) for c in randomize_fiq_captions(flat, fiq_rng)]
+    tok = tokenizer(captions, max_length=max_txt_len)
+    return {
+        "reference_embeds": cache.gather(batch["reference_name"]),
+        "target_embeds": cache.gather(batch["target_name"]),
+        "input_ids": tok["input_ids"],
+        "text_mask": tok["attention_mask"],
+    }
+
+
+def _build_or_load_cache(args, model, params, tfm):
+    """One encode_tower pass over the train split's unique images (or load a
+    previously saved cache from <output_dir>/feature_cache.npz)."""
+    import numpy as np
+
+    from sprc_tpu.data.datasets import CIRRDataset, FashionIQDataset
+    from sprc_tpu.data.loader import DataLoader
+    from sprc_tpu.train.feature_cache import FeatureCache, build_feature_cache
+
+    path = args.feature_cache_path or os.path.join(
+        args.output_dir, "feature_cache"
+    )
+    if os.path.exists(path + ".npz") and os.path.exists(path + ".names.json"):
+        cache = FeatureCache.load(path)
+        print(f"loaded feature cache ({len(cache)} images) from {path}.npz")
+        return cache
+    if args.dataset == "CIRR":
+        classic = CIRRDataset(args.data_path, "train", "classic", tfm)
+    else:
+        classic = FashionIQDataset(
+            args.data_path, "train", args.dress_types, "classic", tfm
+        )
+    loader = DataLoader(
+        classic, batch_size=args.encode_batch, num_workers=args.workers
+    )
+    t0 = time.time()
+    cache = build_feature_cache(
+        model, params,
+        ((b["image_name"], b["image"].astype(np.float32)) for b in loader),
+    )
+    print(
+        f"built feature cache: {len(cache)} images in {time.time() - t0:.1f}s"
+    )
+    os.makedirs(args.output_dir, exist_ok=True)
+    cache.save(path)
+    return cache
+
+
 def finetune(args) -> None:
     import jax
     import jax.numpy as jnp
@@ -71,21 +129,38 @@ def finetune(args) -> None:
     processor = CaptionProcessor()
     tfm = targetpad_transform(args.target_ratio, model.cfg.image_size)
 
+    # --cache-features: the recipe's transform is deterministic and the ViT
+    # frozen, so one encode_tower pass per unique image replaces both tower
+    # forwards in every step of every epoch (exact; train/feature_cache.py)
+    train_tfm = None if args.cache_features else tfm
     if args.dataset == "CIRR":
-        train_ds = CIRRDataset(args.data_path, "train", "relative", tfm, skip_errors=True)
+        train_ds = CIRRDataset(
+            args.data_path, "train", "relative", train_tfm, skip_errors=True
+        )
         caption_key = "caption"
     else:
         train_ds = FashionIQDataset(
-            args.data_path, "train", args.dress_types, "relative", tfm, skip_errors=True
+            args.data_path, "train", args.dress_types, "relative", train_tfm,
+            skip_errors=True,
         )
         caption_key = "captions"
+
+    feature_cache = None
+    if args.cache_features:
+        if not hasattr(model, "forward_cached"):
+            raise SystemExit(
+                f"--cache-features: {args.model_name} has no cached training "
+                "forward (forward_cached); supported for the flagship "
+                "blip2_cir_align_prompt"
+            )
+        feature_cache = _build_or_load_cache(args, model, params, tfm)
 
     loader = DataLoader(
         train_ds,
         batch_size=args.batch_size,
         shuffle=True,
         drop_last=True,
-        num_workers=args.workers,
+        num_workers=1 if args.cache_features else args.workers,
         seed=args.seed,
     )
     steps_per_epoch = len(loader)
@@ -117,7 +192,9 @@ def finetune(args) -> None:
         from sprc_tpu.parallel.mesh import replicate
 
         state = replicate(mesh, state)
-    step_fn = make_train_step(model, tx, tcfg, mesh=mesh)
+    step_fn = make_train_step(
+        model, tx, tcfg, mesh=mesh, from_embeds=args.cache_features
+    )
 
     os.makedirs(args.output_dir, exist_ok=True)
     with open(os.path.join(args.output_dir, "training_hyperparameters.json"), "w") as f:
@@ -133,9 +210,16 @@ def finetune(args) -> None:
         running = {}
         n_seen = 0
         for batch in loader:
-            prepared = _prepare_batch(
-                batch, tokenizer, processor, model.cfg.max_txt_len, caption_key, fiq_rng
-            )
+            if feature_cache is not None:
+                prepared = _prepare_batch_cached(
+                    batch, feature_cache, tokenizer, processor,
+                    model.cfg.max_txt_len, caption_key, fiq_rng,
+                )
+            else:
+                prepared = _prepare_batch(
+                    batch, tokenizer, processor, model.cfg.max_txt_len,
+                    caption_key, fiq_rng,
+                )
             if mesh is not None:
                 from sprc_tpu.parallel.mesh import shard_batch
 
@@ -260,6 +344,16 @@ def make_parser() -> argparse.ArgumentParser:
                         "the reference b128 recipe on 16 GB chips when the "
                         "ViT is trainable; frozen-ViT runs skip the ViT "
                         "backward entirely and rarely need it)")
+    p.add_argument("--cache-features", action="store_true",
+                   help="precompute the frozen ViT tower outputs once (one "
+                        "encode pass over the split's unique images) and "
+                        "train the Q-Former from the cache — numerically "
+                        "exact for the reference recipe (deterministic "
+                        "transform + frozen tower) at a fraction of the "
+                        "step time; see train/feature_cache.py")
+    p.add_argument("--feature-cache-path", default=None,
+                   help="save/load the feature cache here (default "
+                        "<output-dir>/feature_cache)")
     p.add_argument("--mesh", action="store_true")
     p.add_argument("--validate-every", type=int, default=1)
     p.add_argument("--encode-batch", type=int, default=64)

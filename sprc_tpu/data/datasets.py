@@ -44,7 +44,9 @@ class FashionIQDataset(_Base):
     """FashionIQ (reference data_utils.py:108-200).
 
     relative mode items:
-      train -> dict(reference_image, target_image, captions)
+      train -> dict(reference_name, target_name, captions
+                    [+ reference_image, target_image when a transform is set;
+                     name-only otherwise, for cached-feature training])
       val   -> dict(reference_name, target_name, captions)
       test  -> dict(reference_name, reference_image, captions)
     classic mode items: dict(image_name, image)
@@ -73,6 +75,7 @@ class FashionIQDataset(_Base):
         self.split = split
         self.mode = mode
         self.dress_types = list(dress_types)
+        self._has_preprocess = preprocess is not None
         self.preprocess = preprocess or (lambda x: x)
         self.skip_errors = skip_errors
 
@@ -100,11 +103,18 @@ class FashionIQDataset(_Base):
             captions = t["captions"]
             ref = t["candidate"]
             if self.split == "train":
-                return {
-                    "reference_image": self._img(ref),
-                    "target_image": self._img(t["target"]),
+                item = {
+                    "reference_name": ref,
+                    "target_name": t["target"],
                     "captions": captions,
                 }
+                # name-only stream (no transform set): cached-feature training
+                # looks the frozen tower features up by name instead of
+                # decoding pixels (train/feature_cache.py)
+                if self._has_preprocess:
+                    item["reference_image"] = self._img(ref)
+                    item["target_image"] = self._img(t["target"])
+                return item
             if self.split == "val":
                 return {
                     "reference_name": ref,
@@ -127,7 +137,9 @@ class CIRRDataset(_Base):
     """CIRR (reference data_utils.py:203-286).
 
     relative mode items:
-      train -> dict(reference_image, target_image, caption)
+      train -> dict(reference_name, target_name, caption
+                    [+ reference_image, target_image when a transform is set;
+                     name-only otherwise, for cached-feature training])
       val   -> dict(reference_name, target_name, caption, group_members)
       test1 -> dict(pair_id, reference_name, caption, group_members)
     classic mode items: dict(image_name, image)
@@ -148,6 +160,7 @@ class CIRRDataset(_Base):
         self.base = Path(data_path)
         self.split = split
         self.mode = mode
+        self._has_preprocess = preprocess is not None
         self.preprocess = preprocess or (lambda x: x)
         self.skip_errors = skip_errors
 
@@ -173,11 +186,17 @@ class CIRRDataset(_Base):
             ref = t["reference"]
             caption = t["caption"]
             if self.split == "train":
-                return {
-                    "reference_image": self._img(ref),
-                    "target_image": self._img(t["target_hard"]),
+                item = {
+                    "reference_name": ref,
+                    "target_name": t["target_hard"],
                     "caption": caption,
                 }
+                # name-only stream when no transform is set (cached-feature
+                # training, train/feature_cache.py)
+                if self._has_preprocess:
+                    item["reference_image"] = self._img(ref)
+                    item["target_image"] = self._img(t["target_hard"])
+                return item
             if self.split == "val":
                 return {
                     "reference_name": ref,
@@ -220,6 +239,7 @@ class CIRCODataset(_Base):
         self.base = Path(data_path)
         self.split = split
         self.mode = mode
+        self._has_preprocess = preprocess is not None
         self.preprocess = preprocess or (lambda x: x)
         self.skip_errors = skip_errors
         # metadata-only relative iteration (query scoring reuses the gallery

@@ -63,15 +63,57 @@ class CirAlignPrompt(Blip2CirBase):
         deterministic: bool = True,
     ) -> Dict[str, jnp.ndarray]:
         """Full training forward -> {'loss_itc','loss_rtc','loss_align'}."""
-        B = reference_images.shape[0]
+        return self.losses_from_embeds(
+            self.encode_image(reference_images),
+            self.encode_image(target_images),
+            input_ids,
+            text_mask,
+            deterministic=deterministic,
+        )
+
+    def forward_cached(
+        self,
+        reference_tower: jnp.ndarray,
+        target_tower: jnp.ndarray,
+        input_ids: jnp.ndarray,
+        text_mask: jnp.ndarray,
+        *,
+        deterministic: bool = True,
+    ) -> Dict[str, jnp.ndarray]:
+        """Training forward from CACHED frozen-tower features.
+
+        ``reference_tower``/``target_tower`` are ``encode_tower`` outputs
+        ([B, S, D], pre-ln_vision). Numerically identical to ``__call__`` on
+        the corresponding images: the reference recipe's frozen ViT + the
+        deterministic targetpad transform (blip_fine_tune_2.py:251) make the
+        tower outputs epoch-invariant, so precomputing them once turns each
+        train step into a Q-Former-only step (see train/feature_cache.py).
+        """
+        return self.losses_from_embeds(
+            self.embed_cached(reference_tower),
+            self.embed_cached(target_tower),
+            input_ids,
+            text_mask,
+            deterministic=deterministic,
+        )
+
+    def losses_from_embeds(
+        self,
+        ref_embeds: jnp.ndarray,
+        tgt_embeds: jnp.ndarray,
+        input_ids: jnp.ndarray,
+        text_mask: jnp.ndarray,
+        *,
+        deterministic: bool = True,
+    ) -> Dict[str, jnp.ndarray]:
+        """The three SPRC losses from post-ln_vision image embeddings."""
+        B = ref_embeds.shape[0]
         Q = self.cfg.num_query_token
 
-        ref_embeds = self.encode_image(reference_images)
         fused_queries, fusion_feats = self.fuse_reference(
             ref_embeds, input_ids, text_mask, deterministic=deterministic
         )
 
-        tgt_embeds = self.encode_image(target_images)
         target_feats = self.target_features(tgt_embeds, deterministic=deterministic)
 
         sim_i2t = self.token_max_sim(fusion_feats, target_feats) / self.temp

@@ -129,10 +129,27 @@ class Blip2CirBase(nn.Module):
         (reference …cir_align_prompt.py:102,367-368). The ViT runs in its
         configured (bf16) dtype; ln_vision computes in fp32 and we keep fp32.
         """
-        feats = self.visual_encoder(images)
+        return self.embed_cached(self.encode_tower(images))
+
+    def encode_tower(self, images: jnp.ndarray) -> jnp.ndarray:
+        """Raw frozen-tower features [B, S, D] (PRE-ln_vision, tower dtype).
+
+        This is the cacheable tensor for frozen-ViT training: the reference
+        recipe's train transform is deterministic (targetpad, no random aug
+        — blip_fine_tune_2.py:251) and the frozen tower runs in eval mode
+        (LAVIS ``disabled_train``), so the output per image is identical
+        every epoch. ``ln_vision`` is TRAINABLE (only ``visual_encoder`` is
+        frozen, …align_prompt.py:64-69), so the cache boundary must sit
+        before it — apply :meth:`embed_cached` to cached features at step
+        time.
+        """
+        return self.visual_encoder(images)
+
+    def embed_cached(self, tower_feats: jnp.ndarray) -> jnp.ndarray:
+        """Cached/live tower features -> fp32 ln_vision embeddings."""
         if self.cfg.freeze_vit:
-            feats = jax.lax.stop_gradient(feats)
-        return self.ln_vision(feats.astype(jnp.float32))
+            tower_feats = jax.lax.stop_gradient(tower_feats)
+        return self.ln_vision(tower_feats.astype(jnp.float32))
 
     # ------------------------------------------------------------ QFormer passes
 

@@ -180,11 +180,19 @@ def make_train_step(
     cfg: TrainConfig,
     mesh: Optional[jax.sharding.Mesh] = None,
     donate: bool = True,
+    from_embeds: bool = False,
 ) -> Callable[[TrainState, Dict[str, jnp.ndarray]], Tuple[TrainState, Dict[str, jnp.ndarray]]]:
     """Build the jitted train step.
 
     batch keys: 'reference' [B,H,W,3], 'target' [B,H,W,3],
     'input_ids' [B,L], 'text_mask' [B,L].
+
+    ``from_embeds=True`` builds the cached-frozen-feature step instead: the
+    batch carries precomputed ``encode_tower`` outputs under
+    'reference_embeds'/'target_embeds' [B,S,D] and the step runs
+    ``model.forward_cached`` — a Q-Former-only fwd+bwd (the frozen towers,
+    ~165 of ~315 ms/step at ViT-L b64, drop out entirely). Exact for the
+    reference recipe; see models/cir_base.py::encode_tower.
 
     Frozen subtrees (``cfg.frozen_prefixes``) are excluded from
     differentiation itself — the reference's ``requires_grad=False``
@@ -203,14 +211,20 @@ def make_train_step(
         return train, frozen
 
     def loss_fn(train_params, frozen_params, batch, dropout_rng):
+        if from_embeds:
+            inputs = (batch["reference_embeds"], batch["target_embeds"])
+            method = model.forward_cached
+        else:
+            inputs = (batch["reference"], batch["target"])
+            method = None
         losses = model.apply(
             {"params": {**train_params, **frozen_params}},
-            batch["reference"],
-            batch["target"],
+            *inputs,
             batch["input_ids"],
             batch["text_mask"],
             deterministic=False,
             rngs={"dropout": dropout_rng},
+            method=method,
         )
         total = jnp.asarray(0.0, jnp.float32)
         for key, value in losses.items():
@@ -241,9 +255,14 @@ def make_train_step(
 
         replicated = NamedSharding(mesh, P())
         batch_sharding = NamedSharding(mesh, P("data"))
+        image_keys = (
+            ("reference_embeds", "target_embeds")
+            if from_embeds
+            else ("reference", "target")
+        )
         batch_shardings = {
-            "reference": batch_sharding,
-            "target": batch_sharding,
+            image_keys[0]: batch_sharding,
+            image_keys[1]: batch_sharding,
             "input_ids": batch_sharding,
             "text_mask": batch_sharding,
         }
