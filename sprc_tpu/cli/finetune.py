@@ -202,6 +202,10 @@ def finetune(args) -> None:
     logger = MetricsLogger(args.output_dir)
     keeper = BestCheckpointKeeper(args.output_dir, args.selection_metric)
     fiq_rng = np.random.RandomState(args.seed)
+    # lazily-built frozen-tower caches for the VAL gallery (one per split/
+    # dress type): with --cache-features the per-epoch re-index only re-runs
+    # the trainable ln_vision + Q-Former over cached tower rows
+    val_caches = {}
 
     start_epoch = int(state.step) // max(1, steps_per_epoch)
     for epoch in range(start_epoch, args.num_epochs):
@@ -235,7 +239,10 @@ def finetune(args) -> None:
         print(json.dumps(epoch_metrics))
 
         if args.validate_every and (epoch + 1) % args.validate_every == 0:
-            results = _run_validation(args, model, state.params, tokenizer, mesh)
+            results = _run_validation(
+                args, model, state.params, tokenizer, mesh,
+                val_caches if args.cache_features else None,
+            )
             logger.log_validation({**results, "epoch": epoch})
             print(json.dumps(results, indent=2))
             metric = results.get(args.selection_metric)
@@ -245,7 +252,7 @@ def finetune(args) -> None:
         save_state(os.path.join(args.output_dir, "last_state"), state)
 
 
-def _run_validation(args, model, params, tokenizer, mesh):
+def _run_validation(args, model, params, tokenizer, mesh, val_caches=None):
     from sprc_tpu.retrieval.engine import RetrievalEngine
     from sprc_tpu.cli import validate as v
 
@@ -261,12 +268,35 @@ def _run_validation(args, model, params, tokenizer, mesh):
     for key, val in vars(args).items():
         setattr(a, key, val)
     if args.dataset == "CIRR":
-        return _validate_with_engine_cirr(a, model, engine)
-    return _validate_with_engine_fiq(a, model, engine)
+        return _validate_with_engine_cirr(a, model, engine, val_caches)
+    return _validate_with_engine_fiq(a, model, engine, val_caches)
 
 
-def _validate_with_engine_cirr(args, model, engine):
+def _index_stream(args, model, engine, classic, val_caches, cache_key):
+    """Index-build input stream: cached tower rows when --cache-features
+    (the frozen tower is epoch-invariant; only ln_vision + Q-Former re-run
+    via the rank-dispatched encode_image), else decoded images."""
     from sprc_tpu.cli.validate import index_batches
+    from sprc_tpu.train.feature_cache import build_feature_cache
+
+    if val_caches is None:
+        return index_batches(classic, args.encode_batch, args.workers)
+    if cache_key not in val_caches:
+        val_caches[cache_key] = build_feature_cache(
+            model, engine.params,
+            index_batches(classic, args.encode_batch, args.workers),
+        )
+    cache = val_caches[cache_key]
+
+    def batches():
+        for s in range(0, len(cache.names), args.encode_batch):
+            names = cache.names[s : s + args.encode_batch]
+            yield names, cache.gather(names)
+
+    return batches()
+
+
+def _validate_with_engine_cirr(args, model, engine, val_caches=None):
     from sprc_tpu.data.datasets import CIRRDataset
     from sprc_tpu.data.transforms import targetpad_transform
     from sprc_tpu.retrieval.metrics import compute_cirr_metrics
@@ -274,7 +304,9 @@ def _validate_with_engine_cirr(args, model, engine):
 
     tfm = targetpad_transform(args.target_ratio, model.cfg.image_size)
     classic = CIRRDataset(args.data_path, "val", "classic", tfm)
-    index = engine.build_index(index_batches(classic, args.encode_batch, args.workers))
+    index = engine.build_index(
+        _index_stream(args, model, engine, classic, val_caches, "cirr_val")
+    )
     relative = CIRRDataset(args.data_path, "val", "relative")
     proc = CaptionProcessor()
     refs, targets, captions, groups = [], [], [], []
@@ -288,8 +320,7 @@ def _validate_with_engine_cirr(args, model, engine):
     return compute_cirr_metrics(sims, index.names, refs, targets, groups)
 
 
-def _validate_with_engine_fiq(args, model, engine):
-    from sprc_tpu.cli.validate import index_batches
+def _validate_with_engine_fiq(args, model, engine, val_caches=None):
     from sprc_tpu.data.datasets import FashionIQDataset
     from sprc_tpu.data.transforms import targetpad_transform
     from sprc_tpu.retrieval.metrics import compute_fiq_metrics
@@ -300,7 +331,11 @@ def _validate_with_engine_fiq(args, model, engine):
     out = {}
     for dress_type in args.dress_types:
         classic = FashionIQDataset(args.data_path, "val", [dress_type], "classic", tfm)
-        index = engine.build_index(index_batches(classic, args.encode_batch, args.workers))
+        index = engine.build_index(
+            _index_stream(
+                args, model, engine, classic, val_caches, f"fiq_{dress_type}"
+            )
+        )
         relative = FashionIQDataset(args.data_path, "val", [dress_type], "relative")
         refs, targets, captions = [], [], []
         for i in range(len(relative)):

@@ -71,32 +71,6 @@ class CirAlignPrompt(Blip2CirBase):
             deterministic=deterministic,
         )
 
-    def forward_cached(
-        self,
-        reference_tower: jnp.ndarray,
-        target_tower: jnp.ndarray,
-        input_ids: jnp.ndarray,
-        text_mask: jnp.ndarray,
-        *,
-        deterministic: bool = True,
-    ) -> Dict[str, jnp.ndarray]:
-        """Training forward from CACHED frozen-tower features.
-
-        ``reference_tower``/``target_tower`` are ``encode_tower`` outputs
-        ([B, S, D], pre-ln_vision). Numerically identical to ``__call__`` on
-        the corresponding images: the reference recipe's frozen ViT + the
-        deterministic targetpad transform (blip_fine_tune_2.py:251) make the
-        tower outputs epoch-invariant, so precomputing them once turns each
-        train step into a Q-Former-only step (see train/feature_cache.py).
-        """
-        return self.losses_from_embeds(
-            self.embed_cached(reference_tower),
-            self.embed_cached(target_tower),
-            input_ids,
-            text_mask,
-            deterministic=deterministic,
-        )
-
     def losses_from_embeds(
         self,
         ref_embeds: jnp.ndarray,

@@ -128,8 +128,39 @@ class Blip2CirBase(nn.Module):
         Matches ``ln_vision(visual_encoder(image)).float()``
         (reference …cir_align_prompt.py:102,367-368). The ViT runs in its
         configured (bf16) dtype; ln_vision computes in fp32 and we keep fp32.
+
+        Rank dispatch (static at trace time): a rank-3 input is taken to be
+        precomputed ``encode_tower`` features [B, S, D] and only runs
+        ``embed_cached`` — this is what lets every CIR variant train from
+        the frozen-feature cache through its unmodified ``__call__``.
         """
+        if images.ndim == 3:
+            return self.embed_cached(images)
         return self.embed_cached(self.encode_tower(images))
+
+    def forward_cached(
+        self,
+        reference_tower: jnp.ndarray,
+        target_tower: jnp.ndarray,
+        input_ids: jnp.ndarray,
+        text_mask: jnp.ndarray,
+        *,
+        deterministic: bool = True,
+    ):
+        """Training forward from CACHED frozen-tower features (generic).
+
+        ``*_tower`` are ``encode_tower`` outputs ([B, S, D], pre-ln_vision).
+        Numerically identical to ``__call__`` on the corresponding images —
+        the reference recipe's frozen eval-mode ViT + deterministic targetpad
+        transform (blip_fine_tune_2.py:251) make tower outputs epoch-
+        invariant, so one precompute pass replaces both tower forwards in
+        every step (train/feature_cache.py). Works for every variant because
+        image encoding funnels through the rank-dispatched ``encode_image``.
+        """
+        return self(
+            reference_tower, target_tower, input_ids, text_mask,
+            deterministic=deterministic,
+        )
 
     def encode_tower(self, images: jnp.ndarray) -> jnp.ndarray:
         """Raw frozen-tower features [B, S, D] (PRE-ln_vision, tower dtype).

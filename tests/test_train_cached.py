@@ -62,6 +62,46 @@ def test_cached_losses_equal_live(setup):
         np.testing.assert_array_equal(np.asarray(live[key]), np.asarray(cached[key]))
 
 
+VARIANTS = [
+    "blip2_cir_align_prompt", "blip2_cir_cat", "blip2_cir_rel",
+    "blip2_cir_z_learn_pos_align", "blip2_cir_neg", "blip2_cir_neg_rel",
+    "blip2_cir_full", "blip2_cir_rerank", "blip2_cir_cls", "blip2_cir_slt",
+    "blip2_cir_prompt",
+]
+
+
+@pytest.mark.parametrize("name", VARIANTS)
+def test_cached_forward_equal_live_all_variants(name, setup):
+    """forward_cached(encode_tower(x)) == __call__(x) for EVERY CIR variant
+    (the generic rank-dispatched encode_image path)."""
+    _, _, batch = setup
+    model = build(name)
+    # init with the real batch: cir_cls needs bs >= NUM_CANDIDATES at init
+    params = model.init(
+        {"params": jax.random.PRNGKey(0)},
+        batch["reference"], batch["target"],
+        batch["input_ids"], batch["text_mask"],
+    )["params"]
+    live = model.apply(
+        {"params": params},
+        batch["reference"], batch["target"],
+        batch["input_ids"], batch["text_mask"],
+        deterministic=True,
+    )
+    cached = model.apply(
+        {"params": params},
+        _tower(model, params, batch["reference"]),
+        _tower(model, params, batch["target"]),
+        batch["input_ids"], batch["text_mask"],
+        deterministic=True,
+        method=model.forward_cached,
+    )
+    jax.tree.map(
+        lambda a, b: np.testing.assert_array_equal(np.asarray(a), np.asarray(b)),
+        live, cached,
+    )
+
+
 def test_cached_grads_equal_live(setup):
     """d(loss)/d(train params) identical between cached and live forwards."""
     model, params, batch = setup
@@ -216,7 +256,8 @@ def test_finetune_cli_cache_features(cirr_root, tmp_path, monkeypatch):
         "--dataset", "CIRR", "--data-path", str(root),
         "--vocab-path", str(vocab_path), "--output-dir", str(out),
         "--batch-size", "2", "--num-epochs", "2", "--learning-rate", "5e-3",
-        "--workers", "1", "--encode-batch", "4", "--validate-every", "0",
+        "--workers", "1", "--encode-batch", "4", "--validate-every", "2",
+        "--query-batch", "2",
         "--cache-features",
     ]
     ft.main(argv)
