@@ -99,6 +99,38 @@ class GalleryIndex:
         rows = [index[n] for n in names]
         return self.frozen_embeds[rows]
 
+    def save(self, path: str) -> None:
+        """Persist to <path>.npz — a serving deployment builds the gallery
+        index once and reloads it per process (the reference recomputes the
+        whole index every run; its save_memory flag only offloads to CPU,
+        utils.py:67-69). bf16 arrays are stored as uint16 views."""
+        import json
+
+        def pack(arr):
+            arr = np.asarray(arr)
+            if arr.dtype == jnp.bfloat16:
+                return arr.view(np.uint16), "bfloat16"
+            return arr, str(arr.dtype)
+
+        feats, feats_dtype = pack(self.target_feats[: self.n])
+        frozen, frozen_dtype = pack(self.frozen_embeds)
+        np.savez(
+            path,
+            target_feats=feats,
+            frozen_embeds=frozen,
+            meta=np.frombuffer(
+                json.dumps(
+                    {
+                        "names": self.names,
+                        "n": self.n,
+                        "feats_dtype": feats_dtype,
+                        "frozen_dtype": frozen_dtype,
+                    }
+                ).encode(),
+                dtype=np.uint8,
+            ),
+        )
+
 
 class RetrievalEngine:
     def __init__(
@@ -229,6 +261,25 @@ class RetrievalEngine:
         return GalleryIndex(
             names=names, target_feats=device_feats, frozen_embeds=frozen, n=n
         )
+
+    def load_index(self, path: str) -> GalleryIndex:
+        """Reload a :meth:`GalleryIndex.save` file, re-placing the target
+        features on device (sharded over the mesh when one is set)."""
+        import json
+
+        npz = np.load(path if path.endswith(".npz") else path + ".npz")
+        meta = json.loads(bytes(npz["meta"].tobytes()).decode())
+
+        def unpack(arr, dtype):
+            if dtype == "bfloat16":
+                return arr.view(jnp.bfloat16)
+            return arr
+
+        feats = unpack(npz["target_feats"], meta["feats_dtype"])
+        frozen = unpack(npz["frozen_embeds"], meta["frozen_dtype"])
+        index = self._assemble_index(meta["names"], [feats], [frozen])
+        assert index.n == meta["n"]
+        return index
 
     def build_index(
         self,
