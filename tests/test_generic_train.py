@@ -372,3 +372,126 @@ def test_shipped_run_configs_route_to_adapters():
         assert registry.get_model_class(cfg.model["arch"]) is not None, name
         for ds in cfg.datasets:
             assert registry.get("dataset", ds) is not None, (name, ds)
+
+
+def test_all_run_configs_resolve():
+    """Every configs/runs/*.yaml names a registered task adapter, dataset
+    builder, and model arch (the projects-library contract: a user can point
+    cli.train / cli.finetune at any shipped recipe)."""
+    import glob
+
+    import yaml
+
+    import sprc_tpu  # noqa: F401  (registers models)
+    import sprc_tpu.data.builders  # noqa: F401  (registers datasets)
+    import sprc_tpu.data.processors  # noqa: F401  (registers processors)
+    from sprc_tpu.registry import registry
+    from sprc_tpu.train.generic import TASK_ADAPTERS
+
+    paths = sorted(glob.glob("configs/runs/*.yaml"))
+    assert len(paths) >= 14
+    for path in paths:
+        with open(path) as f:
+            cfg = yaml.safe_load(f)
+        run = cfg.get("run", {})
+        task = run.get("task")
+        if task is None and "dataset" in run:
+            # CIR recipes (cirr/fiq_finetune.yaml) route through cli.finetune
+            assert registry.get_model_class(cfg["model"]["arch"]) is not None
+            continue
+        assert task in TASK_ADAPTERS, (path, task)
+        arch = cfg["model"]["arch"]
+        assert registry.get_model_class(arch) is not None, (path, arch)
+        for ds_name, ds_cfg in cfg.get("datasets", {}).items():
+            assert registry.get("dataset", ds_name) is not None, (path, ds_name)
+            for split_cfg in ds_cfg.get("vis_processor", {}).values():
+                assert registry.get("processor", split_cfg["name"]) is not None
+            for split_cfg in ds_cfg.get("text_processor", {}).values():
+                assert registry.get("processor", split_cfg["name"]) is not None
+
+
+def test_snli_ve_run_config_end_to_end(tmp_path, vocab_file):
+    """multimodal_classification over single-image snli_ve items
+    (albef_classification, 3-way, momentum distillation) — the
+    configs/runs/snli_ve_ft.yaml path at tiny dims."""
+    img_root = str(tmp_path / "imgs")
+    names = _write_images(img_root, 4)
+    ann = [
+        {"image": n, "sentence": "a red cat", "label": i % 3}
+        for i, n in enumerate(names)
+    ]
+    ann_path = tmp_path / "ve_ann.json"
+    ann_path.write_text(json.dumps(ann))
+
+    cfg = tmp_path / "run.yaml"
+    cfg.write_text(f"""
+run:
+  task: multimodal_classification
+  batch_size: 2
+  max_epochs: 1
+  learning_rate: 1e-3
+  max_txt_len: 8
+model:
+  arch: albef_classification
+  num_classes: 3
+  image_size: 28
+  use_distill: true
+  momentum: 0.9
+  vocab_size: 30524
+  vit_config_override: {TINY_VIT}
+  text_config_override: {TINY_TXT}
+datasets:
+  snli_ve:
+    build_info:
+      annotations:
+        train: {json.dumps(str(ann_path))}
+      images: {json.dumps(img_root)}
+    vis_processor:
+      train: {{name: blip_image_eval, image_size: 28}}
+    text_processor:
+      train: {{name: blip_caption}}
+""")
+    _run_cli(cfg, tmp_path, vocab_file)
+
+
+def test_albef_retrieval_run_config_end_to_end(tmp_path, vocab_file):
+    """retrieval task with the ALBEF family (configs/runs/
+    retrieval_coco_albef_ft.yaml path at tiny dims)."""
+    img_root = str(tmp_path / "imgs")
+    names = _write_images(img_root, 4)
+    ann = [
+        {"image": n, "image_id": f"id{i}", "caption": "a red cat"}
+        for i, n in enumerate(names)
+    ]
+    ann_path = tmp_path / "ret_ann.json"
+    ann_path.write_text(json.dumps(ann))
+
+    cfg = tmp_path / "run.yaml"
+    cfg.write_text(f"""
+run:
+  task: retrieval
+  batch_size: 2
+  max_epochs: 1
+  learning_rate: 1e-3
+  max_txt_len: 8
+model:
+  arch: albef_retrieval
+  image_size: 28
+  embed_dim: 16
+  queue_size: 8
+  momentum: 0.9
+  vocab_size: 30524
+  vit_config_override: {TINY_VIT}
+  text_config_override: {TINY_TXT}
+datasets:
+  coco_retrieval:
+    build_info:
+      annotations:
+        train: {json.dumps(str(ann_path))}
+      images: {json.dumps(img_root)}
+    vis_processor:
+      train: {{name: blip_image_eval, image_size: 28}}
+    text_processor:
+      train: {{name: blip_caption}}
+""")
+    _run_cli(cfg, tmp_path, vocab_file)
