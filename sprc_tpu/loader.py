@@ -23,6 +23,69 @@ MODEL_TYPES = {
     "coco": "eva_clip_g",
 }
 
+# generation-time keys carried by model YAMLs for fidelity with the
+# reference configs (blip2_caption_opt2.7b.yaml `prompt`, ...); they
+# configure decoding, not module construction, and are re-read from the
+# YAML by the caption/eval glue (cli/evaluate.py).
+GENERATION_KEYS = ("prompt", "max_output_txt_len", "num_beams")
+
+# bookkeeping keys in reference-shaped model YAMLs that have no module
+# field here (checkpoint URLs resolve through interop/artifacts instead).
+_BOOKKEEPING_KEYS = (
+    "arch", "model_type", "load_finetuned", "load_pretrained",
+    "pretrained", "finetuned", "drop_path_rate",
+)
+
+_PRECISIONS = {"fp32": jnp.float32, "fp16": jnp.bfloat16, "bf16": jnp.bfloat16}
+
+
+def yaml_model_defaults(name: str, model_type: str):
+    """``configs/models/<name>/<model_type>.yaml`` model section as
+    build_model defaults, or (None, {}) when absent.
+
+    This is the reference's PRETRAINED_MODEL_CONFIG_DICT resolution
+    (src/lavis/models/base_model.py:70-95 via load_model_and_preprocess):
+    every (arch, model_type) pair maps to a shipped YAML whose model section
+    seeds the config. Returns ``(field_defaults, extra_module_kwargs)``;
+    the latter carries LLM tower configs resolved from the reference's HF
+    names (``t5_model``/``opt_model``/``llm_model``) through
+    :mod:`sprc_tpu.models.llm_presets`.
+    """
+    import os as _os
+
+    from sprc_tpu.config import load_yaml, model_config_path
+    from sprc_tpu.models.llm_presets import LLM_KEYS
+
+    path = model_config_path(name, model_type)
+    if not _os.path.exists(path):
+        cfg_dir = _os.path.dirname(path)
+        if _os.path.isdir(cfg_dir) and model_type not in MODEL_TYPES:
+            avail = sorted(
+                f[:-5] for f in _os.listdir(cfg_dir) if f.endswith(".yaml"))
+            raise ValueError(
+                f"model '{name}' has no model_type '{model_type}' "
+                f"(available: {avail})")
+        return None, {}
+    mcfg = dict(load_yaml(path).get("model", {}))
+    declared = mcfg.get("arch", name)
+    if declared != name:
+        raise ValueError(
+            f"{path}: arch '{declared}' does not match model name '{name}'")
+    for key in _BOOKKEEPING_KEYS + GENERATION_KEYS:
+        mcfg.pop(key, None)
+    extra = {}
+    for key, (field, resolver) in LLM_KEYS.items():
+        if key in mcfg:
+            extra[field] = resolver(mcfg.pop(key))
+    # precision/name translations shared with the reference YAML shape
+    if "vit_precision" in mcfg:
+        mcfg["vit_dtype"] = _PRECISIONS[mcfg.pop("vit_precision")]
+    if "qformer_precision" in mcfg:
+        mcfg["qformer_dtype"] = _PRECISIONS[mcfg.pop("qformer_precision")]
+    if "use_grad_checkpoint" in mcfg:
+        mcfg["vit_remat"] = bool(mcfg.pop("use_grad_checkpoint"))
+    return mcfg, extra
+
 
 def _family_config_class(cls):
     """Resolve the config dataclass of a flax model from its ``cfg`` /
@@ -79,6 +142,8 @@ def build_model(
     cls = registry.get_model_class(name)
 
     cfg_cls = _family_config_class(cls)
+    yaml_kw, extra_module_kwargs = yaml_model_defaults(name, model_type)
+    merged = {**(yaml_kw or {}), **overrides}
 
     def _coerce(cfg_cls_, kw):
         """YAML-friendly overrides: a dict value for a dataclass-typed field
@@ -94,46 +159,103 @@ def build_model(
                 ann = hints.get(f.name, f.type)
                 for cand in (ann,) + tuple(typing.get_args(ann)):
                     if dataclasses.is_dataclass(cand):
-                        kw[f.name] = cand(**kw[f.name])
+                        sub = dict(kw[f.name])
+                        for k, v in sub.items():
+                            if k.endswith("dtype") and isinstance(v, str):
+                                sub[k] = _PRECISIONS[v]
+                        kw[f.name] = cand(**sub)
                         break
+        # YAML spells precisions as strings on any *dtype field
+        for k, v in kw.items():
+            if k.endswith("dtype") and isinstance(v, str):
+                kw[k] = _PRECISIONS[v]
         return kw
 
     if cfg_cls is not None and cfg_cls is not CirConfig:
         valid = {f.name for f in dataclasses.fields(cfg_cls)}
-        kw = {k: v for k, v in overrides.items() if k in valid}
+        kw = {k: v for k, v in merged.items() if k in valid}
         kw = _coerce(cfg_cls, kw)
-        unknown = set(overrides) - valid
+        unknown = set(merged) - valid
         if unknown:
             raise TypeError(
                 f"{name}: unknown config fields {sorted(unknown)} "
                 f"(valid: {sorted(valid)})"
             )
         # family configs keep their OWN dtype defaults (e.g. the T5 QA
-        # reader is fp32 in the reference). An EXPLICIT vit_dtype maps to the
-        # family's dtype field — silently dropping it would hand back a
-        # wrong-precision model with no error.
-        if vit_dtype is not _UNSET and "dtype" not in kw:
-            if "dtype" not in valid:
+        # reader is fp32 in the reference). An EXPLICIT vit_dtype maps onto
+        # the family's vision-precision field (``vit_dtype`` where the
+        # family has one, else ``dtype``) — silently dropping it would hand
+        # back a wrong-precision model with no error.
+        if vit_dtype is not _UNSET and not ({"dtype", "vit_dtype"} & set(kw)):
+            v = _PRECISIONS[vit_dtype] if isinstance(vit_dtype, str) else vit_dtype
+            if "vit_dtype" in valid:
+                kw["vit_dtype"] = v
+            elif "dtype" in valid:
+                kw["dtype"] = v
+            else:
                 raise TypeError(
                     f"{name}: config {cfg_cls.__name__} has no dtype field; "
                     "vit_dtype is not applicable"
                 )
-            kw["dtype"] = vit_dtype
-        return cls(cfg_cls(**kw))
+        if qformer_dtype is not _UNSET and not (
+                {"text_dtype", "qformer_dtype"} & set(kw)):
+            v = (_PRECISIONS[qformer_dtype]
+                 if isinstance(qformer_dtype, str) else qformer_dtype)
+            if "text_dtype" in valid:
+                kw["text_dtype"] = v
+            elif "qformer_dtype" in valid:
+                kw["qformer_dtype"] = v
+        # an LLM preset resolving to the PRIMARY config type (e.g. the FiD
+        # reader, whose whole config IS a T5Config via `t5_model:`) seeds
+        # the config instead of riding a separate module field
+        base_cfg = None
+        module_fields = {f.name for f in dataclasses.fields(cls)}
+        for key in list(extra_module_kwargs):
+            if key not in module_fields and isinstance(
+                    extra_module_kwargs[key], cfg_cls):
+                base_cfg = extra_module_kwargs.pop(key)
+        cfg = dataclasses.replace(base_cfg, **kw) if base_cfg else cfg_cls(**kw)
+        return cls(cfg, **extra_module_kwargs)
     if cfg_cls is None and not hasattr(cls, "cfg"):
+        if hasattr(cls, "from_config"):
+            # composed pipelines (pnp_vqa / img2prompt_vqa) assemble their
+            # submodels from the RAW model section (nested sub-sections);
+            # the returned object is a ready pipeline (params included), not
+            # a bare flax module
+            import os as _os
+
+            from sprc_tpu.config import load_yaml, model_config_path
+
+            path = model_config_path(name, model_type)
+            raw = (
+                dict(load_yaml(path).get("model", {}))
+                if _os.path.exists(path) else {}
+            )
+            raw.update(overrides)
+            for key in ("arch", "model_type"):
+                raw.pop(key, None)
+            fc_kw = {
+                key: raw.pop(key)
+                for key in ("vocab_path", "qa_tokenizer", "rng", "tagger")
+                if key in raw
+            }
+            return cls.from_config(raw, **fc_kw)
         raise TypeError(
             f"model '{name}' is a composed pipeline; construct it directly "
             f"from its submodels (see {cls.__module__})"
         )
 
-    vit_model = MODEL_TYPES.get(model_type, model_type)
-    cfg = CirConfig(
-        vit_model=vit_model,
-        vit_dtype=jnp.bfloat16 if vit_dtype is _UNSET else vit_dtype,
-        qformer_dtype=jnp.float32 if qformer_dtype is _UNSET else qformer_dtype,
-        **_coerce(CirConfig, dict(overrides)),
-    )
-    return cls(cfg)
+    vit_model = merged.pop("vit_model", MODEL_TYPES.get(model_type, model_type))
+    if vit_dtype is not _UNSET:
+        merged["vit_dtype"] = vit_dtype
+    elif "vit_dtype" not in merged:
+        merged["vit_dtype"] = jnp.bfloat16
+    if qformer_dtype is not _UNSET:
+        merged["qformer_dtype"] = qformer_dtype
+    elif "qformer_dtype" not in merged:
+        merged["qformer_dtype"] = jnp.float32
+    cfg = CirConfig(vit_model=vit_model, **_coerce(CirConfig, merged))
+    return cls(cfg, **extra_module_kwargs)
 
 
 def init_params(model, rng: Optional[jax.Array] = None,

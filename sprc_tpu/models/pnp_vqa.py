@@ -138,6 +138,81 @@ class PnpVqaPipeline:
     qa_tokenizer: object  # T5 sentencepiece-style, with encode/decode
     prompt: str = "a picture of "
 
+    @classmethod
+    def from_config(cls, mcfg: Dict, *, rng=None, vocab_path=None,
+                    qa_tokenizer=None, **kw):
+        """Assemble the pipeline from a pnp_vqa model-config section
+        (reference pnp_vqa.py ``from_config`` over
+        configs/models/pnp-vqa/*.yaml): the three nested sub-sections
+        (``image_question_matching_model`` / ``image_captioning_model`` /
+        ``question_answering_model``) each carry ``arch`` + ``model_type``
+        and resolve through the shared model-YAML library; extra keys are
+        per-submodel config overrides. Params are randomly initialized
+        (the zero-egress analogue of ``load_finetuned``; port released
+        weights afterwards via :mod:`sprc_tpu.interop.torch_import`).
+        """
+        import jax as _jax
+
+        from sprc_tpu.loader import build_model
+        from sprc_tpu.text.tokenizer import BertWordPieceTokenizer
+        from sprc_tpu.utils.artifacts import ensure_bert_vocab
+
+        if rng is None:
+            rng = _jax.random.PRNGKey(0)
+
+        def _sub(section: str):
+            sub = dict(mcfg.get(section) or {})
+            arch = sub.pop("arch")
+            model_type = sub.pop("model_type", "pretrain")
+            if arch == "t5":  # plain seq2seq T5 (Img2Prompt's QG model)
+                from sprc_tpu.models.llm_presets import t5_preset
+                from sprc_tpu.models.t5 import T5ForConditionalGeneration
+
+                cfg = t5_preset(sub.pop("t5_model", "t5-large"))
+                if sub:
+                    import dataclasses as _dc
+
+                    cfg = _dc.replace(cfg, **sub)
+                return T5ForConditionalGeneration(cfg)
+            return build_model(arch, model_type, **sub)
+
+        itm = _sub("image_question_matching_model")
+        cap = _sub("image_captioning_model")
+        qa = _sub("question_answering_model")
+
+        r_itm, r_cap, r_qa = _jax.random.split(rng, 3)
+        img_sz = itm.cfg.image_size
+        img = jnp.zeros((1, img_sz, img_sz, 3), jnp.float32)
+        ids = jnp.zeros((1, 6), jnp.int32)
+        mask = jnp.ones((1, 6), jnp.int32)
+        itm_params = itm.init(r_itm, img, ids, mask, method=itm.itm)["params"]
+        cap_img = jnp.zeros(
+            (1, cap.cfg.image_size, cap.cfg.image_size, 3), jnp.float32)
+        cap_params = cap.init(r_cap, cap_img, ids, mask)["params"]
+        if hasattr(qa, "encode_contexts"):  # FiD reader: [B, n_ctx, L]
+            qa_params = qa.init(
+                r_qa, jnp.zeros((1, 2, 8), jnp.int32),
+                jnp.ones((1, 2, 8), jnp.int32), jnp.zeros((1, 3), jnp.int32),
+            )["params"]
+        else:  # plain T5 (Img2Prompt question generation)
+            qa_params = qa.init(
+                r_qa, jnp.zeros((1, 8), jnp.int32), jnp.zeros((1, 3), jnp.int32),
+            )["params"]
+
+        tokenizer = BertWordPieceTokenizer.from_vocab_file(
+            ensure_bert_vocab(vocab_path), extra_special_tokens=["[DEC]"])
+        if qa_tokenizer is None:
+            from sprc_tpu.text.llm_tokenizers import WhitespaceTokenizer
+
+            qa_tokenizer = WhitespaceTokenizer()
+        return cls(
+            itm_model=itm, itm_params=itm_params,
+            cap_model=cap, cap_params=cap_params,
+            qa_model=qa, qa_params=qa_params,
+            tokenizer=tokenizer, qa_tokenizer=qa_tokenizer,
+            prompt=mcfg.get("prompt", "a picture of "), **kw,
+        )
+
     # -- logits_fn cache (keyed on the model object so swapping e.g.
     # ``self.cap_model`` invalidates the cached closure instead of silently
     # reusing the stale module with the new params — ADVICE r2) -----------
@@ -600,6 +675,11 @@ class FiDT5(nn.Module):
 
     def setup(self) -> None:
         self.t5 = T5ForConditionalGeneration(self.config, name="t5")
+
+    def encode_ids(self, input_ids, attention_mask=None):
+        """Per-context encode, [n, L] -> [n, L, D] (the pipeline fuses the
+        contexts itself; same surface as T5ForConditionalGeneration)."""
+        return self.t5.encode_ids(input_ids, attention_mask)
 
     def encode_contexts(self, input_ids, attention_mask):
         """[B, n_ctx, L] -> (enc_out [B, n_ctx*L, D], mask [B, n_ctx*L])."""
