@@ -129,6 +129,98 @@ class ImageTextRetrievalTask(BaseTask):
         )
         return retrieval_recalls(s_i2t, s_t2i, img2txt, txt2img)
 
+    def evaluate_pairs_itc(
+        self,
+        model,
+        params,
+        images: np.ndarray,
+        texts: Sequence[str],
+        img2txt: Dict[int, Sequence[int]],
+        txt2img: Dict[int, int],
+        *,
+        batch: int = 16,
+    ) -> Dict[str, float]:
+        """ITC sims + top-k ITM rescoring for the BLIP-1/ALBEF retrieval
+        families (reference {blip,albef}_retrieval compute_sim_matrix,
+        blip_retrieval.py:290-360): CLS-projection cosine sims rank all
+        pairs, then the fusion encoder's ITM logit[:, 1] rescores the top-k
+        in both directions."""
+        import jax
+        import jax.numpy as jnp
+
+        from sprc_tpu.retrieval.sim_matrix import retrieval_recalls
+
+        k_test = min(self.k_test, len(texts), images.shape[0])
+        tok = self.tokenizer(list(texts), max_length=self.max_txt_len)
+        enc_tok = self.tokenizer(
+            list(texts), max_length=self.max_txt_len, enc_token=True)
+
+        img_fn = jax.jit(lambda p, im: model.apply(
+            {"params": p}, im,
+            method=lambda m, im_: (
+                lambda ie: (ie, m.vision_proj(ie[:, 0, :]))
+            )(m.visual_encoder(im_).astype(jnp.float32))))
+        txt_fn = jax.jit(lambda p, ids, mask: model.apply(
+            {"params": p}, ids, mask,
+            method=lambda m, i_, m_: (
+                lambda te: (te, m.text_proj(te[:, 0, :]))
+            )(m.text_encoder(input_ids=i_, attention_mask=m_, mode="text"))))
+
+        def _norm(x):
+            x = np.asarray(x, np.float32)
+            return x / np.maximum(np.linalg.norm(x, axis=-1, keepdims=True),
+                                  1e-12)
+
+        embeds, feats = [], []
+        for s in range(0, images.shape[0], batch):
+            ie, if_ = img_fn(params, jnp.asarray(images[s: s + batch]))
+            embeds.append(np.asarray(ie))
+            feats.append(np.asarray(if_))
+        image_embeds, image_feat = np.concatenate(embeds), _norm(
+            np.concatenate(feats))
+        te, tf = txt_fn(
+            params, jnp.asarray(tok["input_ids"]),
+            jnp.asarray(tok["attention_mask"]))
+        text_embeds, text_feat = np.asarray(te), _norm(tf)
+        sims = image_feat @ text_feat.T
+
+        if hasattr(model, "itm_logits"):  # BLIP-1: multimodal over [ENC] ids
+            itm = jax.jit(lambda p, ids, mask, ie: model.apply(
+                {"params": p}, ids, mask, ie,
+                method=model.itm_logits)[:, 1])
+
+            def _score(rows_img, rows_ids, rows_mask, _te):
+                return np.asarray(itm(params, rows_ids, rows_mask, rows_img))
+        else:  # ALBEF: fusion over text embeds + itm head
+            itm = jax.jit(lambda p, te_, mask, ie: model.apply(
+                {"params": p}, te_, mask, ie,
+                method=lambda m, a, b, c: m.itm_head(
+                    m.fusion_cls(a, b, c)))[:, 1])
+
+            def _score(rows_img, rows_ids, rows_mask, rows_te):
+                return np.asarray(itm(params, rows_te, rows_mask, rows_img))
+
+        enc_ids = np.asarray(enc_tok["input_ids"])
+        enc_mask = np.asarray(enc_tok["attention_mask"])
+        s_i2t = np.full_like(sims, -100.0)
+        for i in range(sims.shape[0]):
+            topk = np.argsort(-sims[i], kind="stable")[:k_test]
+            score = _score(
+                jnp.asarray(np.repeat(image_embeds[i: i + 1], len(topk), 0)),
+                jnp.asarray(enc_ids[topk]), jnp.asarray(enc_mask[topk]),
+                jnp.asarray(text_embeds[topk]))
+            s_i2t[i, topk] = score + sims[i, topk]
+        s_t2i = np.full_like(sims.T, -100.0)
+        for t in range(sims.shape[1]):
+            topk = np.argsort(-sims[:, t], kind="stable")[:k_test]
+            score = _score(
+                jnp.asarray(image_embeds[topk]),
+                jnp.asarray(np.repeat(enc_ids[t: t + 1], len(topk), 0)),
+                jnp.asarray(np.repeat(enc_mask[t: t + 1], len(topk), 0)),
+                jnp.asarray(np.repeat(text_embeds[t: t + 1], len(topk), 0)))
+            s_t2i[t, topk] = score + sims[topk, t]
+        return retrieval_recalls(s_i2t, s_t2i, img2txt, txt2img)
+
 
 # the generic LAVIS eval-task family registers on import
 from sprc_tpu.train import eval_tasks as _eval_tasks  # noqa: E402,F401
