@@ -22,6 +22,7 @@ import jax.numpy as jnp
 import numpy as np
 from flax import linen as nn
 
+from sprc_tpu.models.resnet_clip import ResNetConfig
 from sprc_tpu.models.vit import ClipViT, ViTConfig
 from sprc_tpu.ops.attention import dot_product_attention
 from sprc_tpu.ops.layers import DenseGeneral, LayerNormFP32, l2_normalize, quick_gelu
@@ -44,6 +45,10 @@ class ClipConfig:
     embed_dim: int = 512
     image_size: int = 224
     vision: Optional[ViTConfig] = None
+    # ResNet tower (RN50): the attention pool's c_proj already projects to
+    # embed_dim, so no separate visual_projection is applied
+    # (reference clip_models/model.py:156-244 + CLIP.encode_image)
+    vision_resnet: Optional[ResNetConfig] = None
     text: ClipTextConfig = ClipTextConfig()
 
     def vision_config(self) -> ViTConfig:
@@ -113,7 +118,12 @@ class Clip(nn.Module):
 
     def setup(self) -> None:
         cfg = self.cfg
-        self.visual = ClipViT(cfg.vision_config())
+        if cfg.vision_resnet is not None:
+            from sprc_tpu.models.resnet_clip import ClipResNet
+
+            self.visual = ClipResNet(cfg.vision_resnet)
+        else:
+            self.visual = ClipViT(cfg.vision_config())
         self.text = ClipTextEncoder(cfg.text)
         self.visual_projection = DenseGeneral(cfg.embed_dim, use_bias=False)
         self.text_projection = DenseGeneral(cfg.embed_dim, use_bias=False)
@@ -122,6 +132,8 @@ class Clip(nn.Module):
         )
 
     def encode_image(self, images: jnp.ndarray) -> jnp.ndarray:
+        if self.cfg.vision_resnet is not None:
+            return self.visual(images)  # attnpool c_proj projects already
         feats = self.visual(images)  # final_norm applied in trunk
         return self.visual_projection(feats[:, 0, :].astype(jnp.float32))
 
