@@ -56,7 +56,16 @@ def evaluate(cfg, args) -> dict:
 
         rng = jax.random.PRNGKey(int(run.get("seed", 42)))
         image_size = getattr(model.cfg, "image_size", 224)
-        if task_name == "retrieval" and hasattr(
+        from sprc_tpu.models.clip import Clip
+
+        if isinstance(model, Clip):  # (images, input_ids, eot_positions)
+            ctx = int(getattr(model.cfg.text, "context_length", 77))
+            params = model.init(
+                rng,
+                jnp.zeros((1, image_size, image_size, 3), jnp.float32),
+                jnp.zeros((1, ctx), jnp.int32), jnp.zeros((1,), jnp.int32),
+            )["params"]
+        elif task_name == "retrieval" and hasattr(
                 model, "extract_target_features"):
             # BLIP-2 stage-1 (ITC+ITM+LM forward with hard-neg sampling)
             params = model.init(
@@ -163,9 +172,38 @@ def evaluate(cfg, args) -> dict:
     elif task_name == "multimodal_classification":
         task = eval_tasks.MultimodalClassificationTask(
             output_dir=args.output_dir)
-        glue = GLUE_FACTORIES[task_name](
-            model, params, tokenizer,
-            max_txt_len=int(run.get("max_txt_len", 35)))
+        if not hasattr(model, "predict"):  # CLIP zero-shot protocol
+            from sprc_tpu.models.clip_zero_shot import (
+                make_zero_shot_predict_fn,
+                zero_shot_classifier,
+            )
+            from sprc_tpu.text.llm_tokenizers import (
+                clip_tokenize,
+                clip_tokenizer,
+            )
+
+            classnames = run.get("classnames")
+            if classnames is None and run.get("classnames_path"):
+                classnames = [
+                    line.strip()
+                    for line in open(run["classnames_path"])
+                    if line.strip()]
+            classnames = classnames or sorted(
+                {str(ann["label"]) for ann in getattr(ds, "annotation", [])})
+            assert classnames, "zero-shot eval needs run.classnames[_path]"
+            ctx = int(getattr(model.cfg.text, "context_length", 77))
+            if run.get("clip_tokenizer_json"):
+                tok = clip_tokenizer(run["clip_tokenizer_json"])
+            else:  # wordpiece fallback (synthetic / smoke runs)
+                tok = tokenizer
+            clf = zero_shot_classifier(
+                model, params, classnames,
+                lambda texts: clip_tokenize(tok, texts, ctx))
+            glue = make_zero_shot_predict_fn(model, params, clf)
+        else:
+            glue = GLUE_FACTORIES[task_name](
+                model, params, tokenizer,
+                max_txt_len=int(run.get("max_txt_len", 35)))
     elif task_name == "dialogue":
         # per-batch LM loss (reference tasks/dialogue.py:20-66)
         import jax

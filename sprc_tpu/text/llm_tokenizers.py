@@ -84,6 +84,23 @@ def t5_tokenizer(path: str) -> HFFileTokenizer:
     return HFFileTokenizer(path, pad_id=0, eos_id=1)
 
 
+def clip_tokenizer(path: str) -> HFFileTokenizer:
+    """OpenAI CLIP BPE: sot 49406, eot 49407, zero-pad (openai/CLIP
+    clip/simple_tokenizer.py semantics via an exported tokenizer.json)."""
+    return HFFileTokenizer(path, pad_id=0, eos_id=49407, bos_id=49406,
+                           add_bos=True)
+
+
+def clip_tokenize(tok, texts, context_length: int = 77):
+    """-> (ids [N, L], eot_positions [N]) for Clip.encode_text (the pooled
+    token is the end-of-text position, reference CLIP.encode_text)."""
+    import numpy as np
+
+    enc = tok(texts, max_length=context_length)
+    eot = enc["attention_mask"].sum(axis=1).astype(np.int32) - 1
+    return enc["input_ids"], eot
+
+
 class WhitespaceTokenizer:
     """Synthetic word-level tokenizer (smoke tests / --synthetic CLIs)."""
 

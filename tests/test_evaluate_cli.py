@@ -192,6 +192,38 @@ def test_evaluate_retrieval_blip1(tmp_path, vocab_file, images_root, capsys):
     assert 0.0 <= metrics["r_mean"] <= 100.0
 
 
+def test_evaluate_clip_zero_shot(tmp_path, vocab_file, images_root, capsys):
+    """CLIP zero-shot classification via the 80-template prompt ensemble
+    (reference projects/clip/exp_imnet_zs_eval.yaml, model.py:692-744)."""
+    root, names = images_root
+    ann = [{"image": n, "label": i % 2} for i, n in enumerate(names)]
+    ann_path = tmp_path / "imnet_val.json"
+    ann_path.write_text(json.dumps(ann))
+    cfg = {
+        "run": {"task": "multimodal_classification", "evaluate": True,
+                "batch_size_eval": 3, "classnames": ["cat", "dog"],
+                "test_splits": ["val"]},
+        "model": {"arch": "clip", "embed_dim": 16, "image_size": IMG,
+                  "vision": {"image_size": IMG, "patch_size": 16,
+                             "width": 16, "depth": 1, "num_heads": 2,
+                             "mlp_hidden": 32, "use_ln_pre": True,
+                             "quick_gelu": True, "final_norm": True,
+                             "patch_bias": False, "dtype": "fp32"},
+                  "text": {"vocab_size": len(VOCAB) + 2, "width": 16,
+                           "layers": 1, "heads": 2, "context_length": 12}},
+        "datasets": {"imagenet": {
+            "build_info": {"annotations": {"val": [str(ann_path)]},
+                           "images": root},
+            "vis_processor": {"eval": {"name": "blip_image_eval",
+                                       "image_size": IMG}},
+            "text_processor": {"eval": {"name": "blip_caption"}},
+        }},
+    }
+    _run_eval(tmp_path, cfg, vocab_file, split="val")
+    metrics = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert 0.0 <= metrics["acc"] <= 1.0
+
+
 def test_evaluate_retrieval_blip2(tmp_path, vocab_file, images_root, capsys):
     root, names = images_root
     ann_path = _retrieval_ann(tmp_path, names)
