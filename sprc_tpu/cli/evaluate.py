@@ -58,7 +58,14 @@ def evaluate(cfg, args) -> dict:
         image_size = getattr(model.cfg, "image_size", 224)
         from sprc_tpu.models.clip import Clip
 
-        if isinstance(model, Clip):  # (images, input_ids, eot_positions)
+        if arch.startswith("alpro"):  # video models: [B, T, H, W, 3]
+            T = model.cfg.num_frames
+            vid = jnp.zeros((1, T, image_size, image_size, 3), jnp.float32)
+            ids = jnp.zeros((1, 4), jnp.int32)
+            mask = jnp.ones((1, 4), jnp.int32)
+            extra = (jnp.zeros((1,), jnp.int32),) if arch == "alpro_qa" else ()
+            params = model.init(rng, vid, ids, mask, *extra)["params"]
+        elif isinstance(model, Clip):  # (images, input_ids, eot_positions)
             ctx = int(getattr(model.cfg.text, "context_length", 77))
             params = model.init(
                 rng,
@@ -117,7 +124,10 @@ def evaluate(cfg, args) -> dict:
         task = ImageTextRetrievalTask(
             tokenizer, k_test=int(run.get("k_test", 128)),
             max_txt_len=int(run.get("max_txt_len", 35)))
-        if hasattr(model, "extract_target_features"):  # BLIP-2 family
+        if hasattr(model, "vtm_score"):  # ALPRO video-text
+            metrics = task.evaluate_pairs_video(
+                model, params, images, ds.text, ds.img2txt, ds.txt2img)
+        elif hasattr(model, "extract_target_features"):  # BLIP-2 family
             metrics = task.evaluate_pairs(
                 model, params, images, ds.text, ds.img2txt, ds.txt2img)
         else:  # BLIP-1 / ALBEF: ITC sims + ITM rescore
@@ -231,6 +241,16 @@ def evaluate(cfg, args) -> dict:
         if task_name != "dialogue" and "instance_id" not in samples:
             samples["instance_id"] = [str(i) for i in range(
                 idx[0], idx[0] + len(items))]
+        if (task_name == "multimodal_classification"
+                and "label" not in samples and "answers" in samples):
+            # video-QA-as-classification (reference alpro msrvtt/msvd_qa):
+            # targets index into the closed answer vocabulary
+            answer_list = list(run.get("answer_list") or [])
+            assert answer_list, (
+                "QA-as-classification eval needs run.answer_list")
+            samples["label"] = [
+                answer_list.index(a[0]) if a and a[0] in answer_list else -1
+                for a in samples["answers"]]
         rows = task.valid_step(glue, samples)
         results.extend(rows[: len(idx)])  # drop final-batch padding
     return task.after_evaluation(results, split, **task_kw)

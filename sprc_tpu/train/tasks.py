@@ -200,8 +200,65 @@ class ImageTextRetrievalTask(BaseTask):
             def _score(rows_img, rows_ids, rows_mask, rows_te):
                 return np.asarray(itm(params, rows_te, rows_mask, rows_img))
 
-        enc_ids = np.asarray(enc_tok["input_ids"])
-        enc_mask = np.asarray(enc_tok["attention_mask"])
+        return self._rescore_topk(
+            sims, k_test, image_embeds, text_embeds,
+            np.asarray(enc_tok["input_ids"]),
+            np.asarray(enc_tok["attention_mask"]),
+            _score, img2txt, txt2img)
+
+    def evaluate_pairs_video(
+        self,
+        model,
+        params,
+        videos: np.ndarray,
+        texts: Sequence[str],
+        img2txt: Dict[int, Sequence[int]],
+        txt2img: Dict[int, int],
+        *,
+        batch: int = 4,
+    ) -> Dict[str, float]:
+        """ALPRO video-text retrieval eval: VTC sims + top-k VTM rescore
+        (reference alpro_retrieval.py compute_sim_matrix:250-340)."""
+        import jax
+        import jax.numpy as jnp
+
+        from sprc_tpu.retrieval.sim_matrix import retrieval_recalls
+
+        k_test = min(self.k_test, len(texts), videos.shape[0])
+        tok = self.tokenizer(list(texts), max_length=self.max_txt_len)
+        ids = np.asarray(tok["input_ids"])
+        mask = np.asarray(tok["attention_mask"])
+
+        vfn = jax.jit(lambda p, v: model.apply(
+            {"params": p}, v, method=model.video_feats))
+        tfn = jax.jit(lambda p, i, m: model.apply(
+            {"params": p}, i, m, method=model.text_feats))
+        vtm = jax.jit(lambda p, te, tm, ve: model.apply(
+            {"params": p}, te, tm, ve, method=model.vtm_score))
+
+        embeds, feats = [], []
+        for s in range(0, videos.shape[0], batch):
+            ve, vf = vfn(params, jnp.asarray(videos[s: s + batch]))
+            embeds.append(np.asarray(ve))
+            feats.append(np.asarray(vf))
+        video_embeds, video_feat = np.concatenate(embeds), np.concatenate(feats)
+        te, tf = tfn(params, jnp.asarray(ids), jnp.asarray(mask))
+        text_embeds, text_feat = np.asarray(te), np.asarray(tf)
+        sims = video_feat @ text_feat.T
+
+        def _score(rows_vid, rows_ids, rows_mask, rows_te):
+            return np.asarray(vtm(params, rows_te, rows_mask, rows_vid))
+
+        return self._rescore_topk(
+            sims, k_test, video_embeds, text_embeds, ids, mask, _score,
+            img2txt, txt2img)
+
+    def _rescore_topk(self, sims, k_test, image_embeds, text_embeds,
+                      enc_ids, enc_mask, _score, img2txt, txt2img):
+        import jax.numpy as jnp
+
+        from sprc_tpu.retrieval.sim_matrix import retrieval_recalls
+
         s_i2t = np.full_like(sims, -100.0)
         for i in range(sims.shape[0]):
             topk = np.argsort(-sims[i], kind="stable")[:k_test]

@@ -192,6 +192,80 @@ def test_evaluate_retrieval_blip1(tmp_path, vocab_file, images_root, capsys):
     assert 0.0 <= metrics["r_mean"] <= 100.0
 
 
+TINY_TSF = {"image_size": IMG, "patch_size": 16, "width": 24, "depth": 1,
+            "num_heads": 2, "mlp_hidden": 48, "num_frames": 2,
+            "dtype": "fp32"}
+
+
+@pytest.fixture()
+def videos_root(tmp_path):
+    root = tmp_path / "vids"
+    os.makedirs(root, exist_ok=True)
+    rs = np.random.RandomState(0)
+    names = []
+    for i in range(4):
+        name = f"vid{i}.npy"
+        np.save(root / name, (rs.rand(3, 40, 40, 3) * 255).astype(np.uint8))
+        names.append(name)
+    return str(root), names
+
+
+def _alpro_model(arch, **kw):
+    return dict({"arch": arch, "image_size": IMG, "num_frames": 2,
+                 "embed_dim": 8, "fusion_layer": 1,
+                 "vocab_size": len(VOCAB) + 2,
+                 "video_config_override": TINY_TSF,
+                 "text_config_override": dict(TINY_TXT, num_layers=2)}, **kw)
+
+
+def test_evaluate_alpro_video_retrieval(tmp_path, vocab_file, videos_root,
+                                        capsys):
+    root, names = videos_root
+    ann = [{"video": n, "caption": [f"a {w}"]}
+           for n, w in zip(names, ["red", "blue", "cat", "dog"])]
+    ann_path = tmp_path / "vret_test.json"
+    ann_path.write_text(json.dumps(ann))
+    cfg = {
+        "run": {"task": "retrieval", "evaluate": True, "k_test": 2,
+                "max_txt_len": 8, "test_splits": ["test"]},
+        "model": _alpro_model("alpro_retrieval"),
+        "datasets": {"msrvtt_retrieval": {
+            "build_info": {"annotations": {"test": [str(ann_path)]},
+                           "videos": root, "n_frms": 2},
+            "vis_processor": {"eval": {"name": "alpro_video_eval",
+                                       "image_size": IMG}},
+            "text_processor": {"eval": {"name": "blip_caption"}},
+        }},
+    }
+    _run_eval(tmp_path, cfg, vocab_file)
+    metrics = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert "r_mean" in metrics and 0.0 <= metrics["r_mean"] <= 100.0
+
+
+def test_evaluate_alpro_video_qa(tmp_path, vocab_file, videos_root, capsys):
+    root, names = videos_root
+    ann = [{"video": n, "question": "what is red", "answer": ["cat"]}
+           for n in names]
+    ann_path = tmp_path / "vqa_test.json"
+    ann_path.write_text(json.dumps(ann))
+    cfg = {
+        "run": {"task": "multimodal_classification", "evaluate": True,
+                "batch_size_eval": 2, "answer_list": ["cat", "dog", "yes"],
+                "test_splits": ["test"]},
+        "model": _alpro_model("alpro_qa", num_classes=3),
+        "datasets": {"msrvtt_qa": {
+            "build_info": {"annotations": {"test": [str(ann_path)]},
+                           "videos": root, "n_frms": 2},
+            "vis_processor": {"eval": {"name": "alpro_video_eval",
+                                       "image_size": IMG}},
+            "text_processor": {"eval": {"name": "blip_question"}},
+        }},
+    }
+    _run_eval(tmp_path, cfg, vocab_file)
+    metrics = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert 0.0 <= metrics["acc"] <= 1.0
+
+
 def test_evaluate_clip_zero_shot(tmp_path, vocab_file, images_root, capsys):
     """CLIP zero-shot classification via the 80-template prompt ensemble
     (reference projects/clip/exp_imnet_zs_eval.yaml, model.py:692-744)."""
