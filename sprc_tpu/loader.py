@@ -144,6 +144,25 @@ def build_model(
     cfg_cls = _family_config_class(cls)
     yaml_kw, extra_module_kwargs = yaml_model_defaults(name, model_type)
     merged = {**(yaml_kw or {}), **overrides}
+    # LLM towers directly in overrides: HF names (the YAML keys) or explicit
+    # config dicts/objects on the module's config field
+    if any(key in merged for key in (
+            "t5_model", "opt_model", "llm_model",
+            "t5_config", "opt_config", "llama_config")):
+        from sprc_tpu.models.llama import LlamaConfig
+        from sprc_tpu.models.llm_presets import LLM_KEYS
+        from sprc_tpu.models.opt import OPTConfig
+        from sprc_tpu.models.t5 import T5Config
+
+        for key, (field, resolver) in LLM_KEYS.items():
+            if key in merged:
+                extra_module_kwargs[field] = resolver(merged.pop(key))
+        for fname, fcls in (("t5_config", T5Config), ("opt_config", OPTConfig),
+                            ("llama_config", LlamaConfig)):
+            if fname in merged:
+                value = merged.pop(fname)
+                extra_module_kwargs[fname] = (
+                    fcls(**value) if isinstance(value, dict) else value)
 
     def _coerce(cfg_cls_, kw):
         """YAML-friendly overrides: a dict value for a dataclass-typed field

@@ -61,6 +61,59 @@ class CaptionAdapter:
         return (jnp.zeros((1, image_size, image_size, 3), jnp.float32),
                 jnp.zeros((1, 4), jnp.int32), jnp.ones((1, 4), jnp.int32))
 
+    def specialize(self, model):
+        """Blip2T5 is seq2seq (prompt in the encoder, caption in the
+        decoder — reference blip2_t5.py:108-156); everything else keeps the
+        decoder-only (images, ids, mask) contract."""
+        from sprc_tpu.models.blip2_t5 import Blip2T5
+
+        if isinstance(model, Blip2T5):
+            return Seq2SeqCaptionAdapter(self.tokenizer, self.max_txt_len)
+        return self
+
+
+class Seq2SeqCaptionAdapter(CaptionAdapter):
+    """Caption fine-tuning for the BLIP-2 T5 head: the (optional) prompt is
+    encoder input, the caption is decoder output with pads masked
+    (reference blip2_t5.py forward: text_input/text_output split)."""
+
+    prompt: str = ""
+
+    def collate(self, items: List[dict]) -> Dict[str, np.ndarray]:
+        in_tok = self.tokenizer(
+            [self.prompt or "" for _ in items], max_length=4)
+        out_tok = self.tokenizer(
+            [it["text_input"] for it in items], max_length=self.max_txt_len)
+        return {
+            "images": np.stack([np.asarray(it["image"], np.float32)
+                                for it in items]),
+            "input_ids": in_tok["input_ids"],
+            "input_mask": in_tok["attention_mask"],
+            "output_ids": out_tok["input_ids"],
+            "output_mask": out_tok["attention_mask"],
+        }
+
+    def loss_fn(self, model) -> Callable:
+        pad_id = getattr(self.tokenizer, "pad_id", 0)
+
+        def apply_fn(params, batch, rng):
+            out = model.apply(
+                {"params": params}, batch["images"], batch["input_ids"],
+                batch["input_mask"], batch["output_ids"],
+                batch["output_mask"], pad_token_id=pad_id,
+                decoder_start_token_id=pad_id, deterministic=False,
+                rngs={"dropout": rng},
+            )
+            return out if isinstance(out, dict) else {"loss": out}
+        return apply_fn
+
+    @staticmethod
+    def example_init(image_size: int):
+        ids = jnp.zeros((1, 4), jnp.int32)
+        ones = jnp.ones((1, 4), jnp.int32)
+        return (jnp.zeros((1, image_size, image_size, 3), jnp.float32),
+                ids, ones, ids, ones)
+
 
 class VQAAdapter:
     """Items {image, text_input, answers, weights} -> the VQAModel forward
@@ -549,8 +602,8 @@ def run_generic(cfg, args) -> Dict[str, float]:
 
     model_cfg = dict(cfg.model)
     arch = model_cfg.pop("arch")
-    model_cfg.pop("model_type", None)
-    model = build_model(arch, **model_cfg)
+    model_type = model_cfg.pop("model_type", "pretrain")
+    model = build_model(arch, model_type, **model_cfg)
 
     datasets_cfg = dict(getattr(cfg, "datasets", {}) or {})
     assert len(datasets_cfg) == 1, "one dataset builder per run config"
@@ -559,9 +612,24 @@ def run_generic(cfg, args) -> Dict[str, float]:
     datasets = builder.build()
     assert "train" in datasets, f"builder {ds_name} produced no train split"
 
-    tokenizer = BertWordPieceTokenizer.from_vocab_file(
-        ensure_bert_vocab(getattr(args, "vocab_path", None))
-    )
+    # run.tokenizer selects the LLM's own tokenizer for stage-2-style runs
+    # (reference blip2_{opt,t5} use their HF tokenizers, not BERT):
+    #   tokenizer: {t5: /path/tokenizer.json} | {opt: ...} | {llama: ...}
+    tok_cfg = run.get("tokenizer")
+    if isinstance(tok_cfg, dict):
+        from sprc_tpu.text.llm_tokenizers import (
+            llama_tokenizer,
+            opt_tokenizer,
+            t5_tokenizer,
+        )
+
+        (kind, tok_path), = tok_cfg.items()
+        tokenizer = {"t5": t5_tokenizer, "opt": opt_tokenizer,
+                     "llama": llama_tokenizer}[kind](tok_path)
+    else:
+        tokenizer = BertWordPieceTokenizer.from_vocab_file(
+            ensure_bert_vocab(getattr(args, "vocab_path", None))
+        )
     adapter = TASK_ADAPTERS[task_name](
         tokenizer, max_txt_len=int(run.get("max_txt_len", 35))
     )

@@ -96,6 +96,52 @@ datasets:
     _run_cli(cfg, tmp_path, vocab_file)
 
 
+def test_caption_blip2_t5_seq2seq_end_to_end(tmp_path, vocab_file):
+    """Stage-2-style seq2seq caption training for the BLIP-2 T5 head via
+    the auto-dispatched Seq2SeqCaptionAdapter (reference
+    projects/blip2/train/pretrain_stage2.yaml / blip2_t5.py forward)."""
+    img_root = str(tmp_path / "imgs")
+    names = _write_images(img_root, 4)
+    ann = [
+        {"image": n, "image_id": f"id{i}", "caption": "a red cat"}
+        for i, n in enumerate(names)
+    ]
+    ann_path = tmp_path / "cap_ann.json"
+    ann_path.write_text(json.dumps(ann))
+
+    cfg = tmp_path / "run.yaml"
+    cfg.write_text(f"""
+run:
+  task: captioning
+  batch_size: 2
+  max_epochs: 1
+  learning_rate: 1e-3
+  max_txt_len: 8
+model:
+  arch: blip2_t5
+  image_size: 28
+  num_query_token: 2
+  max_txt_len: 8
+  vit_dtype: fp32
+  qformer_dtype: fp32
+  vit_config_override: {TINY_VIT.replace('}', ', qkv_fused_no_kbias: true}')}
+  qformer_config_override: {TINY_TXT.replace('}', ', query_length: 2, cross_attention_freq: 1}')}
+  t5_config: {{d_model: 16, d_kv: 8, d_ff: 32, num_heads: 2, num_layers: 1,
+               num_decoder_layers: 1, vocab_size: 30524}}
+datasets:
+  coco_caption:
+    build_info:
+      annotations:
+        train: {json.dumps(str(ann_path))}
+      images: {json.dumps(img_root)}
+    vis_processor:
+      train: {{name: blip_image_eval, image_size: 28}}
+    text_processor:
+      train: {{name: blip_caption}}
+""")
+    _run_cli(cfg, tmp_path, vocab_file)
+
+
 def test_vqa_run_config_end_to_end(tmp_path, vocab_file):
     img_root = str(tmp_path / "imgs")
     names = _write_images(img_root, 4)
