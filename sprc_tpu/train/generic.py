@@ -659,8 +659,8 @@ def run_generic(cfg, args) -> Dict[str, float]:
     tcfg = TrainConfig(
         learning_rate=float(run.get("learning_rate", 1e-5)),
         weight_decay=float(run.get("weight_decay", 0.05)),
-        total_steps=int(run.get("total_steps",
-                                max_epochs * steps_per_epoch)),
+        total_steps=int(run.get("total_steps", run.get(
+            "max_iters", max_epochs * steps_per_epoch))),
         frozen_prefixes=tuple(
             getattr(model, "FROZEN_PREFIXES", ())),
     )
@@ -672,12 +672,21 @@ def run_generic(cfg, args) -> Dict[str, float]:
     step_fn = make_generic_train_step(model, tx, tcfg, apply_fn,
                                       uses_aux=uses_aux)
 
-    runner = EpochRunner(
-        model, state, tx, step_fn, task,
-        RunnerConfig(
-            output_dir=args.output_dir,
-            max_epochs=max_epochs,
-            log_every_steps=int(run.get("log_freq", 10)),
-        ),
+    rcfg = RunnerConfig(
+        output_dir=args.output_dir,
+        max_epochs=max_epochs,
+        log_every_steps=int(run.get("log_freq", 10)),
     )
+    if run.get("runner") == "runner_iter":
+        # iteration-budget training (reference runner_iter.py +
+        # projects/blip/coco_cap_ft_iter.yaml: run.max_iters/iters_per_inner_epoch)
+        from sprc_tpu.train.runner import IterRunner
+
+        runner = IterRunner(
+            model, state, tx, step_fn, task, rcfg,
+            max_iters=int(run.get("max_iters", 1000)),
+            iters_per_inner=int(run.get("iters_per_inner_epoch", 100)),
+        )
+    else:
+        runner = EpochRunner(model, state, tx, step_fn, task, rcfg)
     return runner.train()

@@ -96,6 +96,51 @@ datasets:
     _run_cli(cfg, tmp_path, vocab_file)
 
 
+def test_caption_iter_runner_end_to_end(tmp_path, vocab_file):
+    """run.runner: runner_iter drives IterRunner (reference runner_iter.py
+    via projects/blip/coco_cap_ft_iter.yaml)."""
+    img_root = str(tmp_path / "imgs")
+    names = _write_images(img_root, 4)
+    ann = [{"image": n, "image_id": f"id{i}", "caption": "a red cat"}
+           for i, n in enumerate(names)]
+    ann_path = tmp_path / "cap_ann.json"
+    ann_path.write_text(json.dumps(ann))
+
+    cfg = tmp_path / "run.yaml"
+    cfg.write_text(f"""
+run:
+  task: captioning
+  runner: runner_iter
+  max_iters: 4
+  iters_per_inner_epoch: 2
+  batch_size: 2
+  learning_rate: 1e-3
+  max_txt_len: 8
+model:
+  arch: blip_caption
+  image_size: 28
+  vocab_size: 30524
+  vit_config_override: {TINY_VIT}
+  text_config_override: {TINY_TXT}
+datasets:
+  coco_caption:
+    build_info:
+      annotations:
+        train: {json.dumps(str(ann_path))}
+      images: {json.dumps(img_root)}
+    vis_processor:
+      train: {{name: blip_image_eval, image_size: 28}}
+    text_processor:
+      train: {{name: blip_caption}}
+""")
+    out, _ = _run_cli(cfg, tmp_path, vocab_file)
+    log = [json.loads(line) for line in
+           open(os.path.join(out, "log.jsonl"))] if os.path.exists(
+        os.path.join(out, "log.jsonl")) else []
+    inner = [r for r in log if r.get("kind") == "inner"]
+    assert len(inner) == 2  # 4 iters / 2 per inner epoch
+
+
 def test_caption_blip2_t5_seq2seq_end_to_end(tmp_path, vocab_file):
     """Stage-2-style seq2seq caption training for the BLIP-2 T5 head via
     the auto-dispatched Seq2SeqCaptionAdapter (reference
