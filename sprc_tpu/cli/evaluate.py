@@ -58,7 +58,16 @@ def evaluate(cfg, args) -> dict:
         image_size = getattr(model.cfg, "image_size", 224)
         from sprc_tpu.models.clip import Clip
 
-        if arch.startswith("alpro"):  # video models: [B, T, H, W, 3]
+        from sprc_tpu.models.blip2_opt import Blip2OPT
+        from sprc_tpu.models.blip2_t5 import Blip2T5
+
+        if isinstance(model, (Blip2T5, Blip2OPT)):
+            img = jnp.zeros((1, image_size, image_size, 3), jnp.float32)
+            ids = jnp.zeros((1, 4), jnp.int32)
+            ones = jnp.ones((1, 4), jnp.int32)
+            extra = (ids, ones) if isinstance(model, Blip2T5) else ()
+            params = model.init(rng, img, ids, ones, *extra)["params"]
+        elif arch.startswith("alpro"):  # video models: [B, T, H, W, 3]
             T = model.cfg.num_frames
             vid = jnp.zeros((1, T, image_size, image_size, 3), jnp.float32)
             ids = jnp.zeros((1, 4), jnp.int32)
@@ -178,7 +187,27 @@ def evaluate(cfg, args) -> dict:
             answer_list=answer_list,
             annotations=annotations,
             output_dir=args.output_dir)
-        glue = GLUE_FACTORIES[task_name](model, params, tokenizer)
+        if hasattr(model, "generate_ids") and not hasattr(
+                model, "rank_answers"):
+            # BLIP-2 LLM heads: zero-shot generative VQA. For real runs pass
+            # the LLM's tokenizer via run.tokenizer={t5|opt: tokenizer.json}
+            from sprc_tpu.train.eval_glue import make_blip2_vqa_predict_fn
+
+            llm_tok = tokenizer
+            tok_cfg = run.get("tokenizer")
+            if isinstance(tok_cfg, dict):
+                from sprc_tpu.text.llm_tokenizers import (
+                    llama_tokenizer,
+                    opt_tokenizer,
+                    t5_tokenizer,
+                )
+
+                (kind, tok_path), = tok_cfg.items()
+                llm_tok = {"t5": t5_tokenizer, "opt": opt_tokenizer,
+                           "llama": llama_tokenizer}[kind](tok_path)
+            glue = make_blip2_vqa_predict_fn(model, params, llm_tok)
+        else:
+            glue = GLUE_FACTORIES[task_name](model, params, tokenizer)
     elif task_name == "multimodal_classification":
         task = eval_tasks.MultimodalClassificationTask(
             output_dir=args.output_dir)

@@ -133,6 +133,33 @@ def make_classification_predict_fn(model, params, tokenizer,
     return predict_fn
 
 
+def make_blip2_vqa_predict_fn(model, params, tokenizer) -> Callable:
+    """Zero-shot VQA through the BLIP-2 LLM heads (reference
+    blip2_t5.predict_answers / projects/blip2/eval/vqav2_zeroshot_*_eval.yaml):
+    the question is rendered through run.prompt (e.g. ``"Question: {}
+    Short answer:"``) and the frozen LLM generates the answer. Inference is
+    always generative; ``answer_list`` ranking is not part of the blip2
+    zero-shot protocol."""
+
+    def predict_fn(samples: dict, *, answer_list=None,
+                   inference_method: str = "generate", num_beams: int = 1,
+                   max_len: int = 10, min_len: int = 1,
+                   num_ans_candidates: int = 0, prompt: str = "") -> List[str]:
+        questions = [
+            prompt.format(q) if "{}" in prompt else (prompt + q if prompt else q)
+            for q in samples["text_input"]]
+        tok = tokenizer(questions, max_length=35)
+        ids = model.generate_ids(
+            params, jnp.asarray(samples["image"]),
+            jnp.asarray(tok["input_ids"]),
+            jnp.asarray(tok["attention_mask"]),
+            max_new_tokens=max_len,
+        )
+        return [tokenizer.decode(row).strip() for row in np.asarray(ids)]
+
+    return predict_fn
+
+
 # task name -> (collate keys treated as per-sample lists, glue factory)
 GLUE_FACTORIES = {
     "captioning": make_caption_generate_fn,

@@ -298,6 +298,46 @@ def test_evaluate_clip_zero_shot(tmp_path, vocab_file, images_root, capsys):
     assert 0.0 <= metrics["acc"] <= 1.0
 
 
+def test_evaluate_blip2_zeroshot_vqa(tmp_path, vocab_file, images_root,
+                                     capsys):
+    """Zero-shot generative VQA through the frozen T5 head (reference
+    projects/blip2/eval/vqav2_zeroshot_flant5xl_eval.yaml)."""
+    root, names = images_root
+    ann = [{"image": n, "question": "what is red", "question_id": i,
+            "answers": [{"answer": "cat"}] * 3}
+           for i, n in enumerate(names[:4])]
+    ann_path = tmp_path / "vqa_val.json"
+    ann_path.write_text(json.dumps(ann))
+    cfg = {
+        "run": {"task": "vqa", "evaluate": True, "batch_size_eval": 2,
+                "inference_method": "generate", "max_len": 3,
+                "prompt": "Question: {} Short answer:",
+                "test_splits": ["val"]},
+        "model": {"arch": "blip2_t5", "image_size": IMG,
+                  "num_query_token": 2, "max_txt_len": 8,
+                  "vocab_size": len(VOCAB) + 2,
+                  "vit_dtype": "fp32", "qformer_dtype": "fp32",
+                  "vit_config_override": dict(TINY_VIT,
+                                              qkv_fused_no_kbias=True),
+                  "qformer_config_override": dict(
+                      TINY_TXT, query_length=2, cross_attention_freq=1),
+                  "t5_config": {"d_model": 16, "d_kv": 8, "d_ff": 32,
+                                "num_heads": 2, "num_layers": 1,
+                                "num_decoder_layers": 1,
+                                "vocab_size": len(VOCAB) + 2}},
+        "datasets": {"coco_vqa": {
+            "build_info": {"annotations": {"val": [str(ann_path)]},
+                           "images": root},
+            "vis_processor": {"eval": {"name": "blip_image_eval",
+                                       "image_size": IMG}},
+            "text_processor": {"eval": {"name": "blip_question"}},
+        }},
+    }
+    _run_eval(tmp_path, cfg, vocab_file)
+    metrics = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert "agg_metrics" in metrics
+
+
 def test_evaluate_retrieval_blip2(tmp_path, vocab_file, images_root, capsys):
     root, names = images_root
     ann_path = _retrieval_ann(tmp_path, names)
