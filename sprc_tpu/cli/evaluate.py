@@ -145,6 +145,21 @@ def evaluate(cfg, args) -> dict:
         metrics["agg_metrics"] = metrics["r_mean"]
         return metrics
 
+    def _llm_tokenizer(default):
+        """run.tokenizer={t5|opt|llama: tokenizer.json} -> LLM tokenizer."""
+        tok_cfg = run.get("tokenizer")
+        if not isinstance(tok_cfg, dict):
+            return default
+        from sprc_tpu.text.llm_tokenizers import (
+            llama_tokenizer,
+            opt_tokenizer,
+            t5_tokenizer,
+        )
+
+        (kind, tok_path), = tok_cfg.items()
+        return {"t5": t5_tokenizer, "opt": opt_tokenizer,
+                "llama": llama_tokenizer}[kind](tok_path)
+
     task_kw = {}
     if task_name == "captioning":
         task = eval_tasks.CaptionTask(
@@ -154,7 +169,7 @@ def evaluate(cfg, args) -> dict:
             report_metric=bool(run.get("report_metric", True)),
             output_dir=args.output_dir)
         glue = GLUE_FACTORIES[task_name](
-            model, params, tokenizer,
+            model, params, _llm_tokenizer(tokenizer),
             prompt=run.get("prompt", "a picture of "))
         # ground truth for CIDEr/Bleu when the annotations carry captions
         gt = {}
@@ -193,19 +208,8 @@ def evaluate(cfg, args) -> dict:
             # the LLM's tokenizer via run.tokenizer={t5|opt: tokenizer.json}
             from sprc_tpu.train.eval_glue import make_blip2_vqa_predict_fn
 
-            llm_tok = tokenizer
-            tok_cfg = run.get("tokenizer")
-            if isinstance(tok_cfg, dict):
-                from sprc_tpu.text.llm_tokenizers import (
-                    llama_tokenizer,
-                    opt_tokenizer,
-                    t5_tokenizer,
-                )
-
-                (kind, tok_path), = tok_cfg.items()
-                llm_tok = {"t5": t5_tokenizer, "opt": opt_tokenizer,
-                           "llama": llama_tokenizer}[kind](tok_path)
-            glue = make_blip2_vqa_predict_fn(model, params, llm_tok)
+            glue = make_blip2_vqa_predict_fn(
+                model, params, _llm_tokenizer(tokenizer))
         else:
             glue = GLUE_FACTORIES[task_name](model, params, tokenizer)
     elif task_name == "multimodal_classification":

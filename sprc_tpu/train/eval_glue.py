@@ -40,9 +40,30 @@ def _stack_images(items: List[dict], key: str = "image") -> np.ndarray:
 def make_caption_generate_fn(
     model, params, tokenizer, *, prompt: str = "a picture of ",
 ) -> Callable:
-    """blip_caption-style ``generate_fn(samples, num_beams, max_length,
-    min_length) -> [str]`` (reference blip_caption.py:138-188: decode from
-    the tokenized prompt, strip it from the output)."""
+    """``generate_fn(samples, num_beams, max_length, min_length) -> [str]``.
+
+    blip_caption decodes from the tokenized prompt prefix (reference
+    blip_caption.py:138-188); the BLIP-2 LLM heads (generate_ids taking a
+    prompt mask) decode through the frozen T5/OPT from the same prompt
+    (reference blip2_{t5,opt}.generate /
+    projects/blip2/eval/caption_coco_*_eval.yaml)."""
+    from sprc_tpu.models.blip2_opt import Blip2OPT
+    from sprc_tpu.models.blip2_t5 import Blip2T5
+
+    if isinstance(model, (Blip2T5, Blip2OPT)):
+        def generate_fn(samples: dict, *, num_beams: int = 3,
+                        max_length: int = 30, min_length: int = 10) -> List[str]:
+            images = jnp.asarray(samples["image"])
+            tok = tokenizer([prompt or ""] * images.shape[0], max_length=16)
+            ids = model.generate_ids(
+                params, images, jnp.asarray(tok["input_ids"]),
+                jnp.asarray(tok["attention_mask"]),
+                max_new_tokens=max_length,
+            )
+            return [tokenizer.decode(row).strip() for row in np.asarray(ids)]
+
+        return generate_fn
+
     prompt_tok = tokenizer([prompt], max_length=16)
     # drop the trailing [SEP]: generation continues from the prompt prefix
     plen = int(prompt_tok["attention_mask"][0].sum()) - 1

@@ -338,6 +338,43 @@ def test_evaluate_blip2_zeroshot_vqa(tmp_path, vocab_file, images_root,
     assert "agg_metrics" in metrics
 
 
+def test_evaluate_blip2_captioning(tmp_path, vocab_file, images_root, capsys):
+    """Caption eval through the BLIP-2 T5 head (reference
+    projects/blip2/eval/caption_coco_flant5xl_eval.yaml)."""
+    root, names = images_root
+    ann = [{"image": n, "image_id": i, "caption": ["a red cat"]}
+           for i, n in enumerate(names[:4])]
+    ann_path = tmp_path / "cap_test.json"
+    ann_path.write_text(json.dumps(ann))
+    cfg = {
+        "run": {"task": "captioning", "evaluate": True, "batch_size_eval": 2,
+                "max_len": 3, "min_len": 1, "prompt": "a photo of",
+                "test_splits": ["test"]},
+        "model": {"arch": "blip2_t5", "image_size": IMG,
+                  "num_query_token": 2, "max_txt_len": 8,
+                  "vocab_size": len(VOCAB) + 2,
+                  "vit_dtype": "fp32", "qformer_dtype": "fp32",
+                  "vit_config_override": dict(TINY_VIT,
+                                              qkv_fused_no_kbias=True),
+                  "qformer_config_override": dict(
+                      TINY_TXT, query_length=2, cross_attention_freq=1),
+                  "t5_config": {"d_model": 16, "d_kv": 8, "d_ff": 32,
+                                "num_heads": 2, "num_layers": 1,
+                                "num_decoder_layers": 1,
+                                "vocab_size": len(VOCAB) + 2}},
+        "datasets": {"coco_caption": {
+            "build_info": {"annotations": {"test": [str(ann_path)]},
+                           "images": root},
+            "vis_processor": {"eval": {"name": "blip_image_eval",
+                                       "image_size": IMG}},
+            "text_processor": {"eval": {"name": "blip_caption"}},
+        }},
+    }
+    _run_eval(tmp_path, cfg, vocab_file)
+    metrics = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert "agg_metrics" in metrics
+
+
 def test_evaluate_retrieval_blip2(tmp_path, vocab_file, images_root, capsys):
     root, names = images_root
     ann_path = _retrieval_ann(tmp_path, names)
