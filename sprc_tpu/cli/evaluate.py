@@ -41,9 +41,20 @@ def evaluate(cfg, args) -> dict:
     model_cfg = dict(cfg.model)
     arch = model_cfg.pop("arch")
     model_type = model_cfg.pop("model_type", "pretrain")
+    if args.vocab_path and arch in ("pnp_vqa", "img2prompt_vqa"):
+        model_cfg.setdefault("vocab_path", args.vocab_path)
     model = build_model(arch, model_type, **model_cfg)
 
-    if args.model_path:
+    from sprc_tpu.models.pnp_vqa import PnpVqaPipeline
+
+    if isinstance(model, PnpVqaPipeline):
+        # composed pipelines carry their submodel params; load released
+        # submodel weights through interop on each (itm/cap/qa)_params
+        assert not args.model_path, (
+            "pnp pipelines load per-submodel checkpoints; see "
+            "interop/torch_import and PnpVqaPipeline.from_config")
+        params = None
+    elif args.model_path:
         from sprc_tpu.interop.torch_import import load_checkpoint_auto
 
         params = load_checkpoint_auto(args.model_path, model)
@@ -133,7 +144,24 @@ def evaluate(cfg, args) -> dict:
         task = ImageTextRetrievalTask(
             tokenizer, k_test=int(run.get("k_test", 128)),
             max_txt_len=int(run.get("max_txt_len", 35)))
-        if hasattr(model, "vtm_score"):  # ALPRO video-text
+        from sprc_tpu.models.clip import Clip as _Clip
+
+        if isinstance(model, _Clip):  # cosine-only protocol
+            tok_path = run.get("clip_tokenizer_json")
+            tokenize = None
+            if tok_path:
+                from sprc_tpu.text.llm_tokenizers import (
+                    clip_tokenize,
+                    clip_tokenizer,
+                )
+
+                bpe = clip_tokenizer(tok_path)
+                ctx = int(getattr(model.cfg.text, "context_length", 77))
+                tokenize = lambda t: clip_tokenize(bpe, t, ctx)  # noqa: E731
+            metrics = task.evaluate_pairs_clip(
+                model, params, images, ds.text, ds.img2txt, ds.txt2img,
+                tokenize=tokenize)
+        elif hasattr(model, "vtm_score"):  # ALPRO video-text
             metrics = task.evaluate_pairs_video(
                 model, params, images, ds.text, ds.img2txt, ds.txt2img)
         elif hasattr(model, "extract_target_features"):  # BLIP-2 family
@@ -202,7 +230,22 @@ def evaluate(cfg, args) -> dict:
             answer_list=answer_list,
             annotations=annotations,
             output_dir=args.output_dir)
-        if hasattr(model, "generate_ids") and not hasattr(
+        if isinstance(model, PnpVqaPipeline):
+            # PNP-VQA / Img2Prompt: gradcam-localized captions -> FiD reader
+            # (reference pnp_vqa.py predict_answers via
+            # projects/pnp-vqa/eval/*.yaml)
+            def glue(samples, *, max_len=10, min_len=1, **kw):
+                answers, _, _ = model.predict_answers(
+                    np.asarray(samples["image"]),
+                    list(samples["text_input"]),
+                    num_captions=int(run.get("num_captions", 50)),
+                    num_captions_fid=int(run.get("num_captions_fid", 1)),
+                    num_patches=int(run.get("num_patches", 20)),
+                    block_num=int(run.get("block_num", 7)),
+                    max_len=max_len, min_len=min_len,
+                )
+                return answers
+        elif hasattr(model, "generate_ids") and not hasattr(
                 model, "rank_answers"):
             # BLIP-2 LLM heads: zero-shot generative VQA. For real runs pass
             # the LLM's tokenizer via run.tokenizer={t5|opt: tokenizer.json}

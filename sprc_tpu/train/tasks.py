@@ -206,6 +206,54 @@ class ImageTextRetrievalTask(BaseTask):
             np.asarray(enc_tok["attention_mask"]),
             _score, img2txt, txt2img)
 
+    def evaluate_pairs_clip(
+        self,
+        model,
+        params,
+        images: np.ndarray,
+        texts: Sequence[str],
+        img2txt: Dict[int, Sequence[int]],
+        txt2img: Dict[int, int],
+        *,
+        tokenize=None,
+        batch: int = 64,
+    ) -> Dict[str, float]:
+        """CLIP retrieval eval: pure cosine ranking of normalized tower
+        features, no cross-encoder rescore (reference
+        projects/clip/exp_{coco,flickr}_ret_eval.yaml over CLIP.forward).
+
+        ``tokenize(texts) -> (ids, eot_positions)``; defaults to the
+        wordpiece tokenizer with eot = last non-pad position."""
+        import jax
+        import jax.numpy as jnp
+
+        from sprc_tpu.retrieval.sim_matrix import retrieval_recalls
+
+        if tokenize is None:
+            from sprc_tpu.text.llm_tokenizers import clip_tokenize
+
+            ctx = int(getattr(model.cfg.text, "context_length", 77))
+            tokenize = lambda t: clip_tokenize(  # noqa: E731
+                self.tokenizer, t, min(ctx, self.max_txt_len))
+        img_fn = jax.jit(lambda p, im: model.apply(
+            {"params": p}, im, method=model.encode_image))
+        txt_fn = jax.jit(lambda p, ids, eot: model.apply(
+            {"params": p}, ids, eot, method=model.encode_text))
+
+        def _norm(x):
+            x = np.asarray(x, np.float32)
+            return x / np.maximum(
+                np.linalg.norm(x, axis=-1, keepdims=True), 1e-12)
+
+        feats = [np.asarray(img_fn(params, jnp.asarray(images[s: s + batch])))
+                 for s in range(0, images.shape[0], batch)]
+        image_feat = _norm(np.concatenate(feats))
+        ids, eot = tokenize(list(texts))
+        text_feat = _norm(txt_fn(
+            params, jnp.asarray(ids, jnp.int32), jnp.asarray(eot, jnp.int32)))
+        sims = image_feat @ text_feat.T
+        return retrieval_recalls(sims, sims.T, img2txt, txt2img)
+
     def evaluate_pairs_video(
         self,
         model,

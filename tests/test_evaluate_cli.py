@@ -266,6 +266,68 @@ def test_evaluate_alpro_video_qa(tmp_path, vocab_file, videos_root, capsys):
     assert 0.0 <= metrics["acc"] <= 1.0
 
 
+def test_evaluate_clip_retrieval(tmp_path, vocab_file, images_root, capsys):
+    """CLIP cosine retrieval eval (reference projects/clip/exp_coco_ret_eval
+    — no cross-encoder rescoring)."""
+    root, names = images_root
+    ann_path = _retrieval_ann(tmp_path, names)
+    model = {"arch": "clip", "embed_dim": 16, "image_size": IMG,
+             "vision": {"image_size": IMG, "patch_size": 16, "width": 16,
+                        "depth": 1, "num_heads": 2, "mlp_hidden": 32,
+                        "use_ln_pre": True, "quick_gelu": True,
+                        "final_norm": True, "patch_bias": False,
+                        "dtype": "fp32"},
+             "text": {"vocab_size": len(VOCAB) + 2, "width": 16,
+                      "layers": 1, "heads": 2, "context_length": 12}}
+    cfg = _retrieval_cfg("clip", model, root, ann_path)
+    cfg["run"]["max_txt_len"] = 12
+    _run_eval(tmp_path, cfg, vocab_file)
+    metrics = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert "r_mean" in metrics and 0.0 <= metrics["r_mean"] <= 100.0
+
+
+def test_evaluate_pnp_vqa(tmp_path, vocab_file, images_root, capsys):
+    """PNP-VQA pipeline eval end-to-end (reference
+    projects/pnp-vqa/eval/vqav2_eval.yaml over pnp_vqa.predict_answers)."""
+    root, names = images_root
+    ann = [{"image": n, "question": "what is red", "question_id": i,
+            "answers": [{"answer": "cat"}] * 3}
+           for i, n in enumerate(names[:2])]
+    ann_path = tmp_path / "vqa_val.json"
+    ann_path.write_text(json.dumps(ann))
+    tiny_vit = dict(TINY_VIT, depth=2)
+    cfg = {
+        "run": {"task": "vqa", "evaluate": True, "batch_size_eval": 2,
+                "num_captions": 2, "num_patches": 2, "block_num": 1,
+                "num_captions_fid": 1, "max_len": 3, "test_splits": ["val"]},
+        "model": {
+            "arch": "pnp_vqa", "model_type": "base",
+            "image_question_matching_model": {
+                "arch": "blip_image_text_matching", "image_size": IMG,
+                "vit_dtype": "fp32", "vit_config_override": tiny_vit,
+                "text_config_override": TINY_TXT},
+            "image_captioning_model": {
+                "arch": "blip_caption", "image_size": IMG,
+                "vit_dtype": "fp32", "vit_config_override": tiny_vit,
+                "text_config_override": TINY_TXT},
+            "question_answering_model": {
+                "arch": "pnp_unifiedqav2_fid", "d_model": 16, "d_kv": 8,
+                "d_ff": 32, "num_heads": 2, "num_layers": 1,
+                "num_decoder_layers": 1, "vocab_size": 40},
+        },
+        "datasets": {"coco_vqa": {
+            "build_info": {"annotations": {"val": [str(ann_path)]},
+                           "images": root},
+            "vis_processor": {"eval": {"name": "blip_image_eval",
+                                       "image_size": IMG}},
+            "text_processor": {"eval": {"name": "blip_question"}},
+        }},
+    }
+    _run_eval(tmp_path, cfg, vocab_file)
+    metrics = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert "agg_metrics" in metrics
+
+
 def test_evaluate_clip_zero_shot(tmp_path, vocab_file, images_root, capsys):
     """CLIP zero-shot classification via the 80-template prompt ensemble
     (reference projects/clip/exp_imnet_zs_eval.yaml, model.py:692-744)."""
