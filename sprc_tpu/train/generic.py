@@ -185,6 +185,11 @@ class RetrievalAdapter:
         self.max_txt_len = max_txt_len
         self._alpha = 0.4
 
+    def specialize(self, model):
+        if type(model).__name__ == "AlproRetrieval":  # no momentum queues
+            return AlproRetrievalAdapter(self.tokenizer, self.max_txt_len)
+        return self
+
     def collate(self, items: List[dict]) -> Dict[str, np.ndarray]:
         texts = [it["text_input"] for it in items]
         tok = self.tokenizer(texts, max_length=self.max_txt_len)
@@ -327,6 +332,12 @@ class ClassificationAdapter:
         self._alpha = 0.4
         self._ramp_epochs = 1
 
+    def specialize(self, model):
+        if type(model).__name__ == "AlproQA":  # video QA over answer vocab
+            return AlproQAAdapter(
+                self.tokenizer, self.max_txt_len).specialize(model)
+        return self
+
     def collate(self, items: List[dict]) -> Dict[str, np.ndarray]:
         tok = self.tokenizer(
             [it["text_input"] for it in items], max_length=self.max_txt_len)
@@ -461,6 +472,109 @@ class DialogueAdapter:
             rng, jnp.zeros((1, 2), jnp.int32), jnp.zeros((1, 2, D)),
             jnp.ones((1, 4), jnp.int32), jnp.zeros((1, 4), jnp.int32),
             -jnp.ones((1, 4), jnp.int32),
+        )["params"]
+
+
+class AlproRetrievalAdapter:
+    """ALPRO video-text retrieval training: in-batch VTC + hard-negative
+    VTM (reference alpro_retrieval.py:66-240 via
+    projects/alpro/train/{msrvtt,didemo}_retrieval_ft.yaml). No momentum
+    queues — the forward carries both losses; hard negatives sample via the
+    'sample' rng."""
+
+    def __init__(self, tokenizer, max_txt_len: int = 35):
+        self.tokenizer = tokenizer
+        self.max_txt_len = max_txt_len
+
+    def collate(self, items: List[dict]) -> Dict[str, np.ndarray]:
+        tok = self.tokenizer(
+            [it["text_input"] for it in items], max_length=self.max_txt_len)
+        return {
+            "video": np.stack([np.asarray(it["image"], np.float32)
+                               for it in items]),
+            "input_ids": tok["input_ids"],
+            "text_mask": tok["attention_mask"],
+        }
+
+    def loss_fn(self, model) -> Callable:
+        def apply_fn(params, batch, rng):
+            r_drop, r_sample = jax.random.split(rng)
+            return model.apply(
+                {"params": params}, batch["video"], batch["input_ids"],
+                batch["text_mask"], deterministic=False,
+                rngs={"dropout": r_drop, "sample": r_sample},
+            )
+        return apply_fn
+
+    def init_params(self, model, rng, image_size: int):
+        T = model.cfg.num_frames
+        return model.init(
+            {"params": rng, "sample": jax.random.PRNGKey(1)},
+            jnp.zeros((1, T, image_size, image_size, 3), jnp.float32),
+            jnp.zeros((1, 4), jnp.int32), jnp.ones((1, 4), jnp.int32),
+        )["params"]
+
+
+class AlproQAAdapter:
+    """ALPRO video QA as classification over the answer vocabulary
+    (reference alpro_qa.py + projects/alpro/train/{msrvtt,msvd}_qa_ft.yaml).
+    The answer vocabulary comes from the train split by frequency (the
+    reference ships a fixed ans2label file; `attach` derives the same
+    mapping from the data), truncated to ``cfg.num_classes``."""
+
+    def __init__(self, tokenizer, max_txt_len: int = 35):
+        self.tokenizer = tokenizer
+        self.max_txt_len = max_txt_len
+        self.ans2label: Dict[str, int] = {}
+        self._num_classes = 0
+
+    def specialize(self, model):
+        self._num_classes = int(model.cfg.num_classes)
+        return self
+
+    def attach(self, dataset) -> None:
+        counts: Dict[str, int] = {}
+        for ann in getattr(dataset, "annotation", []):
+            answers = ann.get("answer", ann.get("answers", []))
+            if isinstance(answers, str):
+                answers = [answers]
+            for a in answers:
+                counts[a] = counts.get(a, 0) + 1
+        ranked = sorted(counts, key=lambda a: (-counts[a], a))
+        limit = self._num_classes or len(ranked)
+        self.ans2label = {a: i for i, a in enumerate(ranked[:limit])}
+
+    def collate(self, items: List[dict]) -> Dict[str, np.ndarray]:
+        tok = self.tokenizer(
+            [it["text_input"] for it in items], max_length=self.max_txt_len)
+        labels = []
+        for it in items:
+            answers = it.get("answers") or ["" ]
+            labels.append(self.ans2label.get(answers[0], 0))
+        return {
+            "video": np.stack([np.asarray(it["image"], np.float32)
+                               for it in items]),
+            "input_ids": tok["input_ids"],
+            "text_mask": tok["attention_mask"],
+            "labels": np.asarray(labels, np.int32),
+        }
+
+    def loss_fn(self, model) -> Callable:
+        def apply_fn(params, batch, rng):
+            return model.apply(
+                {"params": params}, batch["video"], batch["input_ids"],
+                batch["text_mask"], batch["labels"], deterministic=False,
+                rngs={"dropout": rng},
+            )
+        return apply_fn
+
+    def init_params(self, model, rng, image_size: int):
+        T = model.cfg.num_frames
+        return model.init(
+            rng,
+            jnp.zeros((1, T, image_size, image_size, 3), jnp.float32),
+            jnp.zeros((1, 4), jnp.int32), jnp.ones((1, 4), jnp.int32),
+            jnp.zeros((1,), jnp.int32),
         )["params"]
 
 

@@ -96,6 +96,108 @@ datasets:
     _run_cli(cfg, tmp_path, vocab_file)
 
 
+TINY_TSF = ("{image_size: 28, patch_size: 14, width: 32, depth: 1, "
+            "num_heads: 2, mlp_hidden: 64, num_frames: 2, dtype: fp32}")
+
+
+def _write_videos(root, n):
+    os.makedirs(root, exist_ok=True)
+    rs = np.random.RandomState(0)
+    names = []
+    for i in range(n):
+        name = f"vid{i}.npy"
+        np.save(os.path.join(root, name),
+                (rs.rand(3, 36, 36, 3) * 255).astype(np.uint8))
+        names.append(name)
+    return names
+
+
+def test_alpro_retrieval_train_end_to_end(tmp_path, vocab_file):
+    """ALPRO VTC+VTM training from YAML (reference
+    projects/alpro/train/msrvtt_retrieval_ft.yaml; AlproRetrievalAdapter
+    dispatched via RetrievalAdapter.specialize)."""
+    vid_root = str(tmp_path / "vids")
+    names = _write_videos(vid_root, 4)
+    ann = [{"video": n, "caption": "a red cat", "image_id": f"v{i}",
+            "instance_id": i} for i, n in enumerate(names)]
+    ann_path = tmp_path / "ret_ann.json"
+    ann_path.write_text(json.dumps(ann))
+
+    cfg = tmp_path / "run.yaml"
+    cfg.write_text(f"""
+run:
+  task: retrieval
+  batch_size: 2
+  max_epochs: 1
+  learning_rate: 1e-4
+  max_txt_len: 8
+model:
+  arch: alpro_retrieval
+  image_size: 28
+  num_frames: 2
+  embed_dim: 8
+  fusion_layer: 1
+  vocab_size: 30524
+  video_config_override: {TINY_TSF}
+  text_config_override: {TINY_TXT.replace('}', ', num_layers: 2}')}
+datasets:
+  msrvtt_retrieval:
+    build_info:
+      annotations:
+        train: {json.dumps(str(ann_path))}
+      videos: {json.dumps(vid_root)}
+      n_frms: 2
+    vis_processor:
+      train: {{name: alpro_video_eval, image_size: 28}}
+    text_processor:
+      train: {{name: blip_caption}}
+""")
+    _run_cli(cfg, tmp_path, vocab_file)
+
+
+def test_alpro_qa_train_end_to_end(tmp_path, vocab_file):
+    """ALPRO video-QA classification training from YAML (reference
+    projects/alpro/train/msrvtt_qa_ft.yaml; answer vocabulary derived from
+    the train split)."""
+    vid_root = str(tmp_path / "vids")
+    names = _write_videos(vid_root, 4)
+    ann = [{"video": n, "question": "a cat?", "answer": ["yes", "no"][i % 2]}
+           for i, n in enumerate(names)]
+    ann_path = tmp_path / "qa_ann.json"
+    ann_path.write_text(json.dumps(ann))
+
+    cfg = tmp_path / "run.yaml"
+    cfg.write_text(f"""
+run:
+  task: multimodal_classification
+  batch_size: 2
+  max_epochs: 1
+  learning_rate: 1e-4
+  max_txt_len: 8
+model:
+  arch: alpro_qa
+  image_size: 28
+  num_frames: 2
+  num_classes: 2
+  fusion_layer: 1
+  vocab_size: 30524
+  video_config_override: {TINY_TSF}
+  text_config_override: {TINY_TXT.replace('}', ', num_layers: 2}')}
+datasets:
+  msrvtt_qa:
+    build_info:
+      annotations:
+        train: {json.dumps(str(ann_path))}
+      videos: {json.dumps(vid_root)}
+      n_frms: 2
+    vis_processor:
+      train: {{name: alpro_video_eval, image_size: 28}}
+    text_processor:
+      train: {{name: blip_question}}
+""")
+    _run_cli(cfg, tmp_path, vocab_file)
+
+
 def test_caption_iter_runner_end_to_end(tmp_path, vocab_file):
     """run.runner: runner_iter drives IterRunner (reference runner_iter.py
     via projects/blip/coco_cap_ft_iter.yaml)."""
