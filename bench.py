@@ -463,14 +463,23 @@ def main() -> None:
     extras = {}
 
     def run(name, fn, *a, **kw):
+        import sys
+        import time
+
+        print(f"[bench] {name} ...", file=sys.stderr, flush=True)
+        t0 = time.time()
         try:
             value, stats = fn(*a, **kw)
             extras[name] = round(value, 2)
             for k, v in stats.items():
                 extras[f"{name}_{k}"] = v
+            print(f"[bench] {name} = {extras[name]} ({time.time()-t0:.0f}s)",
+                  file=sys.stderr, flush=True)
         except Exception as e:  # keep the bench alive if one mode breaks
             extras[name] = None
             extras[f"{name}_error"] = f"{type(e).__name__}: {e}"[:200]
+            print(f"[bench] {name} FAILED {extras[f'{name}_error']}",
+                  file=sys.stderr, flush=True)
 
     modes = (
         ["encode", "encode_int8", "query", "train", "train_cached", "rerank",
