@@ -20,11 +20,13 @@ copying its torch implementation.
 from sprc_tpu.version import __version__
 from sprc_tpu.registry import registry
 from sprc_tpu import models as _models  # populate the registry
+from sprc_tpu.features import extract_features
 from sprc_tpu.loader import load_model, load_model_and_preprocess
 
 __all__ = [
     "__version__",
     "registry",
+    "extract_features",
     "load_model",
     "load_model_and_preprocess",
 ]
