@@ -139,8 +139,15 @@ def evaluate(cfg, args) -> dict:
         # feature-matrix path (reference tasks/retrieval.py): no valid_step
         from sprc_tpu.train.tasks import ImageTextRetrievalTask
 
-        images = np.stack([
-            np.asarray(ds[i]["image"], np.float32) for i in range(len(ds))])
+        def _image_stream(chunk: int = 64):
+            # stream gallery pixels (a COCO test split would be ~8 GB fully
+            # materialized); the eval paths keep only the encoded features
+            for s in range(0, len(ds), chunk):
+                yield np.stack([
+                    np.asarray(ds[i]["image"], np.float32)
+                    for i in range(s, min(s + chunk, len(ds)))])
+
+        images = _image_stream()
         task = ImageTextRetrievalTask(
             tokenizer, k_test=int(run.get("k_test", 128)),
             max_txt_len=int(run.get("max_txt_len", 35)))
@@ -274,8 +281,17 @@ def evaluate(cfg, args) -> dict:
                     line.strip()
                     for line in open(run["classnames_path"])
                     if line.strip()]
-            classnames = classnames or sorted(
-                {str(ann["label"]) for ann in getattr(ds, "annotation", [])})
+            if classnames is None:
+                # fallback: derive from labels. Columns must align with the
+                # integer targets, so labels must be exactly 0..C-1 —
+                # anything else needs an explicit classnames list.
+                labels = sorted(
+                    {ann["label"] for ann in getattr(ds, "annotation", [])})
+                assert labels == list(range(len(labels))), (
+                    "zero-shot eval needs run.classnames or "
+                    "run.classnames_path (labels are not a dense 0..C-1 "
+                    "integer range, so column order cannot be derived)")
+                classnames = [str(label) for label in labels]
             assert classnames, "zero-shot eval needs run.classnames[_path]"
             ctx = int(getattr(model.cfg.text, "context_length", 77))
             if run.get("clip_tokenizer_json"):
@@ -313,6 +329,11 @@ def evaluate(cfg, args) -> dict:
     collate = adapter.collate if task_name == "dialogue" else collate_eval
     results = []
     for idx, items in eval_loader(ds, batch_size):
+        if task_name == "dialogue":
+            # the dialogue metric is a per-batch scalar loss: padded
+            # duplicates cannot be dropped afterwards, so feed the real
+            # items (one extra compile for the final partial batch)
+            items = items[: len(idx)]
         samples = collate(items)
         if task_name != "dialogue" and "instance_id" not in samples:
             samples["instance_id"] = [str(i) for i in range(

@@ -206,10 +206,17 @@ class VQADataset(AnnotationDataset):
 class VQAEvalDataset(AnnotationDataset):
     def __getitem__(self, index):
         ann = self.annotation[index]
+        answer = ann.get("answer")
         return {
             "image": self._media(ann),
             "text_input": self.text_processor(ann["question"]),
             "question_id": ann.get("question_id", ann["instance_id"]),
+            # ground truth where the split carries it (None on leaderboard
+            # splits): GQA exact-match target (gqa_datasets.py:60) and
+            # AOKVQA direct answers (aokvqa_datasets.py:79)
+            "answer": (answer[0] if isinstance(answer, list) and answer
+                       else answer),
+            "direct_answers": ann.get("direct_answers"),
         }
 
 

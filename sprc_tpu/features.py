@@ -92,8 +92,9 @@ def extract_features(model, params, samples: dict, mode: str = "multimodal",
         return out
 
     if isinstance(model, (AlbefRetrieval, BlipRetrieval)):
-        # reference {albef,blip}_feature_extractor.py: unimodal towers +
-        # fusion encoder CLS-side hidden for multimodal
+        # reference {albef,blip}_feature_extractor.py: unimodal towers
+        # (PER-TOKEN projections, e.g. [B, 197, 256] — the reference
+        # normalizes the whole sequence) + fusion encoder for multimodal
         ids = mask = None
         if mode in ("text", "multimodal"):
             ids, mask = _tokens(samples, tokenizer, L)
@@ -102,7 +103,7 @@ def extract_features(model, params, samples: dict, mode: str = "multimodal",
                 embeds = m.visual_encoder(image).astype(jnp.float32)
                 from sprc_tpu.ops.layers import l2_normalize
 
-                return embeds, l2_normalize(m.vision_proj(embeds[:, 0, :]))
+                return embeds, l2_normalize(m.vision_proj(embeds))
 
             embeds, proj = apply(_img, jnp.asarray(samples["image"]))
             out.image_embeds = np.asarray(embeds)
@@ -113,7 +114,7 @@ def extract_features(model, params, samples: dict, mode: str = "multimodal",
                     input_ids=ids, attention_mask=mask, mode="text")
                 from sprc_tpu.ops.layers import l2_normalize
 
-                return embeds, l2_normalize(m.text_proj(embeds[:, 0, :]))
+                return embeds, l2_normalize(m.text_proj(embeds))
 
             embeds, proj = apply(_txt, ids, mask)
             out.text_embeds = np.asarray(embeds)
@@ -129,6 +130,18 @@ def extract_features(model, params, samples: dict, mode: str = "multimodal",
                         inputs_embeds=text_embeds, attention_mask=mask,
                         image_embeds=image_embeds, mode="fusion")
             else:
+                # the BLIP fusion branch was trained on [ENC]-prefixed ids
+                # (reference blip_feature_extractor.py:170)
+                if "input_ids" not in samples and tokenizer is not None:
+                    tok = tokenizer(list(samples["text_input"]),
+                                    max_length=L, enc_token=True)
+                    ids = jnp.asarray(tok["input_ids"])
+                    mask = jnp.asarray(tok["attention_mask"])
+                elif tokenizer is not None:
+                    enc_id = tokenizer.vocab.get("[ENC]")
+                    if enc_id is not None:
+                        ids = ids.at[:, 0].set(enc_id)
+
                 def _mm(m, image, ids, mask):
                     image_embeds = m.visual_encoder(image).astype(jnp.float32)
                     return m.text_encoder(

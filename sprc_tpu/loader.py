@@ -224,6 +224,11 @@ def build_model(
                 kw["text_dtype"] = v
             elif "qformer_dtype" in valid:
                 kw["qformer_dtype"] = v
+            else:
+                raise TypeError(
+                    f"{name}: config {cfg_cls.__name__} has no text/qformer "
+                    "dtype field; qformer_dtype is not applicable"
+                )
         # an LLM preset resolving to the PRIMARY config type (e.g. the FiD
         # reader, whose whole config IS a T5Config via `t5_model:`) seeds
         # the config instead of riding a separate module field
@@ -253,6 +258,13 @@ def build_model(
             raw.update(overrides)
             for key in ("arch", "model_type"):
                 raw.pop(key, None)
+            if "image_question_matching_model" not in raw:
+                raise TypeError(
+                    f"model '{name}' is a composed pipeline; pass a "
+                    f"model_type with a shipped YAML (configs/models/{name}/)"
+                    " or construct it from submodel sections "
+                    f"(see {cls.__module__}.from_config)"
+                )
             fc_kw = {
                 key: raw.pop(key)
                 for key in ("vocab_path", "qa_tokenizer", "rng", "tagger")

@@ -238,12 +238,16 @@ class AlproQA(_AlproBase):
     def __call__(
         self, video, input_ids, text_mask, targets, *, deterministic=True
     ) -> Dict[str, jnp.ndarray]:
+        """targets < 0 mark answers outside the vocabulary and are excluded
+        from the loss (the reference drops such items at dataset build;
+        here the batch shape stays static)."""
         logits = self.predict(
             video, input_ids, text_mask, deterministic=deterministic
         )
-        loss = jnp.mean(
-            -jax.nn.log_softmax(logits, -1)[jnp.arange(logits.shape[0]), targets]
-        )
+        valid = targets >= 0
+        safe = jnp.where(valid, targets, 0)
+        nll = -jax.nn.log_softmax(logits, -1)[jnp.arange(logits.shape[0]), safe]
+        loss = (nll * valid).sum() / jnp.maximum(valid.sum(), 1)
         return {"loss": loss, "logits": logits}
 
 

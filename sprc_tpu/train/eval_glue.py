@@ -64,10 +64,11 @@ def make_caption_generate_fn(
 
         return generate_fn
 
-    prompt_tok = tokenizer([prompt], max_length=16)
-    # drop the trailing [SEP]: generation continues from the prompt prefix
-    plen = int(prompt_tok["attention_mask"][0].sum()) - 1
-    prompt_row = prompt_tok["input_ids"][0, :plen]
+    # BOS([DEC])-prefixed prompt without the trailing [SEP] — the decoder
+    # was trained to start from [DEC], not [CLS] (reference
+    # blip_caption.py:184 `prompt.input_ids[:, 0] = bos_token_id`)
+    prompt_row = np.asarray(tokenizer.caption_prompt_ids(prompt), np.int32)
+    plen = prompt_row.shape[0]
 
     def generate_fn(samples: dict, *, num_beams: int = 3,
                     max_length: int = 30, min_length: int = 10) -> List[str]:

@@ -215,7 +215,8 @@ class AOKVQATask(VQATask):
             num_ans_candidates=self.num_ans_candidates,
         )
         return [
-            {"question_id": q, "pred_ans": a, "gt_ans": list(g)}
+            {"question_id": q, "pred_ans": a,
+             "gt_ans": list(g) if g is not None else None}
             for a, q, g in zip(
                 answers, samples["question_id"], samples["direct_answers"]
             )

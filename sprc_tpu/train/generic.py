@@ -549,8 +549,10 @@ class AlproQAAdapter:
             [it["text_input"] for it in items], max_length=self.max_txt_len)
         labels = []
         for it in items:
-            answers = it.get("answers") or ["" ]
-            labels.append(self.ans2label.get(answers[0], 0))
+            answers = it.get("answers") or [""]
+            # OOV answers -> -1: excluded from the loss (AlproQA.__call__),
+            # matching eval's always-wrong mapping (cli/evaluate.py)
+            labels.append(self.ans2label.get(answers[0], -1))
         return {
             "video": np.stack([np.asarray(it["image"], np.float32)
                                for it in items]),

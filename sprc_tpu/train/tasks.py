@@ -86,6 +86,17 @@ class CirTask(BaseTask):
         return results.get(self.selection_key)
 
 
+def _image_batches(images, batch: int):
+    """Yield [b, ...] chunks from an array OR a pre-batched iterable —
+    eval callers stream gallery pixels instead of materializing the whole
+    split in host RAM (reference evaluation dataloaders)."""
+    if hasattr(images, "shape"):
+        for s in range(0, images.shape[0], batch):
+            yield images[s: s + batch]
+    else:
+        yield from images
+
+
 @registry.register("task", "retrieval")
 class ImageTextRetrievalTask(BaseTask):
     """Eval-only i2t/t2i retrieval (reference tasks/retrieval.py:19-120)."""
@@ -109,19 +120,23 @@ class ImageTextRetrievalTask(BaseTask):
 
         from sprc_tpu.retrieval.sim_matrix import compute_sim_matrix, retrieval_recalls
 
-        feats, frozen = model.apply(
-            {"params": params}, jnp.asarray(images),
-            method=model.extract_target_features,
-        )
+        img_fn = jax.jit(lambda p, im: model.apply(
+            {"params": p}, im, method=model.extract_target_features))
+        txt_fn = jax.jit(lambda p, ids, mask: model.apply(
+            {"params": p}, ids, mask, method=model.encode_text_cls))
+        feats_l, frozen_l = [], []
+        for chunk in _image_batches(images, 64):
+            f, fr = img_fn(params, jnp.asarray(chunk))
+            feats_l.append(np.asarray(f))
+            frozen_l.append(np.asarray(fr))
+        feats, frozen = np.concatenate(feats_l), np.concatenate(frozen_l)
         tok = self.tokenizer(list(texts), max_length=self.max_txt_len)
-        text_feats = np.asarray(
-            model.apply(
-                {"params": params},
-                jnp.asarray(tok["input_ids"]),
-                jnp.asarray(tok["attention_mask"]),
-                method=model.encode_text_cls,
-            )
-        )
+        text_feats = np.concatenate([
+            np.asarray(txt_fn(
+                params, jnp.asarray(tok["input_ids"][s: s + 256]),
+                jnp.asarray(tok["attention_mask"][s: s + 256])))
+            for s in range(0, len(texts), 256)
+        ])
         s_i2t, s_t2i = compute_sim_matrix(
             model, params, np.asarray(frozen), np.asarray(feats),
             tok["input_ids"], tok["attention_mask"], text_feats,
@@ -150,7 +165,6 @@ class ImageTextRetrievalTask(BaseTask):
 
         from sprc_tpu.retrieval.sim_matrix import retrieval_recalls
 
-        k_test = min(self.k_test, len(texts), images.shape[0])
         tok = self.tokenizer(list(texts), max_length=self.max_txt_len)
         enc_tok = self.tokenizer(
             list(texts), max_length=self.max_txt_len, enc_token=True)
@@ -172,16 +186,22 @@ class ImageTextRetrievalTask(BaseTask):
                                   1e-12)
 
         embeds, feats = [], []
-        for s in range(0, images.shape[0], batch):
-            ie, if_ = img_fn(params, jnp.asarray(images[s: s + batch]))
+        for chunk in _image_batches(images, batch):
+            ie, if_ = img_fn(params, jnp.asarray(chunk))
             embeds.append(np.asarray(ie))
             feats.append(np.asarray(if_))
         image_embeds, image_feat = np.concatenate(embeds), _norm(
             np.concatenate(feats))
-        te, tf = txt_fn(
-            params, jnp.asarray(tok["input_ids"]),
-            jnp.asarray(tok["attention_mask"]))
-        text_embeds, text_feat = np.asarray(te), _norm(tf)
+        te_l, tf_l = [], []
+        for s in range(0, len(texts), 256):
+            te, tf = txt_fn(
+                params, jnp.asarray(tok["input_ids"][s: s + 256]),
+                jnp.asarray(tok["attention_mask"][s: s + 256]))
+            te_l.append(np.asarray(te))
+            tf_l.append(np.asarray(tf))
+        text_embeds, text_feat = np.concatenate(te_l), _norm(
+            np.concatenate(tf_l))
+        k_test = min(self.k_test, len(texts), image_embeds.shape[0])
         sims = image_feat @ text_feat.T
 
         if hasattr(model, "itm_logits"):  # BLIP-1: multimodal over [ENC] ids
@@ -245,12 +265,17 @@ class ImageTextRetrievalTask(BaseTask):
             return x / np.maximum(
                 np.linalg.norm(x, axis=-1, keepdims=True), 1e-12)
 
-        feats = [np.asarray(img_fn(params, jnp.asarray(images[s: s + batch])))
-                 for s in range(0, images.shape[0], batch)]
+        feats = [np.asarray(img_fn(params, jnp.asarray(chunk)))
+                 for chunk in _image_batches(images, batch)]
         image_feat = _norm(np.concatenate(feats))
         ids, eot = tokenize(list(texts))
-        text_feat = _norm(txt_fn(
-            params, jnp.asarray(ids, jnp.int32), jnp.asarray(eot, jnp.int32)))
+        ids, eot = np.asarray(ids), np.asarray(eot)
+        text_feat = _norm(np.concatenate([
+            np.asarray(txt_fn(
+                params, jnp.asarray(ids[s: s + 256], jnp.int32),
+                jnp.asarray(eot[s: s + 256], jnp.int32)))
+            for s in range(0, ids.shape[0], 256)
+        ]))
         sims = image_feat @ text_feat.T
         return retrieval_recalls(sims, sims.T, img2txt, txt2img)
 
@@ -272,7 +297,6 @@ class ImageTextRetrievalTask(BaseTask):
 
         from sprc_tpu.retrieval.sim_matrix import retrieval_recalls
 
-        k_test = min(self.k_test, len(texts), videos.shape[0])
         tok = self.tokenizer(list(texts), max_length=self.max_txt_len)
         ids = np.asarray(tok["input_ids"])
         mask = np.asarray(tok["attention_mask"])
@@ -285,13 +309,19 @@ class ImageTextRetrievalTask(BaseTask):
             {"params": p}, te, tm, ve, method=model.vtm_score))
 
         embeds, feats = [], []
-        for s in range(0, videos.shape[0], batch):
-            ve, vf = vfn(params, jnp.asarray(videos[s: s + batch]))
+        for chunk in _image_batches(videos, batch):
+            ve, vf = vfn(params, jnp.asarray(chunk))
             embeds.append(np.asarray(ve))
             feats.append(np.asarray(vf))
         video_embeds, video_feat = np.concatenate(embeds), np.concatenate(feats)
-        te, tf = tfn(params, jnp.asarray(ids), jnp.asarray(mask))
-        text_embeds, text_feat = np.asarray(te), np.asarray(tf)
+        te_l, tf_l = [], []
+        for s in range(0, ids.shape[0], 256):
+            te, tf = tfn(params, jnp.asarray(ids[s: s + 256]),
+                         jnp.asarray(mask[s: s + 256]))
+            te_l.append(np.asarray(te))
+            tf_l.append(np.asarray(tf))
+        text_embeds, text_feat = np.concatenate(te_l), np.concatenate(tf_l)
+        k_test = min(self.k_test, len(texts), video_embeds.shape[0])
         sims = video_feat @ text_feat.T
 
         def _score(rows_vid, rows_ids, rows_mask, rows_te):

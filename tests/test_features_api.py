@@ -93,9 +93,11 @@ def test_albef_and_blip_features(tok):
     params = albef.init(rng, jnp.asarray(s["image"]), ids, mask,
                         jnp.zeros((2,), jnp.int32), *queues)["params"]
     f = extract_features(albef, params, s, "image")
-    assert f.image_embeds_proj.shape == (2, 8)
+    # per-token projections, the reference contract (e.g. [1, 197, 256])
+    assert f.image_embeds_proj.shape == (2, f.image_embeds.shape[1], 8)
     f = extract_features(albef, params, s, "text", tokenizer=tok)
-    assert f.text_embeds.shape[0] == 2 and f.text_embeds_proj.shape == (2, 8)
+    assert f.text_embeds.shape[0] == 2
+    assert f.text_embeds_proj.shape == (2, f.text_embeds.shape[1], 8)
     f = extract_features(albef, params, s, "multimodal", tokenizer=tok)
     assert f.multimodal_embeds.shape[0] == 2
 
