@@ -42,6 +42,26 @@ os.environ["SPRC_PALLAS_BLOCK"] = os.environ.get("SPRC_BENCH_PALLAS", "1")
 # SPRC_BENCH_PALLAS_QF=0 opts out.
 os.environ["SPRC_PALLAS_QF"] = os.environ.get("SPRC_BENCH_PALLAS_QF", "1")
 
+
+def _enable_compile_cache() -> None:
+    """Persistent XLA compilation cache: a fresh `python bench.py` process
+    otherwise recompiles every mode's programs (~45 min through the remote
+    compiler); with the disk cache, warmed programs reload in seconds. No-op
+    if this backend's executables don't serialize."""
+    import jax
+
+    try:
+        path = os.path.join(
+            os.path.expanduser("~"), ".cache", "sprc_tpu", "xla_cache")
+        os.makedirs(path, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", path)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+    except Exception:
+        pass
+
+
+_enable_compile_cache()
+
 BASELINE_IMGS_PER_SEC = 5000.0
 
 
