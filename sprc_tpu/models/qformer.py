@@ -351,6 +351,13 @@ class QFormerLayer(nn.Module):
                 ffn_q_p, ffn_t_p, heads=cfg.num_heads,
                 eps=cfg.layer_norm_eps, Q=query_length,
                 text_ffn_all=text_ffn_all,
+                # SPRC_QF_INT8=1: the ten dense projections run on the int8
+                # MXU path (per-out-channel weight scales, per-row dynamic
+                # activation scales in-VMEM). Serving-numerics opt-in like
+                # the towers' quant="int8_static"; bf16 stays the parity
+                # default. Drift quantified in tests/test_pallas_qformer.py
+                # and the bench A/B (MEASUREMENTS.md round 3).
+                int8=os.environ.get("SPRC_QF_INT8", "0") == "1",
             )
 
         attn_result = QFormerAttention(cfg, name="self_attn")(

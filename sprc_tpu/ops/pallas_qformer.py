@@ -52,6 +52,25 @@ def _mm(x, w, b):
     return y + b
 
 
+def _mm_i8(x, w8, ws, b):
+    """Per-row dynamic int8 matmul: x [R, K] float, w8 [K, N] int8 with
+    per-out-channel scale ws [N] f32 (quant.quantize_weight), bias b -> f32.
+
+    Unlike the XLA dynamic path (see ops/quant.py int8_dense_static: the
+    per-token amax reduction forces an extra HBM materialization there),
+    in-kernel the activation and its row scales never leave VMEM, so the
+    dynamic per-token scheme — more accurate than calibrated per-tensor
+    scales and needing no calibration plumbing — is free."""
+    x32 = x.astype(jnp.float32)
+    amax = jnp.max(jnp.abs(x32), axis=-1, keepdims=True)
+    sc = jnp.maximum(amax, 1e-8) * (1.0 / 127.0)
+    x8 = jnp.clip(jnp.round(x32 / sc), -127, 127).astype(jnp.int8)
+    y32 = jax.lax.dot_general(
+        x8, w8, (((1,), (0,)), ((), ())), preferred_element_type=jnp.int32
+    )
+    return (y32.astype(jnp.float32) * sc) * ws + b
+
+
 def _attend_bias(qkv3, S, Sk, W, heads, scale, dtype, col_bias):
     """q [S, W], k/v [Sk, W] packed in qkv3=(q, k, v); col_bias [Sk] f32
     additive or None -> ctx [S, W].
@@ -223,9 +242,110 @@ def _qf_layer_kernel(
         o_ref[:, Q:, :] = t_out
 
 
+def _qf_layer_kernel_i8(
+    x_ref, cb_ref,
+    wq_ref, sq_ref, bq_ref, wk_ref, sk_ref, bk_ref, wv_ref, sv_ref, bv_ref,
+    wo_ref, so_ref, bo_ref, lno_s_ref, lno_b_ref,
+    img_ref,
+    cwq_ref, csq_ref, cbq_ref, cwk_ref, csk_ref, cbk_ref,
+    cwv_ref, csv_ref, cbv_ref, cwo_ref, cso_ref, cbo_ref,
+    clno_s_ref, clno_b_ref,
+    f1q_w_ref, f1q_s_ref, f1q_b_ref, f2q_w_ref, f2q_s_ref, f2q_b_ref,
+    lnq_s_ref, lnq_b_ref,
+    f1t_w_ref, f1t_s_ref, f1t_b_ref, f2t_w_ref, f2t_s_ref, f2t_b_ref,
+    lnt_s_ref, lnt_b_ref,
+    o_ref, *, G: int, heads: int, eps: float, Q: int,
+    has_cross: bool, text_ffn_all: bool,
+):
+    """`_qf_layer_kernel` with all ten dense projections on the int8 MXU
+    path (weights pre-quantized per-out-channel, activations per-row
+    dynamic in-VMEM — `_mm_i8`); attention math stays in the model dtype.
+    Serving-only like the fp kernel (no VJP)."""
+    import os
+
+    stage = os.environ.get("SPRC_QF_STAGE", "")  # compile-bisection knob
+    S = x_ref.shape[1]
+    W = x_ref.shape[2]
+    scale = (W // heads) ** -0.5
+    xb = x_ref[...]  # [G, S, W]
+    dtype = xb.dtype
+    x2 = xb.reshape(G * S, W)
+    cb = cb_ref[...]  # [G, 1, S]
+
+    q_all = _mm_i8(x2, wq_ref[...], sq_ref[0], bq_ref[0]).astype(dtype)
+    k_all = _mm_i8(x2, wk_ref[...], sk_ref[0], bk_ref[0]).astype(dtype)
+    v_all = _mm_i8(x2, wv_ref[...], sv_ref[0], bv_ref[0]).astype(dtype)
+    if stage == "dense":
+        ctx = q_all
+    else:
+        ctxs = []
+        for g in range(G):
+            sl = slice(g * S, (g + 1) * S)
+            ctxs.append(_attend_bias(
+                (q_all[sl], k_all[sl], v_all[sl]), S, S, W, heads, scale,
+                dtype, cb[g, 0].astype(jnp.float32),
+            ))
+        ctx = jnp.concatenate(ctxs, axis=0)  # [G*S, W]
+    out = _mm_i8(ctx, wo_ref[...], so_ref[0], bo_ref[0])
+    attn = _ln_f32(out + x2.astype(jnp.float32),
+                   lno_s_ref[0], lno_b_ref[0], eps).astype(dtype)
+    if stage in ("dense", "attn"):
+        o_ref[...] = attn.reshape(G, S, W)
+        return
+
+    attn3 = attn.reshape(G, S, W)
+    if has_cross:
+        Si = img_ref.shape[1]
+        q_rows = attn3[:, :Q, :].reshape(G * Q, W)
+        cq_all = _mm_i8(q_rows, cwq_ref[...], csq_ref[0],
+                        cbq_ref[0]).astype(dtype)
+        img2 = img_ref[...].astype(dtype)  # [G, Si, Wi]
+        crs = []
+        for g in range(G):
+            ck = _mm_i8(img2[g], cwk_ref[...], csk_ref[0],
+                        cbk_ref[0]).astype(dtype)
+            cv = _mm_i8(img2[g], cwv_ref[...], csv_ref[0],
+                        cbv_ref[0]).astype(dtype)
+            crs.append(_attend_bias(
+                (cq_all[g * Q:(g + 1) * Q], ck, cv), Q, Si, W, heads, scale,
+                dtype, None,
+            ))
+        cctx = jnp.concatenate(crs, axis=0)  # [G*Q, W]
+        cout = _mm_i8(cctx, cwo_ref[...], cso_ref[0], cbo_ref[0])
+        q_part = _ln_f32(cout + q_rows.astype(jnp.float32),
+                         clno_s_ref[0], clno_b_ref[0], eps).astype(dtype)
+    else:
+        q_part = attn3[:, :Q, :].reshape(G * Q, W)
+
+    def ffn(rows, w1, s1, b1, w2, s2, b2, ls, lb):
+        h = _mm_i8(rows, w1, s1, b1)
+        h = _gelu_exact_f32(h)  # stays f32; _mm_i8 quantizes from f32
+        h2 = _mm_i8(h, w2, s2, b2)
+        return _ln_f32(h2 + rows.astype(jnp.float32), ls, lb, eps).astype(dtype)
+
+    if text_ffn_all:
+        y = ffn(attn, f1t_w_ref[...], f1t_s_ref[0], f1t_b_ref[0],
+                f2t_w_ref[...], f2t_s_ref[0], f2t_b_ref[0],
+                lnt_s_ref[0], lnt_b_ref[0])
+        o_ref[...] = y.reshape(G, S, W)
+        return
+
+    q_out = ffn(q_part, f1q_w_ref[...], f1q_s_ref[0], f1q_b_ref[0],
+                f2q_w_ref[...], f2q_s_ref[0], f2q_b_ref[0],
+                lnq_s_ref[0], lnq_b_ref[0]).reshape(G, Q, W)
+    o_ref[:, :Q, :] = q_out
+    if S > Q:
+        t_rows = attn3[:, Q:, :].reshape(G * (S - Q), W)
+        t_out = ffn(t_rows, f1t_w_ref[...], f1t_s_ref[0], f1t_b_ref[0],
+                    f2t_w_ref[...], f2t_s_ref[0], f2t_b_ref[0],
+                    lnt_s_ref[0], lnt_b_ref[0]).reshape(G, S - Q, W)
+        o_ref[:, Q:, :] = t_out
+
+
 def fused_qformer_layer(
     x, col_bias, self_p, img, cross_p, ffn_q_p, ffn_t_p, *,
     heads: int, eps: float, Q: int, text_ffn_all: bool, G: int = 16,
+    int8: bool = False,
 ):
     """One fused Q-Former layer.
 
@@ -318,6 +438,61 @@ def fused_qformer_layer(
             vmem_limit_bytes=100 * 1024 * 1024)
 
     full = lambda r, c: pl.BlockSpec((r, c), lambda i: (0, 0))  # noqa: E731
+
+    if int8:
+        from sprc_tpu.ops.quant import quantize_weight
+
+        def tri(w, b):
+            """(kernel, bias) -> int8 kernel + per-out-channel scale + bias
+            args and their specs, in `_qf_layer_kernel_i8` ref order."""
+            w8, ws = quantize_weight(w)
+            return ([w8, ws.astype(jnp.float32).reshape(1, -1), b],
+                    [full(w.shape[0], w.shape[1]), full(1, w.shape[1]),
+                     full(1, w.shape[1])])
+
+        args = [x, col_bias.astype(jnp.float32)[:, None, :]]
+        specs = [pl.BlockSpec((G, S, W), lambda i: (i, 0, 0)),
+                 pl.BlockSpec((G, 1, S), lambda i: (i, 0, 0))]
+        for w, b in ((wq, bq), (wk, bk), (wv, bv), (wo, bo)):
+            a, sp = tri(w, b)
+            args += a
+            specs += sp
+        args += [lno_s, lno_b]
+        specs += [full(1, W), full(1, W)]
+        args.append(img.astype(x.dtype))
+        specs.append(pl.BlockSpec((G, Si, Wi), lambda i: (i, 0, 0)))
+        for w, b in ((cwq, cbq), (cwk, cbk), (cwv, cbv), (cwo, cbo)):
+            a, sp = tri(w, b)
+            args += a
+            specs += sp
+        args += [clno_s, clno_b]
+        specs += [full(1, W), full(1, W)]
+        for w, b in ((f1q_w, f1q_b), (f2q_w, f2q_b)):
+            a, sp = tri(w, b)
+            args += a
+            specs += sp
+        args += [lnq_s, lnq_b]
+        specs += [full(1, W), full(1, W)]
+        for w, b in ((f1t_w, f1t_b), (f2t_w, f2t_b)):
+            a, sp = tri(w, b)
+            args += a
+            specs += sp
+        args += [lnt_s, lnt_b]
+        specs += [full(1, W), full(1, W)]
+        out = pl.pallas_call(
+            functools.partial(
+                _qf_layer_kernel_i8, G=G, heads=heads, eps=eps, Q=Q,
+                has_cross=has_cross, text_ffn_all=text_ffn_all,
+            ),
+            grid=(B_pad // G,),
+            in_specs=specs,
+            out_specs=pl.BlockSpec((G, S, W), lambda i: (i, 0, 0)),
+            out_shape=jax.ShapeDtypeStruct((B_pad, S, W), x.dtype),
+            interpret=jax.default_backend() != "tpu",
+            **kwargs,
+        )(*args)
+        return out[:B] if pad else out
+
     out = pl.pallas_call(
         functools.partial(
             _qf_layer_kernel, G=G, heads=heads, eps=eps, Q=Q,
