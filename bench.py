@@ -165,7 +165,29 @@ def _encode_dummy_args(model):
     )
 
 
+def _with_env(key, val, fn, *a, **kw):
+    """Run ``fn`` with env ``key=val`` (the kernel opt-in knobs are read at
+    trace time, so the env must cover the fn's jit tracing)."""
+    old = os.environ.get(key)
+    os.environ[key] = val
+    try:
+        return fn(*a, **kw)
+    finally:
+        if old is None:
+            os.environ.pop(key, None)
+        else:
+            os.environ[key] = old
+
+
 def bench_encode_int8(batch, steps):
+    # whole-pipeline int8 serving: towers on the calibrated static-int8
+    # megakernel AND the Q-Former fusion pass's dense projections on the
+    # int8 kernel path (SPRC_QF_INT8; measured on chip: 1122.7 -> 1150.4
+    # imgs/s, rankings preserved — tests/test_pallas_qformer.py)
+    return _with_env("SPRC_QF_INT8", "1", _bench_encode_int8_impl, batch, steps)
+
+
+def _bench_encode_int8_impl(batch, steps):
     import jax
     import jax.numpy as jnp
 
@@ -185,7 +207,12 @@ def bench_encode_int8(batch, steps):
     return _encode_throughput(model, params, batch, steps)
 
 
-def bench_query(batch, steps, n_gallery=10000):
+def bench_query(batch, steps, n_gallery=10000, qf_int8=False):
+    if qf_int8:
+        # int8-QF serving variant (per-row dynamic act scales in-kernel;
+        # measured on chip: 3413.8 -> 4748.4 q/s, +39%)
+        return _with_env(
+            "SPRC_QF_INT8", "1", bench_query, batch, steps, n_gallery)
     import jax
     import jax.numpy as jnp
 
@@ -286,12 +313,16 @@ def bench_index(batch, n_images):
     return n_images / dt, {}
 
 
-def bench_rerank(steps, *, top=50, step_q=15):
+def bench_rerank(steps, *, top=50, step_q=15, qf_int8=False):
     """ITM rerank scoring throughput (candidates/sec) at the CIRR tile:
     ``inference_rerank`` over concat [reference; candidate] 2x257-token
     cross-attn memory, top candidates per query x step_q queries per
     dispatch (reference blip2_qformer_cir_rerank.py:399-445 driven by
     validate_blip_rerank.py:197-221 / cirr_test_submission.py:87-112)."""
+    if qf_int8:
+        # int8-QF serving variant (4943.9 -> 6303.0 cand/s on chip, +27%)
+        return _with_env(
+            "SPRC_QF_INT8", "1", bench_rerank, steps, top=top, step_q=step_q)
     import jax
     import jax.numpy as jnp
 
@@ -512,13 +543,18 @@ def main() -> None:
     if "encode_int8" in modes:
         run("encode_int8_imgs_per_sec", bench_encode_int8, enc_batch, enc_steps)
     if "query" in modes:
+        qb = int(os.environ.get("SPRC_BENCH_QUERY_BATCH", "512")) if tpu else 2
         run(
             # b512 measured best with the fused QF kernel (3693 q/s vs
             # 2881 at b256; the larger tile amortizes the per-dispatch cost)
             "query_scoring_queries_per_sec", bench_query,
-            int(os.environ.get("SPRC_BENCH_QUERY_BATCH", "512")) if tpu else 2,
-            10 if tpu else 2, 10000 if tpu else 16,
+            qb, 10 if tpu else 2, 10000 if tpu else 16,
         )
+        if args.mode == "all":
+            # int8-QF serving opt-in (rankings preserved; see
+            # tests/test_pallas_qformer.py + MEASUREMENTS.md round 3)
+            run("query_scoring_int8_queries_per_sec", bench_query,
+                qb, 10 if tpu else 2, 10000 if tpu else 16, qf_int8=True)
     if "train" in modes:
         train_batch = int(
             os.environ.get("SPRC_BENCH_TRAIN_BATCH", "64")) if tpu else 2
@@ -544,6 +580,10 @@ def main() -> None:
         run("rerank_candidates_per_sec", bench_rerank,
             6 if tpu else 2,
             top=50 if tpu else 2, step_q=15 if tpu else 2)
+        if args.mode == "all":
+            run("rerank_int8_candidates_per_sec", bench_rerank,
+                6 if tpu else 2,
+                top=50 if tpu else 2, step_q=15 if tpu else 2, qf_int8=True)
     if "index" in modes:
         # through the axon HTTP relay this measures tunnel bandwidth, not
         # the framework: each batch uploads ~100 MB of decoded pixels at

@@ -4,7 +4,7 @@ Modes (env SPRC_QF_ABL):
   full    - fusion-pass layer (cross-attn, dual FFN) at real dims
   nocross - self-attn + dual FFN only
   textffn - no_img variant (text FFN everywhere)
-Env SPRC_QF_G picks G.
+Env SPRC_QF_G picks G; SPRC_QF_I8=1 runs the int8 kernel variant.
 """
 
 from __future__ import annotations
@@ -34,6 +34,7 @@ def main():
 
     mode = os.environ.get("SPRC_QF_ABL", "full")
     G = int(os.environ.get("SPRC_QF_G", "16"))
+    i8 = os.environ.get("SPRC_QF_I8", "0") == "1"
     B, S, W, Q, H = 256, 64, 768, 32, 12
     Si, Wi = 257, 1024
     M = 3072
@@ -77,17 +78,16 @@ def main():
     def chain(x):
         def body(i, h):
             return fused_qformer_layer(
-                h, cb, self_p, heads=H, eps=1e-12, Q=Q, G=G, **kw)
+                h, cb, self_p, heads=H, eps=1e-12, Q=Q, G=G, int8=i8, **kw)
         return jax.lax.fori_loop(0, K, body, x)
 
+    tag = f"qf_{mode}_G{G}" + ("_i8" if i8 else "")
     try:
         _t(chain, x)
         dt = min(_t(chain, x) for _ in range(3))
-        print(json.dumps({"mode": f"qf_{mode}_G{G}",
-                          "ms_per_layer": round(dt / K * 1e3, 3)}))
+        print(json.dumps({"mode": tag, "ms_per_layer": round(dt / K * 1e3, 3)}))
     except Exception as e:  # noqa: BLE001
-        print(json.dumps({"mode": f"qf_{mode}_G{G}",
-                          "error": str(e)[:300]}))
+        print(json.dumps({"mode": tag, "error": str(e)[:300]}))
 
 
 if __name__ == "__main__":
