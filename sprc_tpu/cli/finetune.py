@@ -193,7 +193,8 @@ def finetune(args) -> None:
 
         state = replicate(mesh, state)
     step_fn = make_train_step(
-        model, tx, tcfg, mesh=mesh, from_embeds=args.cache_features
+        model, tx, tcfg, mesh=mesh, from_embeds=args.cache_features,
+        skip_nonfinite=args.skip_nonfinite,
     )
 
     os.makedirs(args.output_dir, exist_ok=True)
@@ -208,6 +209,7 @@ def finetune(args) -> None:
     val_caches = {}
 
     start_epoch = int(state.step) // max(1, steps_per_epoch)
+    consec_skips = 0
     for epoch in range(start_epoch, args.num_epochs):
         loader.set_epoch(epoch)
         t0 = time.time()
@@ -233,6 +235,21 @@ def finetune(args) -> None:
             n_seen += bs
             for k, v in metrics.items():
                 running[k] = running.get(k, 0.0) + float(v) * bs
+            if args.skip_nonfinite:
+                # in-step guard (train/loop.py skip_nonfinite): a NaN batch
+                # was a no-op update; abort only on sustained divergence —
+                # last_state is then itself the last-finite state
+                if float(metrics["skipped_nonfinite"]) > 0.0:
+                    consec_skips += 1
+                    print(f"non-finite step skipped ({consec_skips} in a row)")
+                    if consec_skips >= 10:
+                        save_state(
+                            os.path.join(args.output_dir, "last_state"), state)
+                        raise RuntimeError(
+                            "training diverged: 10 consecutive non-finite "
+                            "steps; last-finite state saved")
+                else:
+                    consec_skips = 0
         epoch_metrics = {k: v / max(1, n_seen) for k, v in running.items()}
         epoch_metrics.update(epoch=epoch, seconds=round(time.time() - t0, 1))
         logger.log_train(epoch_metrics)
@@ -389,6 +406,12 @@ def make_parser() -> argparse.ArgumentParser:
     p.add_argument("--feature-cache-path", default=None,
                    help="save/load the feature cache here (default "
                         "<output-dir>/feature_cache)")
+    p.add_argument("--skip-nonfinite", action="store_true", default=True,
+                   help="skip (no-op) optimizer updates on NaN/Inf loss or "
+                        "grads in-step, aborting after 10 consecutive skips "
+                        "(the GradScaler-skip analogue; train/loop.py)")
+    p.add_argument("--no-skip-nonfinite", dest="skip_nonfinite",
+                   action="store_false")
     p.add_argument("--mesh", action="store_true")
     p.add_argument("--validate-every", type=int, default=1)
     p.add_argument("--encode-batch", type=int, default=64)

@@ -633,12 +633,16 @@ class BuilderTask(BaseTask):
 
 
 def make_generic_train_step(model, tx, cfg: TrainConfig, apply_fn: Callable,
-                            uses_aux: bool = False):
+                            uses_aux: bool = False,
+                            skip_nonfinite: bool = False):
     """Jitted step over an adapter's ``apply_fn(params, batch, rng) ->
     {loss...}`` with the same frozen-prefix autodiff exclusion as the CIR
     step (train/loop.py). With ``uses_aux`` the adapter's apply_fn is
     ``(params, aux, batch, rng) -> (losses, new_aux)`` and the functional
-    model state (momentum copies, feature queues) rides ``state.aux``."""
+    model state (momentum copies, feature queues) rides ``state.aux``.
+    ``skip_nonfinite`` adds the in-step NaN/Inf no-op-update guard of
+    train/loop.py (also holds ``state.aux`` — momentum copies / queues —
+    at its previous value on a skipped step)."""
     frozen_keys = set(cfg.frozen_prefixes)
 
     def _split(params):
@@ -682,9 +686,23 @@ def make_generic_train_step(model, tx, cfg: TrainConfig, apply_fn: Callable,
         params = optax.apply_updates(state.params, updates)
         metrics = dict(losses)
         metrics["loss"] = total
+        aux = new_aux if uses_aux else state.aux
+        if skip_nonfinite:
+            finite = jnp.isfinite(total)
+            for g in jax.tree.leaves(train_grads):
+                finite = finite & jnp.all(jnp.isfinite(g))
+
+            def keep_old(new, old):
+                return jnp.where(finite, new, old) if hasattr(new, "dtype") else new
+
+            params = jax.tree.map(keep_old, params, state.params)
+            opt_state = jax.tree.map(keep_old, opt_state, state.opt_state)
+            if uses_aux:
+                aux = jax.tree.map(keep_old, aux, state.aux)
+            metrics["skipped_nonfinite"] = 1.0 - finite.astype(jnp.float32)
         return state.replace(
             step=state.step + 1, params=params, opt_state=opt_state, rng=rng,
-            aux=new_aux if uses_aux else state.aux,
+            aux=aux,
         ), metrics
 
     return jax.jit(step_fn, donate_argnums=(0,))
@@ -785,13 +803,17 @@ def run_generic(cfg, args) -> Dict[str, float]:
     uses_aux = bool(getattr(adapter, "uses_aux", False))
     if uses_aux:
         state = state.replace(aux=adapter.init_aux(model, params))
-    step_fn = make_generic_train_step(model, tx, tcfg, apply_fn,
-                                      uses_aux=uses_aux)
+    step_fn = make_generic_train_step(
+        model, tx, tcfg, apply_fn, uses_aux=uses_aux,
+        skip_nonfinite=bool(run.get("skip_nonfinite", True)),
+    )
 
     rcfg = RunnerConfig(
         output_dir=args.output_dir,
         max_epochs=max_epochs,
         log_every_steps=int(run.get("log_freq", 10)),
+        max_consecutive_nonfinite=int(
+            run.get("max_consecutive_nonfinite", 10)),
     )
     if run.get("runner") == "runner_iter":
         # iteration-budget training (reference runner_iter.py +

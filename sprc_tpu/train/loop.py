@@ -181,6 +181,7 @@ def make_train_step(
     mesh: Optional[jax.sharding.Mesh] = None,
     donate: bool = True,
     from_embeds: bool = False,
+    skip_nonfinite: bool = False,
 ) -> Callable[[TrainState, Dict[str, jnp.ndarray]], Tuple[TrainState, Dict[str, jnp.ndarray]]]:
     """Build the jitted train step.
 
@@ -201,6 +202,16 @@ def make_train_step(
     for) the frozen towers, instead of computing those grads and zeroing
     them in the optimizer. Their optimizer updates stay zero via the
     multi_transform partition (zeros are fed for their grad leaves).
+
+    ``skip_nonfinite=True`` adds the in-step failure guard (§5.3): when the
+    loss or any gradient is NaN/Inf the params AND optimizer state keep
+    their previous values (the step counter still advances, and the RNG
+    still splits, so the data/dropout streams stay aligned) and the
+    returned metrics carry ``skipped_nonfinite=1``. This is the TPU-native
+    analogue of torch.cuda.amp.GradScaler's inf-skip (the reference relies
+    on it implicitly at blip_fine_tune_2.py:301-303): one fused select
+    inside the jitted step, no host sync, no recompilation. The runner
+    layers a consecutive-skip abort policy on top.
     """
     weights = cfg.weights()
     frozen_keys = set(cfg.frozen_prefixes)
@@ -243,11 +254,22 @@ def make_train_step(
         }
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
+        metrics = dict(losses)
+        metrics["loss"] = total
+        if skip_nonfinite:
+            finite = jnp.isfinite(total)
+            for g in jax.tree.leaves(train_grads):
+                finite = finite & jnp.all(jnp.isfinite(g))
+
+            def keep_old(new, old):
+                return jnp.where(finite, new, old) if hasattr(new, "dtype") else new
+
+            params = jax.tree.map(keep_old, params, state.params)
+            opt_state = jax.tree.map(keep_old, opt_state, state.opt_state)
+            metrics["skipped_nonfinite"] = 1.0 - finite.astype(jnp.float32)
         new_state = state.replace(
             step=state.step + 1, params=params, opt_state=opt_state, rng=rng
         )
-        metrics = dict(losses)
-        metrics["loss"] = total
         return new_state, metrics
 
     if mesh is not None:

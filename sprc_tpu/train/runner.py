@@ -63,6 +63,12 @@ class RunnerConfig:
     # has nothing here — a preempted run loses everything since the last
     # best-checkpoint save.
     preempt_guard: bool = True
+    # when the step was built with skip_nonfinite=True (train/loop.py), a
+    # transient NaN batch is skipped in-step; this bounds how many SKIPS IN
+    # A ROW are tolerated before the run is treated as diverged (every
+    # update since the divergence was a no-op, so the last_state snapshot
+    # is itself the pre-divergence state)
+    max_consecutive_nonfinite: int = 10
 
 
 class NonFiniteLossError(RuntimeError):
@@ -114,6 +120,32 @@ class EpochRunner:
             f"saved to {snap}"
         )
 
+    def _skip_policy(self, metrics, consec_skips: int, **where) -> int:
+        """Consecutive-skip abort for steps built with skip_nonfinite=True
+        (train/loop.py): a NaN batch was already a no-op update in-step;
+        abort only after ``cfg.max_consecutive_nonfinite`` skips IN A ROW —
+        every update since the divergence was a no-op, so the snapshot
+        taken here is itself the last-finite state."""
+        if "skipped_nonfinite" not in metrics:
+            return consec_skips
+        if float(metrics["skipped_nonfinite"]) <= 0.0:
+            return 0
+        from sprc_tpu.train.checkpoint import save_state
+
+        consec_skips += 1
+        self._log({"kind": "nonfinite_skip", "consecutive": consec_skips,
+                   **where})
+        if consec_skips >= self.cfg.max_consecutive_nonfinite:
+            snap = os.path.join(self.cfg.output_dir, "diverged_state")
+            save_state(snap, jax.device_get(self.state))
+            self._log({"kind": "diverged", "snapshot": snap,
+                       "consecutive_skips": consec_skips, **where})
+            raise NonFiniteLossError(
+                f"{consec_skips} consecutive non-finite steps at {where}; "
+                f"state (last finite update) saved to {snap}"
+            )
+        return consec_skips
+
     def train(self) -> Dict[str, float]:
         from sprc_tpu.train.checkpoint import (
             BestCheckpointKeeper,
@@ -126,6 +158,7 @@ class EpochRunner:
         keeper = BestCheckpointKeeper(self.cfg.output_dir)
         best: Dict[str, float] = {}
         guard = self._install_guard()
+        consec_skips = 0
 
         for epoch in range(self.cfg.max_epochs):
             t0 = time.time()
@@ -151,11 +184,14 @@ class EpochRunner:
                 n += 1
                 for k, v in metrics.items():
                     running[k] = running.get(k, 0.0) + float(v)
+                skip_guarded = "skipped_nonfinite" in metrics
+                consec_skips = self._skip_policy(
+                    metrics, consec_skips, epoch=epoch, step=i)
                 if i % self.cfg.log_every_steps == 0:
                     row = {k: float(v) for k, v in metrics.items()}
                     self._log({"kind": "step", "epoch": epoch, "step": i,
                                **row})
-                    if self.cfg.nan_guard and not all(
+                    if self.cfg.nan_guard and not skip_guarded and not all(
                         v == v and abs(v) != float("inf")
                         for v in row.values()
                     ):
@@ -205,6 +241,7 @@ class IterRunner(EpochRunner):
         guard = self._install_guard()
         it = 0
         epoch = 0
+        consec_skips = 0
         loader = iter(self.task.train_loader(epoch))
         while it < self.max_iters:
             running: Dict[str, float] = {}
@@ -223,6 +260,7 @@ class IterRunner(EpochRunner):
                     prepared = shard_batch(self.mesh, prepared)
                 self.state, metrics = self.step_fn(self.state, prepared)
                 self._check_preempted(guard, iter=it)
+                consec_skips = self._skip_policy(metrics, consec_skips, iter=it)
                 it += 1
                 n += 1
                 for k, v in metrics.items():
