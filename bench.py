@@ -417,7 +417,11 @@ def bench_train_cached(batch, steps):
         t0 = time.perf_counter()
         for i in range(steps):
             state, metrics = step(state, batches[i % len(batches)])
-            loss = _readback(metrics["loss"])
+        # one readback at the end: each step consumes the previous (donated)
+        # state, so the chain cannot be deduped or skipped — the final loss
+        # forces all `steps` dispatches; reading every step only added the
+        # tunnel RTT per step (measured 362.9 -> 392.8 imgs/s at b128)
+        loss = _readback(metrics["loss"])
         dt = time.perf_counter() - t0
         assert np.isfinite(loss)
         return batch * steps / dt
@@ -485,7 +489,9 @@ def bench_train(batch, steps, int8=False):
         t0 = time.perf_counter()
         for i in range(steps):
             state, metrics = step(state, batches[i % len(batches)])
-            loss = _readback(metrics["loss"])
+        # final-only readback: the donated-state chain forces every step
+        # (see bench_train_cached note)
+        loss = _readback(metrics["loss"])
         dt = time.perf_counter() - t0
         assert np.isfinite(loss)
         return batch * steps / dt
