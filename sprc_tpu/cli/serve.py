@@ -19,10 +19,15 @@ API:
   POST /query            -> body {"reference": name, "caption": str, "k": 10}
                             or {"queries": [{reference, caption}...], "k": 10}
                             -> {"results": [[{"name", "score"}...] per query]}
+                            optional "rerank": true runs the ITM second
+                            stage over the top --rerank-top candidates
+                            (requires a rerank-capable model, e.g.
+                            blip2_cir_cat; reference two-stage flow
+                            cirr_test_submission.py:87-112)
 
 Device dispatch is serialized behind a lock (one compiled program in flight);
-the query program is warmed at startup so first-request latency is
-execution-only.
+the query (and, when enabled, rerank) programs are warmed at startup so
+first-request latency is execution-only.
 """
 
 from __future__ import annotations
@@ -39,40 +44,80 @@ import numpy as np
 class RetrievalService:
     """Engine + index + the query path shared by HTTP and tests."""
 
-    def __init__(self, engine, index):
+    def __init__(self, engine, index, rerank_scorer=None):
         self.engine = engine
         self.index = index
+        self.rerank_scorer = rerank_scorer
         self._lock = threading.Lock()
         self._name_set = set(index.names)
+        # candidate gather for the rerank stage, picked by the model's
+        # flavor tag: ITM rerankers re-read frozen embeds, feature-space
+        # rerankers (cir_cat) re-read projected target feats
+        if getattr(engine.model, "RERANK_INPUT", "frozen") == "feats":
+            self._cand_gather = index.target_feat_rows
+        else:
+            self._cand_gather = index.reference_embeds
 
     def warm(self) -> None:
         name = self.index.names[0]
         self.query([(name, "warm up")], k=1)
+        if self.rerank_scorer is not None:
+            self.query([(name, "warm up")], k=1, rerank=True)
 
-    def query(self, pairs, k: int = 10):
+    def query(self, pairs, k: int = 10, rerank: bool = False):
         """pairs: [(reference_name, caption)] -> per query top-k
         [{'name', 'score'}] (exact ranking, reference image masked out of
-        its own results as in validate_blip.py:258-261)."""
+        its own results as in validate_blip.py:258-261).
+
+        With ``rerank=True`` the top ``rerank_scorer.top`` stage-1
+        candidates are re-scored by the model's ITM head over concat
+        [reference; candidate] memory and the prefix reordered (the
+        two-stage flow of cirr_test_submission.py:87-112); returned scores
+        stay the stage-1 similarities (the rerank stage defines order, not
+        score scale)."""
         refs = [p[0] for p in pairs]
         caps = [p[1] for p in pairs]
         missing = [r for r in refs if r not in self._name_set]
         if missing:
             raise KeyError(f"unknown reference image(s): {missing[:5]}")
+        if rerank and self.rerank_scorer is None:
+            raise ValueError(
+                "rerank requested but the service was started without "
+                "--rerank-top (or the model has no inference_rerank)")
         with self._lock:
             sims = self.engine.score_queries(self.index, refs, caps)
         names = np.asarray(self.index.names)
-        out = []
+        sim_of = [
+            {str(names[j]): float(row[j]) for j in range(len(names))}
+            for row in sims
+        ]
+        # stage-1 order with each query's reference image masked out
+        rows = []
         for row, ref in zip(sims, refs):
             order = np.argsort(-row, kind="stable")
-            result = []
-            for j in order:
-                if names[j] == ref:
-                    continue
-                result.append({"name": str(names[j]), "score": float(row[j])})
-                if len(result) >= k:
-                    break
-            out.append(result)
-        return out
+            rows.append([str(names[j]) for j in order if names[j] != ref])
+        if rerank:
+            from sprc_tpu.retrieval.rerank import rerank_rankings
+
+            m = min(len(r) for r in rows)
+            if m < self.rerank_scorer.top:
+                raise ValueError(
+                    f"gallery too small to rerank: {m} maskable candidates "
+                    f"< --rerank-top {self.rerank_scorer.top}")
+            sorted_names = np.asarray([r[:m] for r in rows])
+            with self._lock:
+                sorted_names = rerank_rankings(
+                    sorted_names, refs, caps, self.rerank_scorer,
+                    self.index.reference_embeds,
+                    top=self.rerank_scorer.top,
+                    step=self.rerank_scorer.step,
+                    cand_to_embed=self._cand_gather,
+                )
+            rows = [list(r) for r in sorted_names]
+        return [
+            [{"name": nm, "score": s[nm]} for nm in r[:k]]
+            for r, s in zip(rows, sim_of)
+        ]
 
 
 class _Handler(BaseHTTPRequestHandler):
@@ -107,7 +152,8 @@ class _Handler(BaseHTTPRequestHandler):
                 pairs = [(q["reference"], q["caption"]) for q in req["queries"]]
             else:
                 pairs = [(req["reference"], req["caption"])]
-            results = service.query(pairs, k=k)
+            results = service.query(
+                pairs, k=k, rerank=bool(req.get("rerank", False)))
             self._send(200, {"results": results})
         except KeyError as e:
             self._send(400, {"error": str(e)})
@@ -167,7 +213,19 @@ def build_service(args) -> RetrievalService:
         if args.save_index:
             index.save(args.save_index)
             print(f"index saved to {args.save_index}.npz ({index.n} images)")
-    return RetrievalService(engine, index)
+    scorer = None
+    if args.rerank_top > 0:
+        if not hasattr(model, "inference_rerank"):
+            raise SystemExit(
+                f"--rerank-top needs a rerank-capable model; "
+                f"{args.model_name} has no inference_rerank")
+        from sprc_tpu.retrieval.rerank import ItmRerankScorer
+
+        scorer = ItmRerankScorer(
+            model, params, tokenizer,
+            top=args.rerank_top, step=args.rerank_step,
+        )
+    return RetrievalService(engine, index, rerank_scorer=scorer)
 
 
 def make_parser() -> argparse.ArgumentParser:
@@ -187,6 +245,12 @@ def make_parser() -> argparse.ArgumentParser:
     p.add_argument("--encode-batch", type=int, default=64)
     p.add_argument("--query-batch", type=int, default=32)
     p.add_argument("--workers", type=int, default=4)
+    p.add_argument("--rerank-top", type=int, default=0,
+                   help="enable the ITM second stage over this many stage-1 "
+                        "candidates per query (0 = off); needs a model with "
+                        "inference_rerank (e.g. blip2_cir_cat)")
+    p.add_argument("--rerank-step", type=int, default=15,
+                   help="queries per rerank dispatch (CIRR eval tile)")
     p.add_argument("--dress-types", nargs="+", default=["dress", "shirt", "toptee"])
     p.add_argument("--bf16", action="store_true", default=True)
     p.add_argument("--no-bf16", dest="bf16", action="store_false")

@@ -149,6 +149,11 @@ class _FusionItcBase(Blip2CirBase):
 class CirCat(_FusionItcBase):
     """Two-pass fusion, ITC only (blip2_qformer_cir_cat.py)."""
 
+    # candidate representation its inference_rerank consumes: the index's
+    # projected target feats [N,Q,E] (…cir_cat.py:337-396), vs the ITM
+    # reranker's frozen embeds — serving picks the gather by this tag
+    RERANK_INPUT = "feats"
+
     def __call__(self, reference_images, target_images, input_ids, text_mask,
                  *, deterministic: bool = True) -> Dict[str, jnp.ndarray]:
         ctx = self._itc(reference_images, target_images, input_ids, text_mask, deterministic)
@@ -458,6 +463,8 @@ class CirRerank(_FusionItcBase, _HardNegMixin):
         )
         text_feat = l2_normalize(self.text_proj_f(hidden[:, 0, :]))
         return self.token_max_sim(text_feat, target_feats)
+
+    RERANK_INPUT = "frozen"
 
     def inference_rerank(self, reference_embeds, target_embeds, input_ids, text_mask):
         """ITM rerank over [reference, candidate] memory (:399-445).

@@ -99,6 +99,14 @@ class GalleryIndex:
         rows = [index[n] for n in names]
         return self.frozen_embeds[rows]
 
+    def target_feat_rows(self, names: Sequence[str]) -> np.ndarray:
+        """Gather projected target feats [n, Q, E] by name — the candidate
+        representation consumed by feature-space rerankers
+        (RERANK_INPUT == "feats", e.g. blip2_cir_cat …cir_cat.py:337-396)."""
+        index = {name: i for i, name in enumerate(self.names)}
+        rows = np.asarray([index[n] for n in names])
+        return np.asarray(self.target_feats[rows], np.float32)
+
     def save(self, path: str) -> None:
         """Persist to <path>.npz — a serving deployment builds the gallery
         index once and reloads it per process (the reference recomputes the

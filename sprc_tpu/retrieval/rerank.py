@@ -28,6 +28,7 @@ def rerank_rankings(
     *,
     top: int,
     step: int,
+    cand_to_embed: Callable[[Sequence[str]], np.ndarray] | None = None,
 ) -> np.ndarray:
     """Rewrite the top-``top`` prefix of each row by rerank scores.
 
@@ -36,7 +37,12 @@ def rerank_rankings(
       score_fn: (ref_embeds [s, S, D], cand_embeds [s*top, S, D],
         captions) -> scores [s*top]; higher = better.
       name_to_embed: names -> frozen embeddings [n, S, D].
+      cand_to_embed: candidate-side gather when the reranker consumes a
+        different representation than the reference side (feature-space
+        rerankers take projected feats [n, Q, E] — …cir_cat.py:337-396);
+        defaults to ``name_to_embed``.
     """
+    cand_to_embed = cand_to_embed or name_to_embed
     sorted_names = np.array(sorted_names, copy=True)
     n = len(sorted_names)
     i = 0
@@ -44,7 +50,7 @@ def rerank_rankings(
         s = min(step, n - i)
         refs = name_to_embed(reference_names[i : i + s])
         cand_names = sorted_names[i : i + s, :top]
-        cands = name_to_embed(cand_names.reshape(-1))
+        cands = cand_to_embed(cand_names.reshape(-1))
         scores = np.asarray(score_fn(refs, cands, captions[i : i + s]))
         order = np.argsort(1.0 - scores.reshape(s, top), axis=-1, kind="stable")
         for j in range(s):

@@ -145,3 +145,45 @@ def test_http_server_end_to_end(engine_index):
     finally:
         server.shutdown()
         thread.join(timeout=5)
+
+
+def test_service_rerank_second_stage(rng):
+    """Two-stage serving: /query rerank=true reorders the top-`top` prefix
+    by ITM scores from the model's inference_rerank (reference flow
+    cirr_test_submission.py:87-112) while preserving the candidate set."""
+    from sprc_tpu.retrieval.rerank import ItmRerankScorer
+
+    model = build("blip2_cir_cat")  # rerank-capable variant
+    params = init_params(model, image_size=IMG)
+    tok = BertWordPieceTokenizer({t: i for i, t in enumerate(TOKENS)})
+    engine = RetrievalEngine(model, params, tok, encode_batch=4, query_batch=2)
+    names = [f"g{i}" for i in range(7)]
+    imgs = rng.rand(7, IMG, IMG, 3).astype(np.float32)
+    index = engine.build_index(
+        iter([(names[s : s + 4], imgs[s : s + 4]) for s in range(0, 7, 4)])
+    )
+    scorer = ItmRerankScorer(model, params, tok, top=4, step=2)
+    service = RetrievalService(engine, index, rerank_scorer=scorer)
+    service.warm()
+
+    pairs = [(names[0], "red dress"), (names[3], "long")]
+    stage1 = service.query(pairs, k=4)
+    reranked = service.query(pairs, k=4, rerank=True)
+    for s1, s2, ref in zip(stage1, reranked, [names[0], names[3]]):
+        # same candidate set over the reranked prefix, reference still masked
+        assert {r["name"] for r in s1} == {r["name"] for r in s2}
+        assert all(r["name"] != ref for r in s2)
+        # returned scores remain the stage-1 similarities
+        scores = {r["name"]: r["score"] for r in s1}
+        assert all(r["score"] == scores[r["name"]] for r in s2)
+
+    # rerank without a scorer -> clear error (HTTP layer maps it to 400)
+    bare = RetrievalService(engine, index)
+    with pytest.raises(ValueError, match="rerank requested"):
+        bare.query(pairs, k=2, rerank=True)
+
+    # gallery smaller than the compiled tile -> clear error
+    big = ItmRerankScorer(model, params, tok, top=50, step=2)
+    svc = RetrievalService(engine, index, rerank_scorer=big)
+    with pytest.raises(ValueError, match="gallery too small"):
+        svc.query(pairs, k=2, rerank=True)
