@@ -17,8 +17,12 @@ of Python-side index_select loops.
 
 BLIP flavor cross-attends on every layer; ALBEF stages fusion at
 ``fusion_layer`` (med_config_albef.json: 12 layers, fusion at 6). ALBEF's
-answer-distillation (momentum KL over answer tokens) is not implemented —
-``use_distill=False`` equivalent — matching SURVEY §7.3's scoping.
+momentum answer-distillation (albef_vqa.py:47-70,153-226 + the soft-label
+LM loss of med.py:1254-1259) is the functional-state variant here:
+``use_distill=True`` threads momentum copies of the towers through the
+train step's aux state (``init_vqa_state``/``vqa_train_step``, same
+pattern as models/albef.py), mixing (1-alpha)*CE + alpha*distill per
+answer with the reference's one-epoch alpha ramp (albef_vqa.py:80-81).
 """
 
 from __future__ import annotations
@@ -45,6 +49,11 @@ class VQAConfig:
     max_txt_len: int = 35
     vocab_size: int = 30524
     fusion_layer: int = 6  # albef flavor only
+    # momentum answer distillation (albef flavor; reference
+    # albef_vqa.py:47-70 defaults use_distill=True, momentum .995, alpha .4)
+    use_distill: bool = False
+    momentum: float = 0.995
+    alpha: float = 0.4
     vit_dtype: Any = jnp.bfloat16
     text_dtype: Any = jnp.float32
     vit_config_override: Optional[ViTConfig] = None
@@ -139,6 +148,23 @@ class VQAModel(nn.Module):
         per_tok = 0.9 * nll + 0.1 * smooth
         return (per_tok * valid).sum(axis=-1)
 
+    def _per_answer_distill(
+        self,
+        logits: jnp.ndarray,
+        soft_logits: jnp.ndarray,
+        answer_ids: jnp.ndarray,
+        pad_token_id: int,
+    ) -> jnp.ndarray:
+        """Per-sequence SUM of -sum(softmax(soft) * log_softmax(logits))
+        over valid (non-pad, shifted) positions — the soft-label branch of
+        the med LM loss (reference med.py:1254-1259)."""
+        labels = jnp.where(answer_ids == pad_token_id, -100, answer_ids)
+        valid = labels[:, 1:] != -100
+        logp = jax.nn.log_softmax(logits[:, :-1, :].astype(jnp.float32), -1)
+        soft = jax.nn.softmax(soft_logits[:, :-1, :].astype(jnp.float32), -1)
+        per_tok = -(soft * logp).sum(axis=-1)
+        return (per_tok * valid).sum(axis=-1)
+
     def __call__(
         self,
         images: jnp.ndarray,
@@ -151,8 +177,12 @@ class VQAModel(nn.Module):
         *,
         pad_token_id: int = 0,
         deterministic: bool = True,
+        soft_logits: Optional[jnp.ndarray] = None,  # [N, La, V] momentum
+        alpha: jnp.ndarray | float = 0.0,
     ) -> Dict[str, jnp.ndarray]:
-        """Weighted answer LM loss: sum(w_i * nll_i) / B (reference :155-160)."""
+        """Weighted answer LM loss: sum(w_i * nll_i) / B (reference :155-160).
+        With ``soft_logits`` (the momentum decoder's logits) each answer's
+        loss mixes (1-alpha)*CE + alpha*distill (albef_vqa.py:203-216)."""
         question_states = self.encode_question(
             images, question_ids, question_mask, deterministic=deterministic
         )
@@ -162,6 +192,11 @@ class VQAModel(nn.Module):
             answer_ids, answer_mask, qs, qmask, deterministic=deterministic
         )
         nll = self._per_answer_nll(logits, answer_ids, pad_token_id)
+        if soft_logits is not None:
+            distill = self._per_answer_distill(
+                logits, soft_logits, answer_ids, pad_token_id
+            )
+            nll = (1.0 - alpha) * nll + alpha * distill
         loss = (weights * nll).sum() / images.shape[0]
         return {"loss": loss, "logits": logits}
 
@@ -267,3 +302,56 @@ class VQAModel(nn.Module):
             if finished.all():
                 break
         return jnp.asarray(ids[:, 1:])
+
+
+# --------------------------------------- functional momentum distillation
+
+# subtrees mirrored into the momentum copy (reference model_pairs,
+# albef_vqa.py:64-69: visual encoder, text encoder, text decoder — the
+# decoder's LM head is a separate module here, so it is mirrored too)
+VQA_MOMENTUM_KEYS = ("visual_encoder", "text_encoder", "text_decoder",
+                     "lm_head")
+
+
+def init_vqa_state(params) -> Dict[str, Any]:
+    """Momentum tower copies for ``use_distill`` training (fresh buffers —
+    aliasing the live params breaks train-state donation)."""
+    return {
+        "params_m": {
+            k: jax.tree.map(lambda x: jnp.array(x, copy=True), params[k])
+            for k in VQA_MOMENTUM_KEYS
+            if k in params
+        }
+    }
+
+
+def vqa_train_step(model: VQAModel, params, state, batch, alpha, rng=None):
+    """One pure distilled VQA forward (reference albef_vqa.py:153-226):
+    EMA momentum update -> momentum towers' answer logits (no grad,
+    eval-mode as under the reference's torch.no_grad momentum forward) ->
+    weighted (1-alpha)*CE + alpha*distill loss. Returns (losses, new_state)
+    for the generic train step's aux threading."""
+    from sprc_tpu.models.albef import momentum_update
+
+    state = momentum_update(params, state, model.cfg.momentum)
+    params_m = {**params, **state["params_m"]}
+    q_m = model.apply(
+        {"params": params_m}, batch["images"], batch["question_ids"],
+        batch["question_mask"], method=model.encode_question,
+    )
+    logits_m = model.apply(
+        {"params": params_m}, batch["answer_ids"], batch["answer_mask"],
+        q_m[batch["ans_to_question"]],
+        batch["question_mask"][batch["ans_to_question"]],
+        method=model.decode_logits,
+    )
+    logits_m = jax.lax.stop_gradient(logits_m)
+    out = model.apply(
+        {"params": params}, batch["images"], batch["question_ids"],
+        batch["question_mask"], batch["answer_ids"], batch["answer_mask"],
+        batch["ans_to_question"], batch["weights"],
+        soft_logits=logits_m, alpha=alpha,
+        deterministic=rng is None,
+        rngs=None if rng is None else {"dropout": rng},
+    )
+    return {"loss": out["loss"]}, state

@@ -118,13 +118,19 @@ class Seq2SeqCaptionAdapter(CaptionAdapter):
 class VQAAdapter:
     """Items {image, text_input, answers, weights} -> the VQAModel forward
     contract (images, question, flattened weighted answers + mapping)
-    (reference vqa_datasets collate + blip_vqa.py:94-160)."""
+    (reference vqa_datasets collate + blip_vqa.py:94-160). When the model
+    config sets ``use_distill`` (albef flavor) the step runs the momentum
+    answer-distillation of albef_vqa.py:153-226 with the one-epoch alpha
+    ramp (:80-81); momentum tower copies ride the aux state."""
+
+    uses_aux = False  # set per-model in loss_fn
 
     def __init__(self, tokenizer, max_txt_len: int = 35,
                  max_answer_len: int = 12):
         self.tokenizer = tokenizer
         self.max_txt_len = max_txt_len
         self.max_answer_len = max_answer_len
+        self._alpha = 0.4
 
     def collate(self, items: List[dict]) -> Dict[str, np.ndarray]:
         qtok = self.tokenizer(
@@ -150,7 +156,28 @@ class VQAAdapter:
             "weights": np.asarray(weights, np.float32),
         }
 
+    def step_extras(self, epoch: int, i: int, iters_per_epoch: int):
+        # one-epoch alpha ramp (albef_vqa.py:80-81)
+        ramp = min(1.0, (epoch * iters_per_epoch + i) / iters_per_epoch)
+        return {"alpha": np.float32(self._alpha * ramp)}
+
+    def init_aux(self, model, params):
+        from sprc_tpu.models.vqa import init_vqa_state
+
+        return init_vqa_state(params)
+
     def loss_fn(self, model) -> Callable:
+        self._alpha = float(getattr(model.cfg, "alpha", 0.4))
+        self.uses_aux = bool(getattr(model.cfg, "use_distill", False))
+        if self.uses_aux:
+            from sprc_tpu.models.vqa import vqa_train_step
+
+            def apply_fn(params, aux, batch, rng):
+                return vqa_train_step(
+                    model, params, aux, batch,
+                    alpha=batch.get("alpha", self._alpha), rng=rng)
+            return apply_fn
+
         def apply_fn(params, batch, rng):
             out = model.apply(
                 {"params": params}, batch["images"], batch["question_ids"],

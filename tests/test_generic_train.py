@@ -688,3 +688,50 @@ datasets:
       train: {{name: blip_caption}}
 """)
     _run_cli(cfg, tmp_path, vocab_file)
+
+
+def test_vqa_distill_run_config_end_to_end(tmp_path, vocab_file):
+    """albef_vqa with use_distill: the momentum tower copies thread through
+    TrainState.aux and the distilled step trains from YAML (reference
+    albef_vqa.py:153-226)."""
+    img_root = str(tmp_path / "imgs")
+    names = _write_images(img_root, 4)
+    ann = [
+        {"image": n, "instance_id": i, "question": "a cat?",
+         "answers": ["yes", "no", "yes"]}
+        for i, n in enumerate(names)
+    ]
+    ann_path = tmp_path / "vqa_ann.json"
+    ann_path.write_text(json.dumps(ann))
+
+    cfg = tmp_path / "run.yaml"
+    cfg.write_text(f"""
+run:
+  task: vqa
+  batch_size: 2
+  max_epochs: 1
+  learning_rate: 1e-3
+  max_txt_len: 8
+model:
+  arch: albef_vqa
+  flavor: albef
+  image_size: 28
+  vocab_size: 30524
+  fusion_layer: 1
+  use_distill: true
+  momentum: 0.9
+  alpha: 0.4
+  vit_config_override: {TINY_VIT}
+  text_config_override: {TINY_TXT}
+datasets:
+  coco_vqa:
+    build_info:
+      annotations:
+        train: {json.dumps(str(ann_path))}
+      images: {json.dumps(img_root)}
+    vis_processor:
+      train: {{name: blip_image_eval, image_size: 28}}
+    text_processor:
+      train: {{name: blip_question}}
+""")
+    _run_cli(cfg, tmp_path, vocab_file)

@@ -131,3 +131,72 @@ def test_generate_answers(batch):
     )
     assert out.shape == (B, 4)
     assert np.asarray(out).dtype == np.int32
+
+
+def test_momentum_distillation_step(batch):
+    """ALBEF use_distill (reference albef_vqa.py:153-226): momentum towers
+    EMA-track the live ones, the distill branch re-derives in torch from
+    the step's own logits, and alpha=0 reduces to the plain loss."""
+    import dataclasses
+
+    import torch
+    import torch.nn.functional as F
+
+    from sprc_tpu.models.vqa import (
+        VQA_MOMENTUM_KEYS,
+        init_vqa_state,
+        vqa_train_step,
+    )
+
+    cfg = dataclasses.replace(tiny_cfg("albef"), use_distill=True,
+                              momentum=0.9, alpha=0.4)
+    model = VQAModel(cfg)
+    params = _init(model, batch)["params"]
+    state = init_vqa_state(params)
+    assert set(state["params_m"]) == set(VQA_MOMENTUM_KEYS) & set(params)
+
+    # alpha=0 -> identical to the undistilled forward
+    plain = model.apply({"params": params}, **{k: batch[k] for k in (
+        "images", "question_ids", "question_mask", "answer_ids",
+        "answer_mask", "ans_to_question", "weights")})
+    losses0, _ = vqa_train_step(model, params, state, batch, alpha=0.0)
+    np.testing.assert_allclose(float(losses0["loss"]), float(plain["loss"]),
+                               rtol=1e-6)
+
+    losses, new_state = vqa_train_step(model, params, state, batch, alpha=0.4)
+    assert np.isfinite(float(losses["loss"]))
+
+    # EMA: after one update with momentum m, params_m = m*old + (1-m)*live.
+    # init copies live params, so the first update must leave them equal
+    leaf = lambda tree: np.asarray(jax.tree.leaves(tree)[0])
+    np.testing.assert_allclose(
+        leaf(new_state["params_m"]["text_decoder"]),
+        leaf(params["text_decoder"]), rtol=1e-6)
+    # ...and from a perturbed momentum copy it moves 1-m of the gap
+    pert = jax.tree.map(lambda x: x + 1.0, state["params_m"])
+    _, moved = vqa_train_step(model, params, {"params_m": pert}, batch,
+                              alpha=0.0)
+    np.testing.assert_allclose(
+        leaf(moved["params_m"]["text_decoder"]),
+        0.9 * (leaf(params["text_decoder"]) + 1.0)
+        + 0.1 * leaf(params["text_decoder"]), rtol=1e-5)
+
+    # torch re-derivation of the distilled loss from the model's own logits
+    # (momentum == live at init, so soft logits == live logits here)
+    out = model.apply({"params": params}, **{k: batch[k] for k in (
+        "images", "question_ids", "question_mask", "answer_ids",
+        "answer_mask", "ans_to_question", "weights")})
+    logits = torch.from_numpy(np.asarray(out["logits"], np.float32))
+    ids = torch.from_numpy(np.asarray(batch["answer_ids"]))
+    labels = ids.masked_fill(ids == 0, -100)
+    sl, ll = logits[:, :-1], labels[:, 1:]
+    valid = ll != -100
+    logp = F.log_softmax(sl, dim=-1)
+    nll = -logp.gather(-1, ll.clamp(min=0).unsqueeze(-1)).squeeze(-1)
+    smooth = -logp.mean(-1)
+    ce = ((0.9 * nll + 0.1 * smooth) * valid).sum(1)
+    distill = ((-(F.softmax(sl, -1) * logp).sum(-1)) * valid).sum(1)
+    mixed = 0.6 * ce + 0.4 * distill
+    w = torch.from_numpy(np.asarray(batch["weights"]))
+    want = float((w * mixed).sum() / B)
+    np.testing.assert_allclose(float(losses["loss"]), want, rtol=1e-5)
