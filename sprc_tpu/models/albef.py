@@ -520,3 +520,66 @@ def albef_pretrain_train_step(model, params, state, batch, *, alpha, rng):
     )
     state = enqueue(state, image_feat_m, text_feat_m, batch["image_ids"])
     return losses, state
+
+
+def med_params_from_torch(
+    sd,
+    prefix: str,
+    num_layers: int,
+    *,
+    cross_layers=(),
+    fold_type_token0: bool = False,
+) -> dict:
+    """Reference med.py ``BertModel`` state dict -> ``MedEncoder`` tree.
+
+    ``cross_layers``: layer indices whose ``crossattention`` weights exist in
+    the checkpoint (ALBEF: ``range(fusion_layer, n)``; BLIP: ``range(n)``;
+    ALPRO: none — bert_config_alpro.json has ``add_cross_attention: false``).
+
+    ``fold_type_token0``: ALPRO's med config keeps BERT's token-type
+    embeddings and always passes all-zero type ids (alpro_retrieval.py:85-88),
+    so row 0 of ``token_type_embeddings`` is a constant added to every token
+    before the embedding LayerNorm; MedEncoder carries no type table, so the
+    row is folded into every position-embedding row — exact for any length.
+    """
+    import numpy as np
+
+    from sprc_tpu.interop.torch_import import _layernorm, _linear
+
+    p = prefix
+    pos = np.asarray(sd[f"{p}embeddings.position_embeddings.weight"])
+    if fold_type_token0:
+        pos = pos + np.asarray(
+            sd[f"{p}embeddings.token_type_embeddings.weight"]
+        )[0][None, :]
+    params = {
+        "word_embeddings": {
+            "embedding": np.asarray(sd[f"{p}embeddings.word_embeddings.weight"])
+        },
+        "position_embeddings": {"embedding": pos},
+        "embeddings_ln": _layernorm(sd, f"{p}embeddings.LayerNorm"),
+    }
+    cross = set(cross_layers)
+    for i in range(num_layers):
+        lp = f"{p}encoder.layer.{i}."
+        params[f"layer_{i}_self"] = {
+            "query": _linear(sd, f"{lp}attention.self.query"),
+            "key": _linear(sd, f"{lp}attention.self.key"),
+            "value": _linear(sd, f"{lp}attention.self.value"),
+            "out": _linear(sd, f"{lp}attention.output.dense"),
+            "ln": _layernorm(sd, f"{lp}attention.output.LayerNorm"),
+        }
+        if i in cross:
+            params[f"layer_{i}_cross"] = {
+                "query": _linear(sd, f"{lp}crossattention.self.query"),
+                "key": _linear(sd, f"{lp}crossattention.self.key"),
+                "value": _linear(sd, f"{lp}crossattention.self.value"),
+                "out": _linear(sd, f"{lp}crossattention.output.dense"),
+                "ln": _layernorm(sd, f"{lp}crossattention.output.LayerNorm"),
+            }
+        params[f"layer_{i}_ffn"] = {
+            "fc1": _linear(sd, f"{lp}intermediate.dense"),
+            "fc2": _linear(sd, f"{lp}output.dense"),
+            "ln": _layernorm(sd, f"{lp}output.LayerNorm"),
+        }
+    return params

@@ -262,3 +262,50 @@ class TimeSformerModel(nn.Module):
         return TimeSformer(self.cfg.video_config(), name="model")(
             video, deterministic=deterministic
         )
+
+
+def alpro_params_from_torch(sd, model) -> dict:
+    """Reference ALPRO checkpoint state dict -> param tree for
+    ``AlproRetrieval`` / ``AlproQA`` (the released msrvtt/didemo/msvd
+    weights; reference alpro_retrieval.py:36-64, alpro_qa.py:31-51).
+
+    The visual trunk lives under ``visual_encoder.model.`` (the reference
+    TimeSformer wrapper) and the text tower under ``text_encoder.``; ALPRO's
+    token-type row 0 is folded into the position embeddings (see
+    ``med_params_from_torch``).
+    """
+    import jax.numpy as jnp
+    import numpy as np
+
+    from sprc_tpu.interop.torch_import import _linear
+    from sprc_tpu.models.albef import med_params_from_torch
+    from sprc_tpu.models.timesformer import timesformer_params_from_torch
+
+    cfg = model.cfg
+    vp = (
+        "visual_encoder.model."
+        if any(k.startswith("visual_encoder.model.") for k in sd)
+        else "visual_encoder."
+    )
+    params = {
+        "visual_encoder": timesformer_params_from_torch(
+            sd, vp, cfg.video_config().depth
+        ),
+        "text_encoder": med_params_from_torch(
+            sd,
+            "text_encoder.",
+            cfg.text_config().num_layers,
+            fold_type_token0=(
+                "text_encoder.embeddings.token_type_embeddings.weight" in sd
+            ),
+        ),
+    }
+    if "itm_head.weight" in sd:  # retrieval head set
+        params["vision_proj"] = _linear(sd, "vision_proj")
+        params["text_proj"] = _linear(sd, "text_proj")
+        params["itm_head"] = _linear(sd, "itm_head")
+        params["temp"] = np.asarray(sd["temp"]).reshape(())
+    if "classifier.0.weight" in sd:  # QA classifier (nn.Sequential 0/2)
+        params["classifier_fc1"] = _linear(sd, "classifier.0")
+        params["classifier_fc2"] = _linear(sd, "classifier.2")
+    return jax.tree.map(jnp.asarray, params)

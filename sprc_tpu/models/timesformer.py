@@ -197,3 +197,49 @@ class TimeSformer(nn.Module):
         B, T, N, C = x.shape
         seq = x.transpose(0, 2, 1, 3).reshape(B, N * T, C)  # (n t), t fastest
         return jnp.concatenate([cls_tok, seq], axis=1).astype(jnp.float32)
+
+
+def timesformer_params_from_torch(sd, prefix: str, depth: int) -> dict:
+    """Reference TimeSformer ``VisionTransformer`` state dict -> param tree.
+
+    ``prefix`` addresses the trunk inside a larger checkpoint — for the
+    released ALPRO weights that is ``visual_encoder.model.`` (the reference
+    ``TimeSformer`` wrapper, vit.py:528-588, owns the trunk as ``.model``).
+    """
+    import numpy as np
+
+    from sprc_tpu.interop.torch_import import _layernorm, _linear
+
+    p = prefix
+    conv_w = np.asarray(sd[f"{p}patch_embed.proj.weight"])
+    params = {
+        "patch_embed": {
+            "kernel": np.ascontiguousarray(conv_w.transpose(2, 3, 1, 0)),
+            "bias": np.asarray(sd[f"{p}patch_embed.proj.bias"]),
+        },
+        "cls_token": np.asarray(sd[f"{p}cls_token"]),
+        "pos_embed": np.asarray(sd[f"{p}pos_embed"]),
+        "time_embed": np.asarray(sd[f"{p}time_embed"]),
+        "norm": _layernorm(sd, f"{p}norm"),
+    }
+    for i in range(depth):
+        b = f"{p}blocks.{i}"
+        params[f"block_{i}"] = {
+            "temporal_norm1": _layernorm(sd, f"{b}.temporal_norm1"),
+            "temporal_attn": {
+                "qkv": _linear(sd, f"{b}.temporal_attn.qkv"),
+                "proj": _linear(sd, f"{b}.temporal_attn.proj"),
+            },
+            "temporal_fc": _linear(sd, f"{b}.temporal_fc"),
+            "norm1": _layernorm(sd, f"{b}.norm1"),
+            "attn": {
+                "qkv": _linear(sd, f"{b}.attn.qkv"),
+                "proj": _linear(sd, f"{b}.attn.proj"),
+            },
+            "norm2": _layernorm(sd, f"{b}.norm2"),
+            "mlp": {
+                "fc1": _linear(sd, f"{b}.mlp.fc1"),
+                "fc2": _linear(sd, f"{b}.mlp.fc2"),
+            },
+        }
+    return params
