@@ -290,7 +290,12 @@ def load_torch_file(path: str) -> Dict[str, Array]:
 
 
 def load_checkpoint_auto(path: str, model) -> Pytree:
-    """Load torch ``.pt``/``.pth`` or an orbax checkpoint dir into params."""
+    """Load torch ``.pt``/``.pth`` or an orbax checkpoint dir into params.
+
+    Torch state dicts are routed by model family: the LAVIS-style families
+    (ALBEF / BLIP-1 / ALPRO / classification / VQA) go through
+    ``interop/lavis_import.py``; everything else takes the BLIP-2 CIR
+    mapping (the reference SPRC checkpoints, utils.py:219-222)."""
     import os
 
     if os.path.isdir(path):
@@ -301,6 +306,10 @@ def load_checkpoint_auto(path: str, model) -> Pytree:
     import jax.numpy as jnp
 
     sd = load_torch_file(path)
+    from sprc_tpu.interop import lavis_import
+
+    if lavis_import.handles(model):
+        return lavis_import.lavis_params_from_torch(sd, model)
     # filter to the structure this model actually materializes (strict=False)
     dummy_img = jnp.zeros((1, model.cfg.image_size, model.cfg.image_size, 3))
     dummy_ids = jnp.zeros((1, model.cfg.max_txt_len), jnp.int32)

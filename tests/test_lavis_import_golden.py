@@ -1,0 +1,563 @@
+"""Golden tests for the LAVIS-family checkpoint importers
+(sprc_tpu/interop/lavis_import.py): reference torch towers (vit.py + med.py
+loaded standalone) are assembled into containers with the released
+checkpoints' key layout, imported through ``lavis_params_from_torch``, and
+the JAX models' outputs compared against the torch compositions.
+
+Covers: ALBEF retrieval (unimodal feats + fusion ITM), BLIP retrieval
+([ENC] multimodal ITM), classification head, VQA encoder+decoder, BLIP
+captioner decoder. NLVR's twin-cross encoder is explicitly unsupported
+(lavis_import raises TypeError)."""
+
+from functools import partial
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from sprc_tpu.interop.lavis_import import lavis_params_from_torch
+from sprc_tpu.models.qformer import QFormerConfig
+from sprc_tpu.models.vit import ViTConfig
+
+IMG, PATCH, VW, VDEPTH = 32, 16, 32, 2
+TH, TLAYERS, HEADS, TINTER, FUSION = 48, 4, 2, 96, 2
+VOCAB, TXT, B, E, NCLS = 80, 6, 2, 16, 5
+ATOL = 5e-5
+
+VCFG = ViTConfig(
+    image_size=IMG, patch_size=PATCH, width=VW, depth=VDEPTH, num_heads=HEADS,
+    mlp_hidden=VW * 4, layer_norm_eps=1e-6, qkv_fused_no_kbias=False,
+    final_norm=True, dtype=jnp.float32,
+)
+
+
+def _tcfg(vocab=VOCAB):
+    return QFormerConfig(
+        vocab_size=vocab, hidden_size=TH, num_layers=TLAYERS, num_heads=HEADS,
+        intermediate_size=TINTER, encoder_width=VW, dropout_rate=0.0,
+    )
+
+
+def _ref_vit(ref_blip_vit_module, seed):
+    import torch
+
+    torch.manual_seed(seed)
+    return ref_blip_vit_module.VisionTransformer(
+        img_size=IMG, patch_size=PATCH, embed_dim=VW, depth=VDEPTH,
+        num_heads=HEADS, mlp_ratio=4.0, qkv_bias=True,
+        norm_layer=partial(torch.nn.LayerNorm, eps=1e-6),
+    )
+
+
+def _ref_bert_cfg(mod, *, fusion=None, cross=True):
+    cfg = mod.BertConfig(
+        vocab_size=VOCAB, hidden_size=TH, num_hidden_layers=TLAYERS,
+        num_attention_heads=HEADS, intermediate_size=TINTER,
+        hidden_dropout_prob=0.0, attention_probs_dropout_prob=0.0,
+    )
+    cfg.encoder_width = VW
+    cfg.add_cross_attention = cross
+    cfg.add_type_embeddings = False
+    if fusion is not None:  # ALBEF flavor; BLIP configs carry no fusion_layer
+        cfg.fusion_layer = fusion
+    return cfg
+
+
+def _randomize(model, seed):
+    import torch
+
+    torch.manual_seed(seed)
+    with torch.no_grad():
+        for _, p in model.named_parameters():
+            if p.ndim > 0:
+                p.copy_(torch.randn_like(p) * 0.05)
+
+
+@pytest.fixture()
+def data(rng):
+    img = rng.rand(B, IMG, IMG, 3).astype(np.float32)
+    ids = rng.randint(0, VOCAB, (B, TXT)).astype(np.int32)
+    mask = np.ones((B, TXT), np.int32)
+    mask[1, 4:] = 0
+    return img, ids, mask
+
+
+def _timg(img):
+    import torch
+
+    return torch.from_numpy(img).permute(0, 3, 1, 2).contiguous()
+
+
+def test_albef_retrieval_import_golden(
+    ref_blip_vit_module, ref_med_module, rng, data
+):
+    """unimodal feats + fusion-mode ITM CLS vs the torch composition
+    (albef_retrieval.py:64-130 + compute_sim_matrix's itm rescoring)."""
+    import torch
+    import torch.nn as nn
+    import torch.nn.functional as F
+
+    from sprc_tpu.models.albef import AlbefConfig, AlbefRetrieval
+
+    img, ids, mask = data
+
+    class Container(nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.visual_encoder = _ref_vit(ref_blip_vit_module, 11)
+            self.text_encoder = ref_med_module.BertModel(
+                _ref_bert_cfg(ref_med_module, fusion=FUSION),
+                add_pooling_layer=False,
+            )
+            self.vision_proj = nn.Linear(VW, E)
+            self.text_proj = nn.Linear(TH, E)
+            self.itm_head = nn.Linear(TH, 2)
+            self.temp = nn.Parameter(torch.ones([]) * 0.07)
+
+    ref = Container().eval()
+    _randomize(ref, 12)
+    with torch.no_grad():
+        ref.temp.copy_(torch.tensor(0.07))
+        v_emb = ref.visual_encoder(_timg(img))
+        v_feat = F.normalize(ref.vision_proj(v_emb[:, 0, :]), dim=-1)
+        t_emb = ref.text_encoder(
+            torch.from_numpy(ids).long(),
+            attention_mask=torch.from_numpy(mask).long(),
+            mode="text", return_dict=True,
+        ).last_hidden_state
+        t_feat = F.normalize(ref.text_proj(t_emb[:, 0, :]), dim=-1)
+        fused = ref.text_encoder(
+            encoder_embeds=t_emb,
+            attention_mask=torch.from_numpy(mask).long(),
+            encoder_hidden_states=v_emb, mode="fusion", return_dict=True,
+        ).last_hidden_state
+        itm = ref.itm_head(fused[:, 0, :])
+
+    sd = {k: v.detach().numpy() for k, v in ref.state_dict().items()}
+    cfg = AlbefConfig(
+        image_size=IMG, embed_dim=E, max_txt_len=TXT, vocab_size=VOCAB,
+        fusion_layer=FUSION, vit_dtype=jnp.float32,
+        vit_config_override=VCFG, text_config_override=_tcfg(),
+    )
+    model = AlbefRetrieval(cfg)
+    params = lavis_params_from_torch(sd, model)
+
+    j_vemb, j_vfeat, j_temb, j_tfeat = model.apply(
+        {"params": params}, jnp.asarray(img), jnp.asarray(ids),
+        jnp.asarray(mask), method=model.unimodal,
+    )
+    cls = model.apply(
+        {"params": params}, j_temb, jnp.asarray(mask), j_vemb,
+        method=model.fusion_cls,
+    )
+
+    def head(p, x):  # itm head on the fusion CLS
+        return np.asarray(x) @ np.asarray(p["kernel"]) + np.asarray(p["bias"])
+
+    np.testing.assert_allclose(np.asarray(j_vemb), v_emb.numpy(), atol=ATOL)
+    np.testing.assert_allclose(np.asarray(j_vfeat), v_feat.numpy(), atol=ATOL)
+    np.testing.assert_allclose(np.asarray(j_temb), t_emb.numpy(), atol=ATOL)
+    np.testing.assert_allclose(np.asarray(j_tfeat), t_feat.numpy(), atol=ATOL)
+    np.testing.assert_allclose(
+        head(params["itm_head"], cls), itm.numpy(), atol=1e-4
+    )
+
+
+def test_blip_retrieval_import_golden(
+    ref_blip_vit_module, ref_med_module, rng, data
+):
+    """BLIP flavor: text mode spans ALL layers, cross-attention keys on every
+    layer, ITM via the [ENC] multimodal pass (blip_retrieval.py:221-233)."""
+    import torch
+    import torch.nn as nn
+    import torch.nn.functional as F
+
+    from sprc_tpu.models.blip1 import BlipRetrieval, BlipRetrievalConfig
+
+    img, ids, mask = data
+
+    class Container(nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.visual_encoder = _ref_vit(ref_blip_vit_module, 21)
+            self.text_encoder = ref_med_module.BertModel(
+                _ref_bert_cfg(ref_med_module, fusion=None),
+                add_pooling_layer=False,
+            )
+            self.vision_proj = nn.Linear(VW, E)
+            self.text_proj = nn.Linear(TH, E)
+            self.itm_head = nn.Linear(TH, 2)
+            self.temp = nn.Parameter(torch.ones([]) * 0.07)
+
+    ref = Container().eval()
+    _randomize(ref, 22)
+    with torch.no_grad():
+        ref.temp.copy_(torch.tensor(0.07))
+        v_emb = ref.visual_encoder(_timg(img))
+        t_emb = ref.text_encoder(
+            torch.from_numpy(ids).long(),
+            attention_mask=torch.from_numpy(mask).long(),
+            mode="text", return_dict=True,
+        ).last_hidden_state
+        t_feat = F.normalize(ref.text_proj(t_emb[:, 0, :]), dim=-1)
+        multi = ref.text_encoder(
+            torch.from_numpy(ids).long(),
+            attention_mask=torch.from_numpy(mask).long(),
+            encoder_hidden_states=v_emb,
+            encoder_attention_mask=torch.ones(v_emb.shape[:-1]).long(),
+            mode="multimodal", return_dict=True,
+        ).last_hidden_state
+        itm = ref.itm_head(multi[:, 0, :])
+
+    sd = {k: v.detach().numpy() for k, v in ref.state_dict().items()}
+    cfg = BlipRetrievalConfig(
+        image_size=IMG, embed_dim=E, max_txt_len=TXT, vocab_size=VOCAB,
+        vit_dtype=jnp.float32,
+        vit_config_override=VCFG, text_config_override=_tcfg(),
+    )
+    model = BlipRetrieval(cfg)
+    params = lavis_params_from_torch(sd, model)
+
+    _, _, j_temb, j_tfeat = model.apply(
+        {"params": params}, jnp.asarray(img), jnp.asarray(ids),
+        jnp.asarray(mask), method=model.unimodal,
+    )
+    j_itm = model.apply(
+        {"params": params}, jnp.asarray(ids), jnp.asarray(mask),
+        jnp.asarray(np.asarray(v_emb)), method=model.itm_logits,
+    )
+
+    np.testing.assert_allclose(np.asarray(j_temb), t_emb.numpy(), atol=ATOL)
+    np.testing.assert_allclose(np.asarray(j_tfeat), t_feat.numpy(), atol=ATOL)
+    np.testing.assert_allclose(np.asarray(j_itm), itm.numpy(), atol=1e-4)
+
+
+def test_classifier_import_golden(ref_blip_vit_module, ref_med_module, rng, data):
+    """ALBEF classification: multimodal pass + Sequential cls head
+    (albef_classification.py:83-147; cls_head.0/cls_head.2 keys)."""
+    import torch
+    import torch.nn as nn
+
+    from sprc_tpu.models.classification import ClassifierConfig, MultimodalClassifier
+
+    img, ids, mask = data
+
+    class Container(nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.visual_encoder = _ref_vit(ref_blip_vit_module, 31)
+            self.text_encoder = ref_med_module.BertModel(
+                _ref_bert_cfg(ref_med_module, fusion=FUSION),
+                add_pooling_layer=False,
+            )
+            self.cls_head = nn.Sequential(
+                nn.Linear(TH, TH), nn.ReLU(), nn.Linear(TH, NCLS)
+            )
+
+    ref = Container().eval()
+    _randomize(ref, 32)
+    with torch.no_grad():
+        v_emb = ref.visual_encoder(_timg(img))
+        multi = ref.text_encoder(
+            torch.from_numpy(ids).long(),
+            attention_mask=torch.from_numpy(mask).long(),
+            encoder_hidden_states=v_emb,
+            encoder_attention_mask=torch.ones(v_emb.shape[:-1]).long(),
+            mode="multimodal", return_dict=True,
+        ).last_hidden_state
+        want = ref.cls_head(multi[:, 0, :])
+
+    sd = {k: v.detach().numpy() for k, v in ref.state_dict().items()}
+    cfg = ClassifierConfig(
+        image_size=IMG, num_classes=NCLS, vocab_size=VOCAB,
+        fusion_layer=FUSION, vit_dtype=jnp.float32,
+        vit_config_override=VCFG, text_config_override=_tcfg(),
+    )
+    model = MultimodalClassifier(cfg)
+    params = lavis_params_from_torch(sd, model)
+    got = model.apply(
+        {"params": params}, jnp.asarray(img), jnp.asarray(ids),
+        jnp.asarray(mask), method=model.predict,
+    )
+    np.testing.assert_allclose(np.asarray(got), want.numpy(), atol=1e-4)
+
+
+def test_vqa_import_golden(ref_blip_vit_module, ref_med_module, rng, data):
+    """ALBEF VQA: question encoder states + answer-decoder LM logits vs the
+    torch composition (albef_vqa.py:348-375: XBertEncoder + BertLMHeadModel,
+    decoder fusion_layer=0 -> cross on every decoder layer)."""
+    import torch
+    import torch.nn as nn
+
+    from sprc_tpu.models.vqa import VQAConfig, VQAModel
+
+    img, ids, mask = data
+    La = 5
+    ans_ids = rng.randint(0, VOCAB, (B, La)).astype(np.int32)
+    ans_mask = np.ones((B, La), np.int32)
+
+    dec_cfg = _ref_bert_cfg(ref_med_module, fusion=0)
+    dec_cfg.encoder_width = TH  # decoder cross-attends question states
+
+    class Container(nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.visual_encoder = _ref_vit(ref_blip_vit_module, 41)
+            self.text_encoder = ref_med_module.BertModel(
+                _ref_bert_cfg(ref_med_module, fusion=FUSION),
+                add_pooling_layer=False,
+            )
+            self.text_decoder = ref_med_module.BertLMHeadModel(dec_cfg)
+
+    ref = Container().eval()
+    _randomize(ref, 42)
+    with torch.no_grad():
+        v_emb = ref.visual_encoder(_timg(img))
+        q_states = ref.text_encoder(
+            torch.from_numpy(ids).long(),
+            attention_mask=torch.from_numpy(mask).long(),
+            encoder_hidden_states=v_emb,
+            encoder_attention_mask=torch.ones(v_emb.shape[:-1]).long(),
+            mode="multimodal", return_dict=True,
+        ).last_hidden_state
+        want = ref.text_decoder(
+            torch.from_numpy(ans_ids).long(),
+            attention_mask=torch.from_numpy(ans_mask).long(),
+            encoder_hidden_states=q_states,
+            encoder_attention_mask=torch.from_numpy(mask).long(),
+            is_decoder=True, mode="multimodal", return_logits=True,
+        )
+
+    sd = {k: v.detach().numpy() for k, v in ref.state_dict().items()}
+    dcfg = QFormerConfig(
+        vocab_size=VOCAB, hidden_size=TH, num_layers=TLAYERS, num_heads=HEADS,
+        intermediate_size=TINTER, encoder_width=TH, dropout_rate=0.0,
+    )
+    cfg = VQAConfig(
+        image_size=IMG, vocab_size=VOCAB, fusion_layer=FUSION, flavor="albef",
+        vit_dtype=jnp.float32, vit_config_override=VCFG,
+        text_config_override=_tcfg(), decoder_config_override=dcfg,
+    )
+    model = VQAModel(cfg)
+    params = lavis_params_from_torch(sd, model)
+
+    j_states = model.apply(
+        {"params": params}, jnp.asarray(img), jnp.asarray(ids),
+        jnp.asarray(mask), method=model.encode_question,
+    )
+    j_logits = model.apply(
+        {"params": params}, jnp.asarray(ans_ids), jnp.asarray(ans_mask),
+        j_states, jnp.asarray(mask), method=model.decode_logits,
+    )
+    np.testing.assert_allclose(np.asarray(j_states), q_states.numpy(), atol=ATOL)
+    # reference return_logits drops the last position (med.py:1238-1239)
+    np.testing.assert_allclose(
+        np.asarray(j_logits)[:, :-1, :], want.numpy(), atol=2e-4
+    )
+
+
+def test_blip_caption_import_golden(ref_blip_vit_module, ref_med_module, rng, data):
+    """BLIP captioner: causal decoder over image cross-attention
+    (blip_caption.py: XBertLMHeadDecoder under ``text_decoder.``)."""
+    import torch
+    import torch.nn as nn
+
+    from sprc_tpu.models.blip1 import BlipCaption, BlipCaptionConfig
+
+    img, ids, mask = data
+
+    dec_cfg = _ref_bert_cfg(ref_med_module, fusion=None)  # BLIP: cross everywhere
+
+    class Container(nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.visual_encoder = _ref_vit(ref_blip_vit_module, 51)
+            self.text_decoder = ref_med_module.BertLMHeadModel(dec_cfg)
+
+    ref = Container().eval()
+    _randomize(ref, 52)
+    with torch.no_grad():
+        v_emb = ref.visual_encoder(_timg(img))
+        want = ref.text_decoder(
+            torch.from_numpy(ids).long(),
+            attention_mask=torch.from_numpy(mask).long(),
+            encoder_hidden_states=v_emb,
+            encoder_attention_mask=torch.ones(v_emb.shape[:-1]).long(),
+            is_decoder=True, mode="multimodal", return_logits=True,
+        )
+
+    sd = {k: v.detach().numpy() for k, v in ref.state_dict().items()}
+    cfg = BlipCaptionConfig(
+        image_size=IMG, vocab_size=VOCAB, vit_dtype=jnp.float32,
+        vit_config_override=VCFG, text_config_override=_tcfg(),
+    )
+    model = BlipCaption(cfg)
+    params = lavis_params_from_torch(sd, model)
+
+    def _logits(mdl, images, i, m):
+        emb = mdl.visual_encoder(images).astype(jnp.float32)
+        return mdl.decode_logits(i, m, emb)
+
+    got = model.apply(
+        {"params": params}, jnp.asarray(img), jnp.asarray(ids),
+        jnp.asarray(mask), method=_logits,
+    )
+    # reference return_logits drops the last position (med.py:1238-1239)
+    np.testing.assert_allclose(
+        np.asarray(got)[:, :-1, :], want.numpy(), atol=2e-4
+    )
+
+
+def test_albef_nlvr_import_golden(ref_blip_vit_module, ref_med_module, rng, data):
+    """ALBEF NLVR: alternating-image cross with K/V tied per layer pair
+    (albef_nlvr.py:102-140 + share_cross_attention :198-211)."""
+    import torch
+    import torch.nn as nn
+
+    from sprc_tpu.models.nlvr import NLVRClassifier, NLVRConfig
+
+    img, ids, mask = data
+    img1 = rng.rand(B, IMG, IMG, 3).astype(np.float32)
+
+    class Container(nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.visual_encoder = _ref_vit(ref_blip_vit_module, 61)
+            self.text_encoder = ref_med_module.BertModel(
+                _ref_bert_cfg(ref_med_module, fusion=FUSION),
+                add_pooling_layer=False,
+            )
+            self.cls_head = nn.Sequential(
+                nn.Linear(TH, TH), nn.ReLU(), nn.Linear(TH, NCLS)
+            )
+
+    ref = Container().eval()
+    _randomize(ref, 62)
+    # share_cross_attention: tie cross K/V across each layer pair
+    layers = ref.text_encoder.encoder.layer
+    for p in range((TLAYERS - FUSION + 1) // 2):
+        m0 = layers[FUSION + 2 * p].crossattention.self
+        m1 = layers[FUSION + 2 * p + 1].crossattention.self
+        m0.key.weight = m1.key.weight
+        m0.key.bias = m1.key.bias
+        m0.value.weight = m1.value.weight
+        m0.value.bias = m1.value.bias
+
+    with torch.no_grad():
+        embeds = ref.visual_encoder(
+            torch.cat([_timg(img), _timg(img1)], dim=0)
+        )
+        e0, e1 = embeds[:B], embeds[B:]
+        atts = torch.ones(e0.shape[:-1]).long()
+        out = ref.text_encoder(
+            torch.from_numpy(ids).long(),
+            attention_mask=torch.from_numpy(mask).long(),
+            encoder_hidden_states=[e0, e1],
+            encoder_attention_mask=[atts, atts],
+            mode="multimodal", return_dict=True,
+        ).last_hidden_state
+        want = ref.cls_head(out[:, 0, :])
+
+    sd = {k: v.detach().numpy() for k, v in ref.state_dict().items()}
+    cfg = NLVRConfig(
+        flavor="albef", num_classes=NCLS, image_size=IMG, vocab_size=VOCAB,
+        fusion_layer=FUSION, vit_dtype=jnp.float32,
+        vit_config_override=VCFG, text_config_override=_tcfg(),
+    )
+    model = NLVRClassifier(cfg)
+    params = lavis_params_from_torch(sd, model)
+    got = model.apply(
+        {"params": params}, jnp.asarray(img), jnp.asarray(img1),
+        jnp.asarray(ids), jnp.asarray(mask), method=model.predict,
+    )
+    np.testing.assert_allclose(np.asarray(got), want.numpy(), atol=1e-4)
+
+
+@pytest.fixture(scope="session")
+def ref_nlvr_encoder_module(ref_qformer_module):
+    """Reference nlvr_encoder.py standalone (transformers shims come from
+    the qformer fixture's modeling_utils patch)."""
+    import importlib.util
+    import pathlib
+
+    path = pathlib.Path(
+        "/root/reference/src/lavis/models/blip_models/nlvr_encoder.py"
+    )
+    if not path.exists():
+        pytest.skip("reference nlvr_encoder.py not present")
+    spec = importlib.util.spec_from_file_location("ref_nlvr_encoder", str(path))
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def test_blip_nlvr_import_golden(
+    ref_blip_vit_module, ref_nlvr_encoder_module, rng, data
+):
+    """BLIP NLVR: twin cross every layer, avg below layer 6, concat+merge
+    from layer 6 (nlvr_encoder.py:291-380; merge threshold hardcoded at 6,
+    so the tiny config runs 8 layers to cover both branches)."""
+    import torch
+    import torch.nn as nn
+
+    from sprc_tpu.models.nlvr import NLVRClassifier, NLVRConfig
+
+    NL = 8  # >= 7 so layers 6-7 exercise the merge branch
+    img, ids, mask = data
+    img1 = rng.rand(B, IMG, IMG, 3).astype(np.float32)
+
+    cfgb = ref_nlvr_encoder_module.BertConfig(
+        vocab_size=VOCAB, hidden_size=TH, num_hidden_layers=NL,
+        num_attention_heads=HEADS, intermediate_size=TINTER,
+        hidden_dropout_prob=0.0, attention_probs_dropout_prob=0.0,
+    )
+    cfgb.encoder_width = VW
+    cfgb.add_cross_attention = True
+
+    class Container(nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.visual_encoder = _ref_vit(ref_blip_vit_module, 71)
+            self.text_encoder = ref_nlvr_encoder_module.BertModel(
+                cfgb, add_pooling_layer=False
+            )
+            self.cls_head = nn.Sequential(
+                nn.Linear(TH, TH), nn.ReLU(), nn.Linear(TH, NCLS)
+            )
+
+    ref = Container().eval()
+    _randomize(ref, 72)
+    with torch.no_grad():
+        embeds = ref.visual_encoder(
+            torch.cat([_timg(img), _timg(img1)], dim=0)
+        )
+        e0, e1 = embeds[:B], embeds[B:]
+        atts = torch.ones(e0.shape[:-1]).long()
+        out = ref.text_encoder(
+            torch.from_numpy(ids).long(),
+            attention_mask=torch.from_numpy(mask).long(),
+            encoder_hidden_states=[e0, e1],
+            encoder_attention_mask=[atts, atts],
+            return_dict=True,
+        ).last_hidden_state
+        want = ref.cls_head(out[:, 0, :])
+
+    sd = {k: v.detach().numpy() for k, v in ref.state_dict().items()}
+    tcfg = QFormerConfig(
+        vocab_size=VOCAB, hidden_size=TH, num_layers=NL, num_heads=HEADS,
+        intermediate_size=TINTER, encoder_width=VW, dropout_rate=0.0,
+    )
+    cfg = NLVRConfig(
+        flavor="blip", num_classes=NCLS, image_size=IMG, vocab_size=VOCAB,
+        fusion_layer=6, vit_dtype=jnp.float32,
+        vit_config_override=VCFG, text_config_override=tcfg,
+    )
+    model = NLVRClassifier(cfg)
+    params = lavis_params_from_torch(sd, model)
+    got = model.apply(
+        {"params": params}, jnp.asarray(img), jnp.asarray(img1),
+        jnp.asarray(ids), jnp.asarray(mask), method=model.predict,
+    )
+    np.testing.assert_allclose(np.asarray(got), want.numpy(), atol=1e-4)
