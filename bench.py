@@ -515,8 +515,15 @@ def main() -> None:
 
     backend = jax.default_backend()
     tpu = backend == "tpu"
-    enc_batch = int(os.environ.get("SPRC_BENCH_BATCH", "512" if tpu else "2"))
+    # b2048 measured best on chip: int8 1150.4 (b512) -> 1183.8 (b1024) ->
+    # 1210.0 (b2048); bf16 830.3 -> 877.3 — the larger tile amortizes
+    # dispatch and pipelines more groups per megakernel call
+    enc_batch = int(os.environ.get("SPRC_BENCH_BATCH", "2048" if tpu else "2"))
     enc_steps = 10 if tpu else 2
+    # the index bench keeps a smaller batch: it uploads decoded pixels over
+    # the tunnel (~100 MB per 512-image batch), so enc_batch would make it
+    # a pure bandwidth soak
+    idx_batch = int(os.environ.get("SPRC_BENCH_INDEX_BATCH", "512" if tpu else "2"))
     extras = {}
 
     def run(name, fn, *a, **kw):
@@ -595,7 +602,7 @@ def main() -> None:
         # the framework: each batch uploads ~100 MB of decoded pixels at
         # ~4 MB/s (MEASUREMENTS.md); labeled accordingly
         run("index_build_imgs_per_sec_tunnel_bound", bench_index,
-            enc_batch, 4 * enc_batch if tpu else 4)
+            idx_batch, 4 * idx_batch if tpu else 4)
 
     int8_v = extras.get("encode_int8_imgs_per_sec")
     bf16_v = extras.get("encode_bf16_imgs_per_sec")
