@@ -410,6 +410,72 @@ def test_blip_caption_import_golden(ref_blip_vit_module, ref_med_module, rng, da
     )
 
 
+def test_albef_state_from_torch(ref_blip_vit_module, ref_med_module, rng, data):
+    """Momentum copies (*_m keys) + queues lift into the functional aux
+    state; the momentum subtree must equal re-importing the _m weights."""
+    import torch
+    import torch.nn as nn
+
+    from sprc_tpu.interop.lavis_import import albef_state_from_torch
+    from sprc_tpu.models.albef import AlbefConfig, AlbefRetrieval
+
+    img, ids, mask = data
+    QS = 8
+
+    class Container(nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.visual_encoder = _ref_vit(ref_blip_vit_module, 81)
+            self.text_encoder = ref_med_module.BertModel(
+                _ref_bert_cfg(ref_med_module, fusion=FUSION),
+                add_pooling_layer=False,
+            )
+            self.vision_proj = nn.Linear(VW, E)
+            self.text_proj = nn.Linear(TH, E)
+            self.itm_head = nn.Linear(TH, 2)
+            self.temp = nn.Parameter(torch.ones([]) * 0.07)
+            # momentum twins (reference model_pairs) + queues
+            self.visual_encoder_m = _ref_vit(ref_blip_vit_module, 82)
+            self.text_encoder_m = ref_med_module.BertModel(
+                _ref_bert_cfg(ref_med_module, fusion=FUSION),
+                add_pooling_layer=False,
+            )
+            self.vision_proj_m = nn.Linear(VW, E)
+            self.text_proj_m = nn.Linear(TH, E)
+            self.register_buffer("image_queue", torch.randn(E, QS))
+            self.register_buffer("text_queue", torch.randn(E, QS))
+            self.register_buffer("idx_queue", torch.full((1, QS), -100).long())
+            self.register_buffer("queue_ptr", torch.zeros(1).long())
+
+    ref = Container().eval()
+    _randomize(ref, 83)
+    sd = {k: v.detach().numpy() for k, v in ref.state_dict().items()}
+
+    cfg = AlbefConfig(
+        image_size=IMG, embed_dim=E, max_txt_len=TXT, vocab_size=VOCAB,
+        fusion_layer=FUSION, queue_size=QS, vit_dtype=jnp.float32,
+        vit_config_override=VCFG, text_config_override=_tcfg(),
+    )
+    model = AlbefRetrieval(cfg)
+    params = lavis_params_from_torch(sd, model)
+    state = albef_state_from_torch(sd, model, params)
+
+    # the _m twins were randomized differently from the online weights
+    on = np.asarray(params["vision_proj"]["kernel"])
+    mo = np.asarray(state["params_m"]["vision_proj"]["kernel"])
+    assert not np.allclose(on, mo)
+    np.testing.assert_allclose(
+        mo, np.asarray(sd["vision_proj_m.weight"]).T, atol=1e-6
+    )
+    np.testing.assert_allclose(
+        np.asarray(state["image_queue"]), sd["image_queue"], atol=1e-6
+    )
+    np.testing.assert_allclose(
+        np.asarray(state["idx_queue"]), sd["idx_queue"].reshape(-1), atol=0
+    )
+    assert int(state["ptr"]) == 0
+
+
 def test_albef_nlvr_import_golden(ref_blip_vit_module, ref_med_module, rng, data):
     """ALBEF NLVR: alternating-image cross with K/V tied per layer pair
     (albef_nlvr.py:102-140 + share_cross_attention :198-211)."""
