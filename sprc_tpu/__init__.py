@@ -21,7 +21,7 @@ from sprc_tpu.version import __version__
 from sprc_tpu.registry import registry
 from sprc_tpu import models as _models  # populate the registry
 from sprc_tpu.features import extract_features
-from sprc_tpu.loader import load_model, load_model_and_preprocess
+from sprc_tpu.loader import load_model, load_model_and_preprocess, model_zoo
 
 __all__ = [
     "__version__",
@@ -29,4 +29,5 @@ __all__ = [
     "extract_features",
     "load_model",
     "load_model_and_preprocess",
+    "model_zoo",
 ]

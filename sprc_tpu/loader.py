@@ -409,3 +409,51 @@ def load_model_and_preprocess(
     else:
         txt = {"train": CaptionProcessor(), "eval": CaptionProcessor()}
     return model, params, vis, txt
+
+
+class ModelZoo:
+    """String listing of every (architecture, model_type) pair resolvable by
+    :func:`build_model` — the reference ``lavis.models.model_zoo`` surface
+    (src/lavis/models/__init__.py:252-291). Types are enumerated from the
+    YAML config library (``configs/models/<arch>/<type>.yaml``), this
+    framework's equivalent of ``PRETRAINED_MODEL_CONFIG_DICT``."""
+
+    def __init__(self) -> None:
+        import os
+
+        from sprc_tpu.config import CONFIG_ROOT
+
+        root = os.path.join(CONFIG_ROOT, "models")
+        zoo = {}
+        for arch in sorted(os.listdir(root)):
+            adir = os.path.join(root, arch)
+            if not os.path.isdir(adir):
+                continue
+            types = sorted(
+                f[: -len(".yaml")] for f in os.listdir(adir) if f.endswith(".yaml")
+            )
+            if types:
+                zoo[arch] = types
+        self.model_zoo = zoo
+
+    def __str__(self) -> str:
+        return (
+            "=" * 50
+            + "\n"
+            + f"{'Architectures':<30} {'Types'}\n"
+            + "=" * 50
+            + "\n"
+            + "\n".join(
+                f"{name:<30} {', '.join(types)}"
+                for name, types in self.model_zoo.items()
+            )
+        )
+
+    def __iter__(self):
+        return iter(self.model_zoo.items())
+
+    def __len__(self) -> int:
+        return sum(len(v) for v in self.model_zoo.values())
+
+
+model_zoo = ModelZoo()

@@ -137,3 +137,18 @@ def test_pipeline_from_config(tiny_vocab):
     )
     assert isinstance(im, Img2PromptVqaPipeline)
     assert type(im.qa_model).__name__ == "T5ForConditionalGeneration"
+
+
+def test_model_zoo_listing():
+    """model_zoo mirrors the reference lavis.models.model_zoo surface
+    (src/lavis/models/__init__.py:252-291): every YAML-library (arch, type)
+    pair, printable, iterable, countable."""
+    import sprc_tpu
+
+    zoo = sprc_tpu.model_zoo
+    pairs = dict(iter(zoo))
+    assert len(zoo) == sum(len(v) for v in pairs.values()) > 70
+    assert "blip2_cir_align_prompt" in pairs
+    assert "coco" in pairs["albef_retrieval"]
+    s = str(zoo)
+    assert "Architectures" in s and "alpro_retrieval" in s
