@@ -216,6 +216,70 @@ def vqa_params_from_torch(sd, model) -> Pytree:
     }
 
 
+def blip2_llm_params_from_torch(sd, model) -> Pytree:
+    """LAVIS stage-2 ``blip2_t5`` / ``blip2_opt`` checkpoints: frozen ViT +
+    ln_vision + Q-Former + query_tokens, plus the frozen LLM under
+    ``t5_model.`` / ``opt_model.`` (HF layout with prefix) and its
+    projection (reference blip2_t5.py:60-107, blip2_opt.py:52-96)."""
+    from sprc_tpu.interop.torch_import import (
+        clip_vit_params_from_torch,
+        eva_vit_params_from_torch,
+        qformer_params_from_torch,
+    )
+
+    cfg = model.cfg
+    vcfg = cfg.vit_config()
+    qcfg = cfg.qformer_config()
+    if vcfg.qkv_fused_no_kbias:
+        vit = eva_vit_params_from_torch(
+            sd, depth=vcfg.depth, scan_blocks=vcfg.scan_blocks
+        )
+    else:
+        vit = clip_vit_params_from_torch(
+            sd, depth=vcfg.depth, scan_blocks=vcfg.scan_blocks
+        )
+    params: Pytree = {
+        "visual_encoder": vit,
+        "ln_vision": _layernorm(sd, "ln_vision"),
+        "qformer": qformer_params_from_torch(
+            sd,
+            num_layers=qcfg.num_layers,
+            cross_attention_freq=qcfg.cross_attention_freq,
+        ),
+        "query_tokens": np.asarray(sd["query_tokens"]),
+    }
+    # stage-2 checkpoints usually drop the stage-1 heads, but setup()
+    # materializes the temp scalar eagerly -> default it to the init value
+    params["temp"] = (
+        np.asarray(sd["temp"]) if "temp" in sd else np.asarray(0.07, np.float32)
+    )
+    if any(k.startswith("t5_model.") for k in sd):
+        from sprc_tpu.models.t5 import t5_params_from_hf
+
+        tcfg = model.t5_config
+        params["t5"] = t5_params_from_hf(
+            sd, num_layers=tcfg.num_layers,
+            num_decoder_layers=tcfg.num_decoder_layers,
+            gated_act=tcfg.gated_act,
+            tie_word_embeddings=tcfg.tie_word_embeddings,
+            prefix="t5_model.",
+        )
+        params["t5_proj"] = _linear(sd, "t5_proj")
+    elif any(k.startswith("opt_model.") for k in sd):
+        from sprc_tpu.models.opt import opt_params_from_hf
+
+        params["opt"] = opt_params_from_hf(
+            sd, num_layers=model.opt_config.num_layers, prefix="opt_model."
+        )
+        params["opt_proj"] = _linear(sd, "opt_proj")
+    else:
+        raise KeyError(
+            "no t5_model./opt_model. subtree in checkpoint — not a stage-2 "
+            "blip2 LLM checkpoint"
+        )
+    return params
+
+
 def nlvr_params_from_torch(sd, model) -> Pytree:
     """ALBEF/BLIP NLVR checkpoints.
 
@@ -348,6 +412,8 @@ def _family_classes():
     from sprc_tpu.models.albef import AlbefRetrieval
     from sprc_tpu.models.alpro import AlproQA, AlproRetrieval
     from sprc_tpu.models.blip1 import BlipCaption, BlipCirBase, BlipRetrieval
+    from sprc_tpu.models.blip2_opt import Blip2OPT
+    from sprc_tpu.models.blip2_t5 import Blip2T5
     from sprc_tpu.models.classification import MultimodalClassifier
     from sprc_tpu.models.nlvr import NLVRClassifier
     from sprc_tpu.models.vqa import VQAModel
@@ -355,6 +421,7 @@ def _family_classes():
     return (
         AlproRetrieval, AlproQA, AlbefRetrieval, BlipRetrieval, BlipCaption,
         BlipCirBase, MultimodalClassifier, VQAModel, NLVRClassifier,
+        Blip2T5, Blip2OPT,
     )
 
 
@@ -378,10 +445,15 @@ def lavis_params_from_torch(sd, model) -> Pytree:
     from sprc_tpu.models.classification import MultimodalClassifier
     from sprc_tpu.models.vqa import VQAModel
 
+    from sprc_tpu.models.blip2_opt import Blip2OPT
+    from sprc_tpu.models.blip2_t5 import Blip2T5
+
     if isinstance(model, (AlproRetrieval, AlproQA)):
         from sprc_tpu.models.alpro import alpro_params_from_torch
 
         return alpro_params_from_torch(sd, model)
+    if isinstance(model, (Blip2T5, Blip2OPT)):
+        return jax.tree.map(jnp.asarray, blip2_llm_params_from_torch(sd, model))
     if isinstance(model, AlbefRetrieval):  # covers AlbefPretrain subclass
         fn = albef_retrieval_params_from_torch
     elif isinstance(model, BlipRetrieval):  # covers BlipITM / BlipPretrain

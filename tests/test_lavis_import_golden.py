@@ -410,6 +410,253 @@ def test_blip_caption_import_golden(ref_blip_vit_module, ref_med_module, rng, da
     )
 
 
+def test_blip2_t5_import_golden(ref_qformer_module, ref_eva_vit_module, rng):
+    """Stage-2 blip2_t5 checkpoint import: reference EVA + Q-Former fork +
+    HF T5 under ``t5_model.`` assembled with the released key layout; the
+    seq2seq LM loss on imported weights must match the torch composition
+    (reference blip2_models/blip2_t5.py:60-107 forward)."""
+    import torch
+    import torch.nn as nn
+    from transformers import T5Config as HFT5Config
+    from transformers import T5ForConditionalGeneration as HFT5
+
+    from sprc_tpu.models.blip2_t5 import Blip2T5
+    from sprc_tpu.models.cir_base import CirConfig
+    from sprc_tpu.models.t5 import T5Config
+
+    IMG28, PATCH14, VWIDTH, VDEPTH2 = 28, 14, 32, 2
+    HIDDEN, L2, H2, INTER96, Q4, TVOCAB, TXT8 = 48, 2, 2, 96, 4, 60, 8
+    TD, TKV, TFF, TH4, TL = 32, 8, 64, 4, 2
+
+    torch.manual_seed(91)
+    bcfg = ref_qformer_module.BertConfig(
+        vocab_size=VOCAB, hidden_size=HIDDEN, num_hidden_layers=L2,
+        num_attention_heads=H2, intermediate_size=INTER96,
+        hidden_dropout_prob=0.0, attention_probs_dropout_prob=0.0,
+    )
+    bcfg.encoder_width = VWIDTH
+    bcfg.add_cross_attention = True
+    bcfg.cross_attention_freq = 2
+    bcfg.query_length = Q4
+
+    hfcfg = HFT5Config(
+        vocab_size=TVOCAB, d_model=TD, d_kv=TKV, d_ff=TFF, num_layers=TL,
+        num_decoder_layers=TL, num_heads=TH4, feed_forward_proj="gated-gelu",
+        tie_word_embeddings=False, dropout_rate=0.0,
+        decoder_start_token_id=0, pad_token_id=0,
+    )
+
+    class QformerWrapper(nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.bert = ref_qformer_module.BertModel(bcfg, add_pooling_layer=False)
+
+    class Container(nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.visual_encoder = ref_eva_vit_module.VisionTransformer(
+                img_size=IMG28, patch_size=PATCH14, embed_dim=VWIDTH,
+                depth=VDEPTH2, num_heads=H2, mlp_ratio=4.0, qkv_bias=True,
+                use_mean_pooling=False,
+                norm_layer=lambda d: nn.LayerNorm(d, eps=1e-6),
+            )
+            self.ln_vision = nn.LayerNorm(VWIDTH)
+            self.Qformer = QformerWrapper()
+            self.query_tokens = nn.Parameter(torch.randn(1, Q4, HIDDEN) * 0.02)
+            self.t5_model = HFT5(hfcfg)
+            self.t5_proj = nn.Linear(HIDDEN, TD)
+
+    ref = Container().eval()
+    _randomize(ref, 92)
+
+    Bsz = 2
+    img = rng.rand(Bsz, IMG28, IMG28, 3).astype(np.float32)
+    in_ids = rng.randint(1, TVOCAB, (Bsz, TXT8)).astype(np.int32)
+    in_mask = np.ones((Bsz, TXT8), np.int32)
+    in_mask[1, 5:] = 0
+    out_ids = rng.randint(1, TVOCAB, (Bsz, TXT8)).astype(np.int32)
+    out_ids[0, 6:] = 0  # right pads
+    out_mask = (out_ids != 0).astype(np.int32)
+
+    with torch.no_grad():
+        v = ref.ln_vision(ref.visual_encoder(_timg(img)))
+        q = ref.Qformer.bert(
+            query_embeds=ref.query_tokens.expand(Bsz, -1, -1),
+            encoder_hidden_states=v,
+            encoder_attention_mask=torch.ones(v.shape[:-1]).long(),
+            return_dict=True,
+        ).last_hidden_state
+        inputs_t5 = ref.t5_proj(q)
+        tok = ref.t5_model.encoder.embed_tokens(torch.from_numpy(in_ids).long())
+        embeds = torch.cat([inputs_t5, tok], dim=1)
+        emask = torch.cat(
+            [torch.ones(Bsz, Q4).long(), torch.from_numpy(in_mask).long()], dim=1
+        )
+        labels = torch.from_numpy(out_ids).long()
+        labels[labels == 0] = -100
+        want_loss = ref.t5_model(
+            inputs_embeds=embeds, attention_mask=emask, labels=labels
+        ).loss
+
+    sd = {k: v_.detach().numpy() for k, v_ in ref.state_dict().items()}
+
+    from sprc_tpu.models.vit import ViTConfig
+
+    vcfg = ViTConfig(
+        image_size=IMG28, patch_size=PATCH14, width=VWIDTH, depth=VDEPTH2,
+        num_heads=H2, mlp_hidden=4 * VWIDTH, layer_norm_eps=1e-6,
+        qkv_fused_no_kbias=True, dtype=jnp.float32,
+    )
+    qcfg = QFormerConfig(
+        vocab_size=VOCAB, hidden_size=HIDDEN, num_layers=L2, num_heads=H2,
+        intermediate_size=INTER96, encoder_width=VWIDTH, query_length=Q4,
+        cross_attention_freq=2, dropout_rate=0.0,
+    )
+    cir = CirConfig(
+        vit_model="eva_clip_g", image_size=IMG28, num_query_token=Q4,
+        max_txt_len=TXT8, vocab_size=VOCAB, vit_dtype=jnp.float32,
+        qformer_dtype=jnp.float32, vit_config_override=vcfg,
+        qformer_config_override=qcfg,
+    )
+    tcfg = T5Config(
+        vocab_size=TVOCAB, d_model=TD, d_kv=TKV, d_ff=TFF, num_heads=TH4,
+        num_layers=TL, num_decoder_layers=TL, gated_act=True,
+        tie_word_embeddings=False, dtype=jnp.float32,
+    )
+    model = Blip2T5(cfg=cir, t5_config=tcfg)
+    params = lavis_params_from_torch(sd, model)
+    got = model.apply(
+        {"params": params}, jnp.asarray(img), jnp.asarray(in_ids),
+        jnp.asarray(in_mask), jnp.asarray(out_ids), jnp.asarray(out_mask),
+    )
+    np.testing.assert_allclose(
+        float(got["loss"]), float(want_loss), atol=3e-5, rtol=1e-4
+    )
+
+
+def test_blip2_opt_import_golden(ref_qformer_module, ref_eva_vit_module, rng):
+    """Stage-2 blip2_opt checkpoint import: LM caption loss on imported
+    weights vs the torch composition (blip2_models/blip2_opt.py:52-96;
+    OPT under ``opt_model.``)."""
+    import torch
+    import torch.nn as nn
+    from transformers import OPTConfig as HFOPTConfig
+    from transformers import OPTForCausalLM as HFOPT
+
+    from sprc_tpu.models.blip2_opt import Blip2OPT
+    from sprc_tpu.models.cir_base import CirConfig
+    from sprc_tpu.models.opt import OPTConfig
+    from sprc_tpu.models.vit import ViTConfig
+
+    IMG28, PATCH14, VWIDTH, VDEPTH2 = 28, 14, 32, 2
+    HIDDEN, L2, H2, INTER96, Q4, OVOCAB, TXT8 = 48, 2, 2, 96, 4, 60, 8
+    OD, OFF, OH, OL = 32, 64, 4, 2
+
+    torch.manual_seed(101)
+    bcfg = ref_qformer_module.BertConfig(
+        vocab_size=VOCAB, hidden_size=HIDDEN, num_hidden_layers=L2,
+        num_attention_heads=H2, intermediate_size=INTER96,
+        hidden_dropout_prob=0.0, attention_probs_dropout_prob=0.0,
+    )
+    bcfg.encoder_width = VWIDTH
+    bcfg.add_cross_attention = True
+    bcfg.cross_attention_freq = 2
+    bcfg.query_length = Q4
+
+    hfcfg = HFOPTConfig(
+        vocab_size=OVOCAB, hidden_size=OD, ffn_dim=OFF,
+        num_hidden_layers=OL, num_attention_heads=OH,
+        max_position_embeddings=64, word_embed_proj_dim=OD,
+        do_layer_norm_before=True, dropout=0.0, pad_token_id=1,
+    )
+
+    class QformerWrapper(nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.bert = ref_qformer_module.BertModel(bcfg, add_pooling_layer=False)
+
+    class Container(nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.visual_encoder = ref_eva_vit_module.VisionTransformer(
+                img_size=IMG28, patch_size=PATCH14, embed_dim=VWIDTH,
+                depth=VDEPTH2, num_heads=H2, mlp_ratio=4.0, qkv_bias=True,
+                use_mean_pooling=False,
+                norm_layer=lambda d: nn.LayerNorm(d, eps=1e-6),
+            )
+            self.ln_vision = nn.LayerNorm(VWIDTH)
+            self.Qformer = QformerWrapper()
+            self.query_tokens = nn.Parameter(torch.randn(1, Q4, HIDDEN) * 0.02)
+            self.opt_model = HFOPT(hfcfg)
+            self.opt_proj = nn.Linear(HIDDEN, OD)
+
+    ref = Container().eval()
+    _randomize(ref, 102)
+
+    Bsz = 2
+    img = rng.rand(Bsz, IMG28, IMG28, 3).astype(np.float32)
+    ids = rng.randint(2, OVOCAB, (Bsz, TXT8)).astype(np.int32)
+    ids[1, 6:] = 1  # right pads (OPT pad id 1)
+    mask = (ids != 1).astype(np.int32)
+
+    with torch.no_grad():
+        v = ref.ln_vision(ref.visual_encoder(_timg(img)))
+        q = ref.Qformer.bert(
+            query_embeds=ref.query_tokens.expand(Bsz, -1, -1),
+            encoder_hidden_states=v,
+            encoder_attention_mask=torch.ones(v.shape[:-1]).long(),
+            return_dict=True,
+        ).last_hidden_state
+        inputs_opt = ref.opt_proj(q)
+        tok = ref.opt_model.model.decoder.embed_tokens(
+            torch.from_numpy(ids).long()
+        )
+        embeds = torch.cat([inputs_opt, tok], dim=1)
+        emask = torch.cat(
+            [torch.ones(Bsz, Q4).long(), torch.from_numpy(mask).long()], dim=1
+        )
+        tlabels = torch.from_numpy(ids).long()
+        tlabels[tlabels == 1] = -100
+        tlabels = torch.cat(
+            [torch.full((Bsz, Q4), -100).long(), tlabels], dim=1
+        )
+        want_loss = ref.opt_model(
+            inputs_embeds=embeds, attention_mask=emask, labels=tlabels
+        ).loss
+
+    sd = {k: v_.detach().numpy() for k, v_ in ref.state_dict().items()}
+
+    vcfg = ViTConfig(
+        image_size=IMG28, patch_size=PATCH14, width=VWIDTH, depth=VDEPTH2,
+        num_heads=H2, mlp_hidden=4 * VWIDTH, layer_norm_eps=1e-6,
+        qkv_fused_no_kbias=True, dtype=jnp.float32,
+    )
+    qcfg = QFormerConfig(
+        vocab_size=VOCAB, hidden_size=HIDDEN, num_layers=L2, num_heads=H2,
+        intermediate_size=INTER96, encoder_width=VWIDTH, query_length=Q4,
+        cross_attention_freq=2, dropout_rate=0.0,
+    )
+    cir = CirConfig(
+        vit_model="eva_clip_g", image_size=IMG28, num_query_token=Q4,
+        max_txt_len=TXT8, vocab_size=VOCAB, vit_dtype=jnp.float32,
+        qformer_dtype=jnp.float32, vit_config_override=vcfg,
+        qformer_config_override=qcfg,
+    )
+    ocfg = OPTConfig(
+        vocab_size=OVOCAB, hidden_size=OD, ffn_dim=OFF, num_layers=OL,
+        num_heads=OH, max_positions=64, dtype=jnp.float32,
+    )
+    model = Blip2OPT(cfg=cir, opt_config=ocfg)
+    params = lavis_params_from_torch(sd, model)
+    got = model.apply(
+        {"params": params}, jnp.asarray(img), jnp.asarray(ids),
+        jnp.asarray(mask),
+    )
+    np.testing.assert_allclose(
+        float(got["loss"]), float(want_loss), atol=3e-5, rtol=1e-4
+    )
+
+
 def test_albef_state_from_torch(ref_blip_vit_module, ref_med_module, rng, data):
     """Momentum copies (*_m keys) + queues lift into the functional aux
     state; the momentum subtree must equal re-importing the _m weights."""
