@@ -48,11 +48,13 @@ def evaluate(cfg, args) -> dict:
     from sprc_tpu.models.pnp_vqa import PnpVqaPipeline
 
     if isinstance(model, PnpVqaPipeline):
-        # composed pipelines carry their submodel params; load released
-        # submodel weights through interop on each (itm/cap/qa)_params
+        # composed pipelines carry their submodel params; released weights
+        # load per-submodel via `finetuned: <path>` in each sub-section of
+        # the model config (PnpVqaPipeline.from_config)
         assert not args.model_path, (
-            "pnp pipelines load per-submodel checkpoints; see "
-            "interop/torch_import and PnpVqaPipeline.from_config")
+            "pnp pipelines load per-submodel checkpoints: put "
+            "`finetuned: <path>` inside each model sub-section of the YAML "
+            "instead of --model-path")
         params = None
     elif args.model_path:
         from sprc_tpu.interop.torch_import import load_checkpoint_auto

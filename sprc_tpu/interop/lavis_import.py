@@ -416,12 +416,14 @@ def _family_classes():
     from sprc_tpu.models.blip2_t5 import Blip2T5
     from sprc_tpu.models.classification import MultimodalClassifier
     from sprc_tpu.models.nlvr import NLVRClassifier
+    from sprc_tpu.models.pnp_vqa import FiDT5
+    from sprc_tpu.models.t5 import T5ForConditionalGeneration
     from sprc_tpu.models.vqa import VQAModel
 
     return (
         AlproRetrieval, AlproQA, AlbefRetrieval, BlipRetrieval, BlipCaption,
         BlipCirBase, MultimodalClassifier, VQAModel, NLVRClassifier,
-        Blip2T5, Blip2OPT,
+        Blip2T5, Blip2OPT, FiDT5, T5ForConditionalGeneration,
     )
 
 
@@ -447,6 +449,8 @@ def lavis_params_from_torch(sd, model) -> Pytree:
 
     from sprc_tpu.models.blip2_opt import Blip2OPT
     from sprc_tpu.models.blip2_t5 import Blip2T5
+    from sprc_tpu.models.pnp_vqa import FiDT5
+    from sprc_tpu.models.t5 import T5ForConditionalGeneration, t5_params_from_hf
 
     if isinstance(model, (AlproRetrieval, AlproQA)):
         from sprc_tpu.models.alpro import alpro_params_from_torch
@@ -454,6 +458,18 @@ def lavis_params_from_torch(sd, model) -> Pytree:
         return alpro_params_from_torch(sd, model)
     if isinstance(model, (Blip2T5, Blip2OPT)):
         return jax.tree.map(jnp.asarray, blip2_llm_params_from_torch(sd, model))
+    if isinstance(model, (FiDT5, T5ForConditionalGeneration)):
+        # bare HF-layout seq2seq T5 (e.g. the released unifiedqav2 FiD reader)
+        tcfg = model.config
+        t5 = t5_params_from_hf(
+            sd, num_layers=tcfg.num_layers,
+            num_decoder_layers=tcfg.num_decoder_layers,
+            gated_act=tcfg.gated_act,
+            tie_word_embeddings=tcfg.tie_word_embeddings,
+        )
+        if isinstance(model, FiDT5):
+            t5 = {"t5": t5}
+        return jax.tree.map(jnp.asarray, t5)
     if isinstance(model, AlbefRetrieval):  # covers AlbefPretrain subclass
         fn = albef_retrieval_params_from_torch
     elif isinstance(model, BlipRetrieval):  # covers BlipITM / BlipPretrain

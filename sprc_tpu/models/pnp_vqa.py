@@ -148,8 +148,10 @@ class PnpVqaPipeline:
         ``question_answering_model``) each carry ``arch`` + ``model_type``
         and resolve through the shared model-YAML library; extra keys are
         per-submodel config overrides. Params are randomly initialized
-        (the zero-egress analogue of ``load_finetuned``; port released
-        weights afterwards via :mod:`sprc_tpu.interop.torch_import`).
+        unless a sub-section carries ``finetuned: <local path>`` (the
+        reference's per-submodel checkpoint URLs), which loads the torch
+        weights through the class-dispatched importer
+        (:func:`sprc_tpu.interop.torch_import.load_checkpoint_auto`).
         """
         import jax as _jax
 
@@ -160,8 +162,14 @@ class PnpVqaPipeline:
         if rng is None:
             rng = _jax.random.PRNGKey(0)
 
+        ckpts = {}
+
         def _sub(section: str):
             sub = dict(mcfg.get(section) or {})
+            # per-submodel released-weight path (the reference YAMLs'
+            # ``finetuned:`` URLs, configs/models/pnp-vqa/*.yaml); loaded
+            # through the class-dispatched importer below
+            ckpts[section] = sub.pop("finetuned", None)
             arch = sub.pop("arch")
             model_type = sub.pop("model_type", "pretrain")
             if arch == "t5":  # plain seq2seq T5 (Img2Prompt's QG model)
@@ -198,6 +206,18 @@ class PnpVqaPipeline:
             qa_params = qa.init(
                 r_qa, jnp.zeros((1, 8), jnp.int32), jnp.zeros((1, 3), jnp.int32),
             )["params"]
+
+        def _maybe_load(section, model, init_params):
+            path = ckpts.get(section)
+            if not path:
+                return init_params
+            from sprc_tpu.interop.torch_import import load_checkpoint_auto
+
+            return load_checkpoint_auto(path, model)
+
+        itm_params = _maybe_load("image_question_matching_model", itm, itm_params)
+        cap_params = _maybe_load("image_captioning_model", cap, cap_params)
+        qa_params = _maybe_load("question_answering_model", qa, qa_params)
 
         tokenizer = BertWordPieceTokenizer.from_vocab_file(
             ensure_bert_vocab(vocab_path), extra_special_tokens=["[DEC]"])

@@ -152,3 +152,37 @@ def test_model_zoo_listing():
     assert "coco" in pairs["albef_retrieval"]
     s = str(zoo)
     assert "Architectures" in s and "alpro_retrieval" in s
+
+
+def test_pnp_finetuned_submodel_loading(tiny_vocab, tmp_path):
+    """Per-submodel ``finetuned:`` paths in the pnp_vqa config load released
+    torch weights through the class-dispatched importer (the reference
+    YAMLs' per-submodel checkpoint URLs, configs/models/pnp-vqa/*.yaml)."""
+    import numpy as np
+    import torch
+    from transformers import T5Config as HFT5Config
+    from transformers import T5ForConditionalGeneration as HFT5
+
+    hf = HFT5(HFT5Config(
+        vocab_size=32, d_model=16, d_kv=8, d_ff=32, num_layers=1,
+        num_decoder_layers=1, num_heads=2, feed_forward_proj="gated-gelu",
+        tie_word_embeddings=False, dropout_rate=0.0,
+        decoder_start_token_id=0, pad_token_id=0,
+    ))
+    path = tmp_path / "fid_reader.pth"
+    torch.save(hf.state_dict(), str(path))
+
+    itm = {"arch": "blip_image_text_matching", "image_size": 32,
+           "vit_dtype": "fp32", "vit_config_override": TINY_VIT,
+           "text_config_override": TINY_TXT}
+    cap = dict(itm, arch="blip_caption")
+    pipe = build_model(
+        "pnp_vqa", "base", vocab_path=tiny_vocab,
+        image_question_matching_model=itm, image_captioning_model=cap,
+        question_answering_model=dict(
+            TINY_T5, arch="pnp_unifiedqav2_fid", finetuned=str(path)
+        ),
+    )
+    got = np.asarray(pipe.qa_params["t5"]["shared"]["embedding"])
+    want = hf.state_dict()["shared.weight"].numpy()
+    np.testing.assert_allclose(got, want, atol=0)
