@@ -57,10 +57,13 @@ def test_engine_matches_direct(setup, rng):
         {"params": params}, jnp.asarray(all_images),
         method=model.extract_target_features,
     )
+    # atol: the engine encodes in batches of 4 while the reference is one
+    # batch of 10; XLA-CPU (oneDNN) reduction order varies with batch shape
+    # and machine load, so exact 1e-6 agreement is not guaranteed
     np.testing.assert_allclose(
-        np.asarray(index.target_feats)[:10], np.asarray(feats_direct), atol=1e-6
+        np.asarray(index.target_feats)[:10], np.asarray(feats_direct), atol=1e-5
     )
-    np.testing.assert_allclose(index.frozen_embeds, np.asarray(frozen_direct), atol=1e-6)
+    np.testing.assert_allclose(index.frozen_embeds, np.asarray(frozen_direct), atol=1e-5)
 
     captions = ["same dress but red", "shorter shirt", "blue dress", "longer"]
     refs = ["img0", "img3", "img5", "img9"]
