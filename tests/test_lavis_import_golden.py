@@ -723,6 +723,58 @@ def test_albef_state_from_torch(ref_blip_vit_module, ref_med_module, rng, data):
     assert int(state["ptr"]) == 0
 
 
+def test_albef_pretrain_import_golden(
+    ref_blip_vit_module, ref_med_module, rng, data
+):
+    """ALBEF pretrain checkpoints wrap the text tower in BertForMaskedLM
+    (albef_pretrain.py:388-394): keys under ``text_encoder.bert.`` plus the
+    MLM head under ``text_encoder.cls.predictions.`` -> ``mlm_head``."""
+    import torch
+    import torch.nn as nn
+
+    from sprc_tpu.models.albef import AlbefConfig, AlbefPretrain
+
+    img, ids, mask = data
+
+    class Container(nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.visual_encoder = _ref_vit(ref_blip_vit_module, 111)
+            self.text_encoder = ref_med_module.BertForMaskedLM(
+                _ref_bert_cfg(ref_med_module, fusion=FUSION)
+            )
+            self.vision_proj = nn.Linear(VW, E)
+            self.text_proj = nn.Linear(TH, E)
+            self.itm_head = nn.Linear(TH, 2)
+            self.temp = nn.Parameter(torch.ones([]) * 0.07)
+
+    ref = Container().eval()
+    _randomize(ref, 112)
+    with torch.no_grad():
+        v_emb = ref.visual_encoder(_timg(img))
+        want = ref.text_encoder(
+            torch.from_numpy(ids).long(),
+            attention_mask=torch.from_numpy(mask).long(),
+            encoder_hidden_states=v_emb,
+            encoder_attention_mask=torch.ones(v_emb.shape[:-1]).long(),
+            mode="multimodal", return_logits=True,
+        )
+
+    sd = {k: v.detach().numpy() for k, v in ref.state_dict().items()}
+    cfg = AlbefConfig(
+        image_size=IMG, embed_dim=E, max_txt_len=TXT, vocab_size=VOCAB,
+        fusion_layer=FUSION, vit_dtype=jnp.float32,
+        vit_config_override=VCFG, text_config_override=_tcfg(),
+    )
+    model = AlbefPretrain(cfg)
+    params = lavis_params_from_torch(sd, model)
+    got = model.apply(
+        {"params": params}, jnp.asarray(ids), jnp.asarray(mask),
+        jnp.asarray(np.asarray(v_emb)), method=model.mlm_logits,
+    )
+    np.testing.assert_allclose(np.asarray(got), want.numpy(), atol=2e-4)
+
+
 def test_albef_nlvr_import_golden(ref_blip_vit_module, ref_med_module, rng, data):
     """ALBEF NLVR: alternating-image cross with K/V tied per layer pair
     (albef_nlvr.py:102-140 + share_cross_attention :198-211)."""
