@@ -556,10 +556,11 @@ def main() -> None:
     if "encode_int8" in modes:
         run("encode_int8_imgs_per_sec", bench_encode_int8, enc_batch, enc_steps)
     if "query" in modes:
-        qb = int(os.environ.get("SPRC_BENCH_QUERY_BATCH", "512")) if tpu else 2
+        qb = int(os.environ.get("SPRC_BENCH_QUERY_BATCH", "2048")) if tpu else 2
         run(
-            # b512 measured best with the fused QF kernel (3693 q/s vs
-            # 2881 at b256; the larger tile amortizes the per-dispatch cost)
+            # batch sweep on chip (fused QF): 3693 (b512) -> 4097 (b1024) ->
+            # 4279 q/s (b2048); int8 QF 4748 -> 5242 -> 5651 — the larger
+            # tile amortizes dispatch against the fixed 10k gallery
             "query_scoring_queries_per_sec", bench_query,
             qb, 10 if tpu else 2, 10000 if tpu else 16,
         )
