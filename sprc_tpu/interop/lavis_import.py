@@ -415,6 +415,7 @@ def _family_classes():
     from sprc_tpu.models.blip2_opt import Blip2OPT
     from sprc_tpu.models.blip2_t5 import Blip2T5
     from sprc_tpu.models.classification import MultimodalClassifier
+    from sprc_tpu.models.clip import Clip
     from sprc_tpu.models.nlvr import NLVRClassifier
     from sprc_tpu.models.pnp_vqa import FiDT5
     from sprc_tpu.models.t5 import T5ForConditionalGeneration
@@ -423,7 +424,7 @@ def _family_classes():
     return (
         AlproRetrieval, AlproQA, AlbefRetrieval, BlipRetrieval, BlipCaption,
         BlipCirBase, MultimodalClassifier, VQAModel, NLVRClassifier,
-        Blip2T5, Blip2OPT, FiDT5, T5ForConditionalGeneration,
+        Blip2T5, Blip2OPT, FiDT5, T5ForConditionalGeneration, Clip,
     )
 
 
@@ -458,6 +459,19 @@ def lavis_params_from_torch(sd, model) -> Pytree:
         return alpro_params_from_torch(sd, model)
     if isinstance(model, (Blip2T5, Blip2OPT)):
         return jax.tree.map(jnp.asarray, blip2_llm_params_from_torch(sd, model))
+    from sprc_tpu.models.clip import Clip
+
+    if isinstance(model, Clip):
+        if "text_model.embeddings.token_embedding.weight" in sd:  # HF layout
+            from sprc_tpu.models.clip import clip_params_from_hf
+
+            return jax.tree.map(jnp.asarray, clip_params_from_hf(
+                sd, vision_depth=model.cfg.vision_config().depth,
+                text_depth=model.cfg.text.layers,
+            ))
+        from sprc_tpu.models.clip import clip_params_from_openai
+
+        return jax.tree.map(jnp.asarray, clip_params_from_openai(sd, model))
     if isinstance(model, (FiDT5, T5ForConditionalGeneration)):
         # bare HF-layout seq2seq T5 (e.g. the released unifiedqav2 FiD reader)
         tcfg = model.config

@@ -240,3 +240,69 @@ def clip_params_from_hf(sd: Mapping[str, Any], *, vision_depth: int,
         "text_projection": {"kernel": t("text_projection.weight")},
         "logit_scale": np.asarray(sd["logit_scale"]),
     }
+
+
+def clip_params_from_openai(sd: Mapping[str, Any], model: "Clip") -> Dict[str, Any]:
+    """OpenAI/OpenCLIP-format CLIP state dict -> params.
+
+    The reference clip family's vendored ``clip_models/model.py`` (and the
+    released ViT-B/L + RN50 checkpoints) use this layout: the visual tower
+    under ``visual.`` (``conv1`` / ``class_embedding`` /
+    ``transformer.resblocks`` / ``ln_post`` / ``proj``), the text tower at
+    the root (``transformer.resblocks`` / ``token_embedding`` /
+    ``ln_final`` / ``text_projection``), packed ``attn.in_proj`` qkv.
+    ``visual.proj`` / ``text_projection`` multiply activations directly
+    (``x @ proj``), so they map to kernels untransposed.
+    """
+    from sprc_tpu.interop.torch_import import (
+        _layernorm,
+        _linear,
+        _t,
+        clip_vit_params_from_torch,
+    )
+
+    cfg = model.cfg
+    if cfg.vision_resnet is not None:
+        from sprc_tpu.models.resnet_clip import clip_resnet_params_from_torch
+
+        vis_sd = {k[len("visual."):]: v for k, v in sd.items()
+                  if k.startswith("visual.")}
+        visual = clip_resnet_params_from_torch(vis_sd, cfg.vision_resnet)
+    else:
+        vcfg = cfg.vision_config()
+        visual = clip_vit_params_from_torch(
+            sd, prefix="visual.", depth=vcfg.depth,
+            scan_blocks=getattr(vcfg, "scan_blocks", False),
+        )
+        if "visual.ln_post.weight" in sd:  # our final_norm
+            visual["trunk"]["norm"] = _layernorm(sd, "visual.ln_post")
+
+    tcfg = cfg.text
+    text: Dict[str, Any] = {
+        "token_embedding": {"embedding": np.asarray(sd["token_embedding.weight"])},
+        "positional_embedding": np.asarray(sd["positional_embedding"]),
+        "ln_final": _layernorm(sd, "ln_final"),
+    }
+    for i in range(tcfg.layers):
+        bp = f"transformer.resblocks.{i}."
+        text[f"block_{i}"] = {
+            "norm1": _layernorm(sd, f"{bp}ln_1"),
+            "qkv": {
+                "kernel": _t(np.asarray(sd[f"{bp}attn.in_proj_weight"])),
+                "bias": np.asarray(sd[f"{bp}attn.in_proj_bias"]),
+            },
+            "proj": _linear(sd, f"{bp}attn.out_proj"),
+            "norm2": _layernorm(sd, f"{bp}ln_2"),
+            "mlp_fc1": _linear(sd, f"{bp}mlp.c_fc"),
+            "mlp_fc2": _linear(sd, f"{bp}mlp.c_proj"),
+        }
+
+    params: Dict[str, Any] = {
+        "visual": visual,
+        "text": text,
+        "text_projection": {"kernel": np.asarray(sd["text_projection"])},
+        "logit_scale": np.asarray(sd["logit_scale"]).reshape(()),
+    }
+    if "visual.proj" in sd:  # absent for RN50 (attnpool projects already)
+        params["visual_projection"] = {"kernel": np.asarray(sd["visual.proj"])}
+    return params

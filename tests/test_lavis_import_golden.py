@@ -9,6 +9,7 @@ Covers: ALBEF retrieval (unimodal feats + fusion ITM), BLIP retrieval
 captioner decoder. NLVR's twin-cross encoder is explicitly unsupported
 (lavis_import raises TypeError)."""
 
+import pathlib
 from functools import partial
 
 import numpy as np
@@ -17,6 +18,7 @@ import pytest
 import jax
 import jax.numpy as jnp
 
+from conftest import _load_module_with_shims
 from sprc_tpu.interop.lavis_import import lavis_params_from_torch
 from sprc_tpu.models.qformer import QFormerConfig
 from sprc_tpu.models.vit import ViTConfig
@@ -838,6 +840,120 @@ def test_albef_nlvr_import_golden(ref_blip_vit_module, ref_med_module, rng, data
         jnp.asarray(ids), jnp.asarray(mask), method=model.predict,
     )
     np.testing.assert_allclose(np.asarray(got), want.numpy(), atol=1e-4)
+
+
+@pytest.fixture(scope="session")
+def ref_clip_vendored_module():
+    """Reference vendored OpenCLIP (clip_models/model.py), loaded as a
+    package member so its relative ``.pretrained`` import resolves; the
+    tokenizer submodule is faked (ftfy isn't installed and tokenize is
+    unused here)."""
+    import importlib.util
+    import sys
+    import types
+
+    import torch.nn as nn
+
+    class _FakeRegistry:
+        def register_model(self, name):
+            return lambda cls: cls
+
+    base = pathlib.Path("/root/reference/src/lavis/models/clip_models")
+    if not (base / "model.py").exists():
+        pytest.skip("reference clip_models not present")
+    pkg = types.ModuleType("ref_clipm")
+    pkg.__path__ = [str(base)]
+    sys.modules.setdefault("ref_clipm", pkg)
+    tok = types.ModuleType("ref_clipm.tokenizer")
+    tok.tokenize = lambda *a, **k: None
+    sys.modules["ref_clipm.tokenizer"] = tok
+    spec = importlib.util.spec_from_file_location(
+        "ref_clipm.pretrained", str(base / "pretrained.py")
+    )
+    pre = importlib.util.module_from_spec(spec)
+    sys.modules["ref_clipm.pretrained"] = pre
+    spec.loader.exec_module(pre)
+
+    class _Out:
+        def __init__(self, **kw):
+            self.__dict__.update(kw)
+
+    shims = {
+        "lavis.common.registry": {"registry": _FakeRegistry()},
+        "lavis.common.utils": {"get_abs_path": lambda p: p},
+        "lavis.models.base_model": {"BaseModel": nn.Module},
+        "lavis.models.clip_models.clip_outputs": {
+            "ClipOutput": _Out, "ClipOutputFeatures": _Out,
+        },
+        "lavis.models.clip_models.timm_model": {"TimmModel": object},
+        "lavis.models.clip_models.transform": {
+            "image_transform": lambda *a, **k: None
+        },
+        "lavis.models.clip_models.utils": {
+            "freeze_batch_norm_2d": lambda m: m
+        },
+        "lavis.tasks.multimodal_classification": {
+            "MultimodalClassificationTask": object
+        },
+    }
+    mod = _load_module_with_shims(base / "model.py", "ref_clipm.model", shims)
+    if mod is None:
+        pytest.skip("reference clip model.py not loadable")
+    return mod
+
+
+def test_clip_openai_import_golden(ref_clip_vendored_module, rng):
+    """OpenAI-format CLIP import: encode_image / encode_text / logits on
+    imported weights vs the reference vendored CLIP (clip_models/model.py:
+    409-570) at tiny dims (ViT tower; quick_gelu as the released OpenAI
+    checkpoints use)."""
+    import torch
+
+    from sprc_tpu.models.clip import Clip, ClipConfig, ClipTextConfig
+    from sprc_tpu.models.vit import ViTConfig
+
+    mod = ref_clip_vendored_module
+    CW, CD, CTX, CVOC, CTW, CE = 64, 2, 12, 60, 32, 16
+
+    torch.manual_seed(121)
+    ref = mod.CLIP(
+        embed_dim=CE,
+        vision_cfg=mod.CLIPVisionCfg(layers=CD, width=CW, patch_size=16,
+                                     image_size=32),
+        text_cfg=mod.CLIPTextCfg(context_length=CTX, vocab_size=CVOC,
+                                 width=CTW, heads=2, layers=CD),
+        quick_gelu=True,
+    ).eval()
+    _randomize(ref, 122)
+
+    imgs = rng.rand(2, 32, 32, 3).astype(np.float32)
+    ids = rng.randint(1, CVOC - 1, (2, CTX)).astype(np.int32)
+    ids[:, -1] = CVOC - 1  # eot = highest id, at the last position
+    with torch.no_grad():
+        t_img = ref.encode_image(_timg(imgs))
+        t_txt = ref.encode_text(torch.from_numpy(ids).long())
+
+    sd = {k: v.detach().numpy() for k, v in ref.state_dict().items()}
+    cfg = ClipConfig(
+        embed_dim=CE, image_size=32,
+        vision=ViTConfig(
+            image_size=32, patch_size=16, width=CW, depth=CD,
+            num_heads=CW // 64, mlp_hidden=4 * CW, layer_norm_eps=1e-5,
+            use_ln_pre=True, quick_gelu=True, final_norm=True,
+            patch_bias=False, dtype=jnp.float32,
+        ),
+        text=ClipTextConfig(vocab_size=CVOC, width=CTW, layers=CD, heads=2,
+                            context_length=CTX),
+    )
+    model = Clip(cfg)
+    params = lavis_params_from_torch(sd, model)
+    eot = jnp.asarray(np.argmax(ids, axis=1))
+    j_img = model.apply({"params": params}, jnp.asarray(imgs),
+                        method=model.encode_image)
+    j_txt = model.apply({"params": params}, jnp.asarray(ids), eot,
+                        method=model.encode_text)
+    np.testing.assert_allclose(np.asarray(j_img), t_img.numpy(), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(j_txt), t_txt.numpy(), atol=1e-4)
 
 
 @pytest.fixture(scope="session")
