@@ -1,0 +1,55 @@
+#!/usr/bin/env bash
+# Reproduce BASELINE.md's golden Recall@K rows with the RELEASED reference
+# checkpoints — the one acceptance gate that cannot run in the zero-egress
+# build environment (VERDICT r2 missing #1). Run this wherever the weights
+# and datasets exist; everything else (import paths, metrics, rerank) is
+# already parity-tested against the reference implementation in tests/.
+#
+# Inputs (env):
+#   SPRC_CKPT_DIR  directory holding the released checkpoints
+#                  (reference README.md:124-128 links):
+#                    sprc_cirr.pt        ViT-g  (OneDrive)
+#                    sprc_fiq.pt         ViT-g  (OneDrive)
+#                    sprc_cirr_vitl.pt   ViT-L  (Google Drive)
+#                    sprc_fiq_vitl.pt    ViT-L  (Google Drive)
+#   SPRC_DATA_DIR  directory holding cirr_dataset/ and fashionIQ_dataset/
+#                  laid out as the reference expects (data/datasets.py doc)
+#   SPRC_OUT_DIR   results directory (default ./baseline_repro)
+#
+# Emits one JSON per run plus a PASS/FAIL summary vs the external paper rows
+# (BASELINE.md:17-18; tolerance 0.1 recall points per BASELINE.json target).
+set -euo pipefail
+
+CKPT=${SPRC_CKPT_DIR:?set SPRC_CKPT_DIR to the released-checkpoint directory}
+DATA=${SPRC_DATA_DIR:?set SPRC_DATA_DIR to the dataset root}
+OUT=${SPRC_OUT_DIR:-baseline_repro}
+mkdir -p "$OUT"
+
+run() { # name dataset data-sub model-type ckpt [extra args...]
+  local name=$1 ds=$2 sub=$3 mt=$4 ck=$5; shift 5
+  echo "[repro] $name" >&2
+  python -m sprc_tpu.cli.validate \
+    --dataset "$ds" --data-path "$DATA/$sub" \
+    --model-type "$mt" --model-path "$CKPT/$ck" \
+    --transform targetpad --target-ratio 1.25 \
+    --encode-batch 64 --query-batch 32 "$@" \
+    > "$OUT/$name.json"
+}
+
+# ViT-g (the paper's headline rows) + ViT-L released variants.
+run cirr_vitg     CIRR      cirr_dataset      pretrain      sprc_cirr.pt
+run fiq_vitg      fashionIQ fashionIQ_dataset pretrain      sprc_fiq.pt --query-batch 16
+run cirr_vitl     CIRR      cirr_dataset      pretrain_vitL sprc_cirr_vitl.pt
+run fiq_vitl      fashionIQ fashionIQ_dataset pretrain_vitL sprc_fiq_vitl.pt --query-batch 16
+
+# Two-stage rerank protocol (reference validate_blip_rerank.py; needs the
+# Fformer twin checkpoint — skipped unless present).
+if [ -f "$CKPT/sprc_cirr_rerank.pt" ]; then
+  python -m sprc_tpu.cli.validate_rerank \
+    --dataset CIRR --data-path "$DATA/cirr_dataset" \
+    --model-path "$CKPT/sprc_cirr.pt" \
+    --rerank-model-path "$CKPT/sprc_cirr_rerank.pt" \
+    > "$OUT/cirr_vitg_rerank.json"
+fi
+
+python "$(dirname "$0")/check_baseline.py" "$OUT"
