@@ -12,11 +12,17 @@ Modes (env SPRC_BENCH_MODE or --mode; default "all"):
                 memory (candidates/sec/chip), CIRR val tile top=50 step=15
                 (reference blip2_qformer_cir_rerank.py:399-445)
 
-Prints ONE JSON line; the headline metric/value is the best encode path,
-with every measured number under "extras". Each timed mode runs its
-compiled loop >=3 times and reports the MEDIAN throughput, with best and
-min-max spread under "<name>_best"/"<name>_spread_pct" (round-over-round
-deltas inside the spread are noise).
+Prints the headline JSON line INCREMENTALLY — once after every completed
+mode (the last line printed is always a complete, parseable record of
+everything measured so far), so a driver timeout can no longer erase the
+round's numbers (BENCH_r03 was rc=124/parsed=null). A total wall-clock
+budget (env SPRC_BENCH_BUDGET_S, default 1500 s) skips remaining modes
+with "skipped_budget" markers instead of running past the driver's kill.
+The headline metric/value is the best encode path, with every measured
+number under "extras". Each timed mode runs its compiled loop >=3 times
+and reports the MEDIAN throughput, with best and min-max spread under
+"<name>_best"/"<name>_spread_pct" (round-over-round deltas inside the
+spread are noise).
 
 Tunnel rules (MEASUREMENTS.md): scalar readback per step (block_until_ready
 does not wait through the relay), distinct device-generated inputs
@@ -515,6 +521,10 @@ def main() -> None:
 
     backend = jax.default_backend()
     tpu = backend == "tpu"
+    # total wall-clock budget: skip (not kill) the remaining modes once
+    # spent, so the driver always gets a parsed headline (VERDICT r3 #1)
+    budget_s = float(os.environ.get("SPRC_BENCH_BUDGET_S", "1500"))
+    t_start = time.time()
     # b2048 measured best on chip: int8 1150.4 (b512) -> 1183.8 (b1024) ->
     # 1210.0 (b2048); bf16 830.3 -> 877.3 — the larger tile amortizes
     # dispatch and pipelines more groups per megakernel call
@@ -526,10 +536,48 @@ def main() -> None:
     idx_batch = int(os.environ.get("SPRC_BENCH_INDEX_BATCH", "512" if tpu else "2"))
     extras = {}
 
+    def emit():
+        """Print the full headline JSON line from what's measured so far.
+        Called after EVERY mode: the last stdout line is always a complete
+        record, so a mid-run kill loses at most the in-flight mode."""
+        int8_v = extras.get("encode_int8_imgs_per_sec")
+        bf16_v = extras.get("encode_bf16_imgs_per_sec")
+        int8_v = int8_v if isinstance(int8_v, (int, float)) else None
+        bf16_v = bf16_v if isinstance(bf16_v, (int, float)) else None
+        tower = "vitG" if os.environ.get("SPRC_BENCH_VIT") == "eva" else "vitL"
+        if int8_v and (not bf16_v or int8_v >= bf16_v):
+            metric, value = f"gallery_encode_{tower}_int8_{backend}", int8_v
+        else:
+            metric, value = f"gallery_encode_{tower}_bf16_{backend}", bf16_v or 0.0
+        print(
+            json.dumps(
+                {
+                    "metric": metric,
+                    "value": value,
+                    "unit": "imgs/sec/chip",
+                    "vs_baseline": round((value or 0.0) / BASELINE_IMGS_PER_SEC, 4),
+                    "extras": extras,
+                }
+            ),
+            flush=True,
+        )
+
+    mode_times = [0.0]
+
     def run(name, fn, *a, **kw):
         import sys
-        import time
 
+        elapsed = time.time() - t_start
+        # skip when over budget, or when the remaining slice is clearly
+        # smaller than what modes have been costing (compile-dominated)
+        min_needed = max(60.0, 0.7 * max(mode_times))
+        if elapsed > budget_s or budget_s - elapsed < min_needed:
+            extras[name] = "skipped_budget"
+            print(f"[bench] {name} skipped_budget "
+                  f"({elapsed:.0f}s/{budget_s:.0f}s spent)",
+                  file=sys.stderr, flush=True)
+            emit()
+            return
         print(f"[bench] {name} ...", file=sys.stderr, flush=True)
         t0 = time.time()
         try:
@@ -544,6 +592,8 @@ def main() -> None:
             extras[f"{name}_error"] = f"{type(e).__name__}: {e}"[:200]
             print(f"[bench] {name} FAILED {extras[f'{name}_error']}",
                   file=sys.stderr, flush=True)
+        mode_times.append(time.time() - t0)
+        emit()
 
     modes = (
         ["encode", "encode_int8", "query", "train", "train_cached", "rerank",
@@ -605,24 +655,8 @@ def main() -> None:
         run("index_build_imgs_per_sec_tunnel_bound", bench_index,
             idx_batch, 4 * idx_batch if tpu else 4)
 
-    int8_v = extras.get("encode_int8_imgs_per_sec")
-    bf16_v = extras.get("encode_bf16_imgs_per_sec")
-    tower = "vitG" if os.environ.get("SPRC_BENCH_VIT") == "eva" else "vitL"
-    if int8_v and (not bf16_v or int8_v >= bf16_v):
-        metric, value = f"gallery_encode_{tower}_int8_{backend}", int8_v
-    else:
-        metric, value = f"gallery_encode_{tower}_bf16_{backend}", bf16_v or 0.0
-    print(
-        json.dumps(
-            {
-                "metric": metric,
-                "value": value,
-                "unit": "imgs/sec/chip",
-                "vs_baseline": round((value or 0.0) / BASELINE_IMGS_PER_SEC, 4),
-                "extras": extras,
-            }
-        )
-    )
+    extras["bench_wall_s"] = round(time.time() - t_start, 1)
+    emit()
 
 
 if __name__ == "__main__":

@@ -12,10 +12,13 @@ checker therefore reports BOTH:
     to activate the 0.1-point comparison;
   * a soft sanity band (±2.0 points) vs the paper rows, catching import
     or protocol blunders even without a local reference run. Note the
-    paper's CIRR rows are TEST-split numbers while validate runs VAL, so
-    only the band, not the gate, applies to them.
+    paper's CIRR rows are TEST-split numbers while validate runs VAL
+    (documented val/test skew can exceed the band on R@1), so paper-row
+    misses are WARN-only and never drive the exit code.
 
-Exit code 1 on any hard-gate failure or sanity-band miss.
+Exit code 1 only on hard-gate failures: a reference-vs-run metric outside
+0.1, a reference key missing from the run output, a reference file that
+yields zero comparable keys, or an unparseable run file.
 """
 
 from __future__ import annotations
@@ -42,31 +45,58 @@ SOFT_TOL = 2.0   # vs the approximate paper rows (and VAL-vs-TEST skew)
 def main(out_dir: str) -> int:
     out = pathlib.Path(out_dir)
     failures = 0
+    warns = 0
     for run in sorted(out.glob("*.json")):
         if run.name.startswith("reference_"):
             continue
         name = run.stem
-        got = json.loads(run.read_text())
+        try:
+            got = json.loads(run.read_text())
+        except (ValueError, OSError) as e:
+            failures += 1
+            print(f"[FAIL] {name}: unreadable/unparseable run file ({e})")
+            continue
         ref_file = out / f"reference_{name}.json"
         if ref_file.exists():
-            ref = json.loads(ref_file.read_text())
+            try:
+                ref = json.loads(ref_file.read_text())
+            except (ValueError, OSError) as e:
+                failures += 1
+                print(f"[FAIL] {name}: unparseable reference file ({e})")
+                continue
+            compared = 0
             for k, rv in ref.items():
-                if not isinstance(rv, (int, float)) or k not in got:
+                if not isinstance(rv, (int, float)):
                     continue
+                if k not in got:
+                    # a truncated run output must not pass silently
+                    failures += 1
+                    print(f"[FAIL] {name}.{k}: missing from run output "
+                          f"(reference {rv:.2f})")
+                    continue
+                compared += 1
                 ok = abs(got[k] - rv) <= HARD_TOL
                 failures += not ok
                 print(f"[{'PASS' if ok else 'FAIL'}] {name}.{k}: "
                       f"{got[k]:.2f} vs reference {rv:.2f} (tol {HARD_TOL})")
+            if not compared:
+                failures += 1
+                print(f"[FAIL] {name}: reference file yielded zero "
+                      "comparable keys — key-name mismatch?")
         elif name in PAPER:
+            # paper rows are approximate and (for CIRR) test-split vs our
+            # val-split run: warn-only, never drives the exit code
             for k, pv in PAPER[name].items():
                 ok = abs(got.get(k, float('nan')) - pv) <= SOFT_TOL
-                failures += not ok
-                print(f"[{'pass' if ok else 'MISS'}] {name}.{k}: "
+                warns += not ok
+                print(f"[{'pass' if ok else 'WARN'}] {name}.{k}: "
                       f"{got.get(k)} vs paper ~{pv} (band {SOFT_TOL}; "
-                      "approximate — run the torch reference for the hard gate)")
+                      "approximate, val-vs-test skew — run the torch "
+                      "reference for the hard gate)")
         else:
             print(f"[info] {name}: no baseline row; recorded only")
-    print("\nSummary:", "FAIL" if failures else "OK", f"({failures} failures)")
+    print("\nSummary:", "FAIL" if failures else "OK",
+          f"({failures} failures, {warns} paper-band warnings)")
     return 1 if failures else 0
 
 
