@@ -319,6 +319,89 @@ def bench_index(batch, n_images):
     return n_images / dt, {}
 
 
+def bench_index_local(batch, steps):
+    """Dataplane at its LOCAL rate (VERDICT r3 #6). The tunnel-bound
+    ``index_build`` number measures axon relay bandwidth (~4 MB/s), not the
+    framework; this decomposes the raw-bytes pipeline into
+      (a) host C++ JPEG decode + pack rate (native/dataplane.cpp), and
+      (b) device preprocess+encode rate from PRE-STAGED raw uint8 device
+          buffers (no per-batch upload),
+    and reports min(a, b) — the steady-state rate of the prefetch-overlapped
+    build (`build_index_raw`) on hardware where the host feeds the chip
+    directly. (a) is single-thread; the loader runs one decode thread per
+    prefetch slot, so multiply by host cores for multi-worker rates."""
+    import io
+
+    import jax.numpy as jnp
+    from PIL import Image
+
+    from sprc_tpu.data import native
+    from sprc_tpu.data.transforms import device_preprocess
+
+    model = _build()
+    params = _fill_params(model, *_encode_dummy_args(model))
+
+    rs = np.random.RandomState(0)
+    jpegs = []
+    for i in range(64):
+        arr = (rs.rand(240 + (i % 3) * 8, 300, 3) * 255).astype(np.uint8)
+        bio = io.BytesIO()
+        Image.fromarray(arr).save(bio, format="JPEG", quality=85)
+        jpegs.append(bio.getvalue())
+    D = 256
+
+    def decode_pack(n):
+        buf = np.zeros((n, D, D, 3), np.uint8)
+        sizes = np.zeros((n, 2), np.int32)
+        for j in range(n):
+            img = native.decode(jpegs[j % len(jpegs)])
+            h, w = img.shape[:2]
+            buf[j, :h, :w] = img[:D, :D]
+            sizes[j] = (min(h, D), min(w, D))
+        return buf, sizes
+
+    decode_pack(8)  # warm (thread pools, allocator)
+    n_dec = 4 * batch
+    t0 = time.perf_counter()
+    decode_pack(n_dec)
+    host_rate = n_dec / (time.perf_counter() - t0)
+
+    # (b): the same fused preprocess+encode program build_index_raw runs,
+    # fed from device-resident buffers
+    pre = device_preprocess(dim=model.cfg.image_size, target_ratio=1.25)
+
+    def encode_raw(p, raw, sizes):
+        images = pre(raw, sizes)
+        feats, frozen = model.apply(
+            {"params": p}, images, method=model.extract_target_features
+        )
+        return feats, frozen.astype(jnp.bfloat16)
+
+    encode = jax.jit(encode_raw)
+    buf, sizes = decode_pack(batch)
+    staged = [
+        (jnp.asarray(buf), jnp.asarray(sizes)),
+        (jnp.asarray(np.roll(buf, 1, axis=0)), jnp.asarray(np.roll(sizes, 1, axis=0))),
+    ]
+    jax.block_until_ready(staged)
+    _readback(encode(params, *staged[0])[0])  # compile + warm
+
+    def timed():
+        t0 = time.perf_counter()
+        out = None
+        for i in range(steps):
+            out = encode(params, *staged[i % 2])
+        jax.block_until_ready(out)
+        return batch * steps / (time.perf_counter() - t0)
+
+    dev_rate, stats = _reps(timed)
+    return min(host_rate, dev_rate), {
+        "host_decode_imgs_per_sec_1thread": round(host_rate, 2),
+        "device_encode_imgs_per_sec": round(dev_rate, 2),
+        **stats,
+    }
+
+
 def bench_rerank(steps, *, top=50, step_q=15, qf_int8=False):
     """ITM rerank scoring throughput (candidates/sec) at the CIRR tile:
     ``inference_rerank`` over concat [reference; candidate] 2x257-token
@@ -649,6 +732,10 @@ def main() -> None:
                 6 if tpu else 2,
                 top=50 if tpu else 2, step_q=15 if tpu else 2, qf_int8=True)
     if "index" in modes:
+        # the local-rate decomposition first (compute-bound, fast); the
+        # tunnel-bound end-to-end pass last (relay-bandwidth-bound, slow)
+        run("index_build_imgs_per_sec_local", bench_index_local,
+            idx_batch, 6 if tpu else 2)
         # through the axon HTTP relay this measures tunnel bandwidth, not
         # the framework: each batch uploads ~100 MB of decoded pixels at
         # ~4 MB/s (MEASUREMENTS.md); labeled accordingly

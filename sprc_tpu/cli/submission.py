@@ -90,13 +90,17 @@ def _load_rerank_model(args, mesh):
         return model, engine.params
     import jax.numpy as jnp
 
+    from sprc_tpu.cli.validate import parse_model_overrides
     from sprc_tpu.loader import load_model
 
+    overrides = parse_model_overrides(getattr(args, "model_overrides", []))
+    overrides.setdefault(
+        "vit_dtype", jnp.bfloat16 if args.bf16 else jnp.float32)
     model, params = load_model(
         args.rerank_model_name,
         args.model_type,
         checkpoint_path=args.rerank_model_path,
-        vit_dtype=jnp.bfloat16 if args.bf16 else jnp.float32,
+        **overrides,
     )
     return model, params
 

@@ -19,6 +19,22 @@ from typing import Optional
 import numpy as np
 
 
+def parse_model_overrides(pairs) -> dict:
+    """``key=value`` config overrides with YAML-parsed values — the
+    reference's OmegaConf dotlist (common/config.py:27-41,114-126). Nested
+    dataclass fields take inline-YAML dicts, e.g.
+    ``'vit_config_override={width: 32, depth: 2, ...}'``."""
+    import yaml
+
+    out = {}
+    for pair in pairs or []:
+        key, sep, value = pair.partition("=")
+        if not sep or not key:
+            raise ValueError(f"--model-overrides entry {pair!r} is not key=value")
+        out[key] = yaml.safe_load(value)
+    return out
+
+
 def build_engine(args, mesh=None):
     import jax.numpy as jnp
 
@@ -26,11 +42,14 @@ def build_engine(args, mesh=None):
     from sprc_tpu.retrieval.engine import RetrievalEngine
     from sprc_tpu.text.tokenizer import BertWordPieceTokenizer
 
+    overrides = parse_model_overrides(getattr(args, "model_overrides", []))
+    overrides.setdefault(
+        "vit_dtype", jnp.bfloat16 if args.bf16 else jnp.float32)
     model, params = load_model(
         args.model_name,
         args.model_type,
         checkpoint_path=args.model_path,
-        vit_dtype=jnp.bfloat16 if args.bf16 else jnp.float32,
+        **overrides,
     )
     from sprc_tpu.utils.artifacts import ensure_bert_vocab
 
@@ -186,6 +205,12 @@ def make_parser() -> argparse.ArgumentParser:
         "--dress-types", nargs="+", default=["dress", "shirt", "toptee"]
     )
     p.add_argument("--mesh", action="store_true", help="shard gallery over all devices")
+    p.add_argument(
+        "--model-overrides", nargs="*", default=[], metavar="KEY=YAML",
+        help="model-config overrides as key=value with YAML-parsed values "
+             "(the reference's OmegaConf dotlist); applies to the rerank "
+             "model too in the two-stage CLIs",
+    )
     return p
 
 

@@ -16,9 +16,9 @@ Builders resolve ``(builder name) -> {split: dataset}`` from a config dict:
 
 Differences from the reference (deliberate): no download step (zero-egress
 — annotations/images must exist on disk; see utils/cache.py for the gated
-downloader), and the video datasets read pre-extracted frame directories or
-``.npy``/``.npz`` tensors instead of decoding containers (decord/ffmpeg are
-not in this image; frame extraction is a host-side preprocessing step).
+downloader). Video datasets decode containers via OpenCV (the decord
+analogue, ``_decode_video_cv2``) and additionally accept pre-extracted
+frame directories or ``.npy``/``.npz`` tensors.
 
 Annotation JSON schemas match the reference exactly (datasets/*.py):
 caption: {"image", "caption", "image_id"}; retrieval eval: {"image",
@@ -58,9 +58,57 @@ def _load_image(path: str):
     return Image.open(path).convert("RGB")
 
 
+_VIDEO_EXTS = (".mp4", ".avi", ".mkv", ".mov", ".webm", ".mpg", ".mpeg",
+               ".m4v", ".wmv")
+
+
+def _decode_video_cv2(path: str, n_frms: int) -> np.ndarray:
+    """Container -> [n_frms, H, W, 3] uint8 RGB via OpenCV (the decord
+    analogue of reference alpro_processors.load_video: uniform temporal
+    sampling). Decodes only the sampled frames when the container reports a
+    frame count; falls back to a full sequential read otherwise."""
+    import cv2
+
+    cap = cv2.VideoCapture(path)
+    if not cap.isOpened():
+        raise ValueError(f"{path}: OpenCV could not open the video")
+    total = int(cap.get(cv2.CAP_PROP_FRAME_COUNT) or 0)
+    if total > 0:
+        idx = np.linspace(0, total - 1, n_frms).round().astype(int)
+        want = set(int(i) for i in idx)
+        got = {}
+        pos = 0
+        while pos <= int(idx.max()):
+            if pos in want:
+                ok, frame = cap.read()
+                if not ok:
+                    break
+                got[pos] = cv2.cvtColor(frame, cv2.COLOR_BGR2RGB)
+            elif not cap.grab():
+                break
+            pos += 1
+        cap.release()
+        if len(got) == len(want):
+            return np.stack([got[int(i)] for i in idx])
+        cap = cv2.VideoCapture(path)  # frame-count metadata was wrong
+    frames = []
+    while True:
+        ok, frame = cap.read()
+        if not ok:
+            break
+        frames.append(cv2.cvtColor(frame, cv2.COLOR_BGR2RGB))
+    cap.release()
+    if not frames:
+        raise ValueError(f"{path}: no decodable frames")
+    arr = np.stack(frames)
+    idx = np.linspace(0, arr.shape[0] - 1, n_frms).round().astype(int)
+    return arr[idx]
+
+
 def _load_video(path: str, n_frms: int) -> np.ndarray:
-    """Frame dir (sorted images) or .npy/.npz [T, H, W, 3] -> uniformly
-    sampled [n_frms, H, W, 3] float32 in [0, 1]."""
+    """Video container (OpenCV decode), frame dir (sorted images) or
+    .npy/.npz [T, H, W, 3] -> uniformly sampled [n_frms, H, W, 3] float32
+    in [0, 1]."""
     if path.endswith((".npy", ".npz")):
         arr = np.load(path)
         if hasattr(arr, "files"):
@@ -72,11 +120,12 @@ def _load_video(path: str, n_frms: int) -> np.ndarray:
             if n.lower().endswith((".jpg", ".jpeg", ".png"))
         )
         frames = np.stack([np.asarray(_load_image(os.path.join(path, n))) for n in names])
+    elif path.lower().endswith(_VIDEO_EXTS) and os.path.isfile(path):
+        frames = _decode_video_cv2(path, n_frms)
     else:
         raise ValueError(
-            f"{path}: expected a frame directory or .npy/.npz tensor "
-            "(container decoding is not available in this build; extract "
-            "frames host-side)"
+            f"{path}: expected a video container ({', '.join(_VIDEO_EXTS)}), "
+            "a frame directory, or a .npy/.npz tensor"
         )
     T = frames.shape[0]
     idx = np.linspace(0, T - 1, n_frms).round().astype(int)

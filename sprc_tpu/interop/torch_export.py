@@ -135,10 +135,15 @@ def params_to_torch_state_dict(params: Mapping[str, Any], model) -> Dict[str, Ar
     _put_ln(out, "ln_vision", params["ln_vision"])
     out.update(qformer_to_torch(params["qformer"]))
     out["query_tokens"] = np.asarray(params["query_tokens"])
-    if "prompt_tokens" in params:
-        out["prompt_tokens"] = np.asarray(params["prompt_tokens"])
-    for name in ("vision_proj", "text_proj", "itm_head"):
+    for name in ("prompt_tokens", "rel_tokens", "query_tokens_f", "temp2"):
+        if name in params:
+            out[name] = np.asarray(params[name])
+    for name in ("vision_proj", "text_proj", "itm_head",
+                 "vision_proj_f", "text_proj_f"):
         if name in params:
             _put_linear(out, name, params[name])
+    # rerank frozen twin (reference Fformer, blip2_qformer_cir_rerank.py:90)
+    if "fformer" in params:
+        out.update(qformer_to_torch(params["fformer"], prefix="Fformer.bert."))
     out["temp"] = np.asarray(params["temp"])
     return out

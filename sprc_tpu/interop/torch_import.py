@@ -230,14 +230,26 @@ def cir_align_prompt_params_from_torch(
             cross_attention_freq=qcfg.cross_attention_freq,
         ),
         "query_tokens": np.asarray(sd["query_tokens"]),
-        "temp": np.asarray(sd["temp"]),
+        # scalar regardless of serialization ([1]-shaped scalars appear in
+        # some torch save paths; the module declares temp with shape ())
+        "temp": np.asarray(sd["temp"]).reshape(()),
     }
-    for name in ("vision_proj", "text_proj", "itm_head"):
+    for name in ("vision_proj", "text_proj", "itm_head",
+                 "vision_proj_f", "text_proj_f"):
         if f"{name}.weight" in sd:
             params[name] = _linear(sd, name)
     for name in ("prompt_tokens", "rel_tokens", "query_tokens_f"):
         if name in sd:
             params[name] = np.asarray(sd[name])
+    if "temp2" in sd:
+        params["temp2"] = np.asarray(sd["temp2"]).reshape(())
+    # the rerank model's frozen twin tower (reference Fformer,
+    # blip2_qformer_cir_rerank.py:90-117) lives under Fformer.bert.*
+    if "Fformer.bert.embeddings.word_embeddings.weight" in sd:
+        params["fformer"] = qformer_params_from_torch(
+            sd, prefix="Fformer.bert.", num_layers=qcfg.num_layers,
+            cross_attention_freq=qcfg.cross_attention_freq,
+        )
     if template is not None:
         params = _filter_to_template(params, template)
     return params

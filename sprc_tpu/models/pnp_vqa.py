@@ -20,9 +20,10 @@ eval orchestrators, not trainable modules, matching the reference's
 composition of three pretrained submodels.
 
 Deviations (documented): Img2Prompt's answer extraction uses spaCy POS tags
-in the reference; spaCy isn't in this image, so a frequency/stopword
-heuristic is the fallback (a ``tagger`` callable can restore exact
-behavior). Question generation decodes greedily (reference: beam 3).
++ NER in the reference; spaCy isn't in this image, so the default is the
+bundled rule-based tagger (:mod:`sprc_tpu.text.pos`: open-class tokens +
+noun chunks — same extraction shape, no NER; a ``tagger`` callable can
+restore exact spaCy behavior).
 """
 
 from __future__ import annotations
@@ -465,8 +466,9 @@ class Img2PromptVqaPipeline(PnpVqaPipeline):
 
     ``tagger``: answer-candidate extractor, ``caption -> [candidates]``.
     The reference uses spaCy POS tags + noun chunks
-    (img2prompt_vqa.py:252-310); the built-in default is a dependency-free
-    stopword heuristic. To match the reference exactly, inject a spaCy
+    (img2prompt_vqa.py:252-310); the built-in default is the bundled
+    rule-based tagger (:mod:`sprc_tpu.text.pos` — open-class tokens +
+    noun chunks, no NER). To match the reference exactly, inject a spaCy
     tagger::
 
         nlp = spacy.load("en_core_web_sm")
@@ -519,7 +521,9 @@ class Img2PromptVqaPipeline(PnpVqaPipeline):
                           num_question_generation: int = 30):
         """-> (qg contexts, answers, answer->caption map)
         (img2prompt_vqa.py:252-310)."""
-        extract = self.tagger or _heuristic_answer_candidates
+        from sprc_tpu.text.pos import answer_candidates
+
+        extract = self.tagger or answer_candidates
         cap_use = ""
         answers: List[str] = []
         ans_to_cap: Dict[str, List[int]] = {}

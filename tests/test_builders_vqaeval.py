@@ -114,6 +114,29 @@ def test_video_builder_frames_and_npy(data_root):
         assert 0.0 <= vid.min() and vid.max() <= 1.0
 
 
+def test_video_container_decode(tmp_path):
+    """Raw container decode (the decord analogue; VERDICT r3 #9): OpenCV
+    path samples n_frms uniformly and returns the right frames."""
+    cv2 = pytest.importorskip("cv2")
+    from sprc_tpu.data.builders import _load_video
+
+    path = str(tmp_path / "clip.avi")
+    w = cv2.VideoWriter(path, cv2.VideoWriter_fourcc(*"MJPG"), 5, (32, 24))
+    assert w.isOpened()
+    for t in range(10):  # frame t is a flat gray level 20*t
+        w.write(np.full((24, 32, 3), 20 * t, np.uint8))
+    w.release()
+
+    vid = _load_video(path, 4)
+    assert vid.shape == (4, 24, 32, 3)
+    assert vid.dtype == np.float32
+    assert 0.0 <= vid.min() and vid.max() <= 1.0
+    # uniform sampling over 10 frames -> indices 0, 3, 6, 9
+    got = (vid.mean(axis=(1, 2, 3)) * 255).round()
+    want = np.array([0, 60, 120, 180], np.float32)
+    assert np.allclose(got, want, atol=6), got  # MJPG is lossy
+
+
 def test_normalize_matches_reference():
     """Golden check vs the reference evaluator's normalization."""
     path = "/root/reference/src/lavis/common/vqa_tools/vqa_eval.py"
