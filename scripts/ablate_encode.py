@@ -88,7 +88,7 @@ def _params(model):
     return bench._fill_params(model, *bench._encode_dummy_args(model))
 
 
-def _batches(shape, n=4):
+def _batches(shape, n=2):
     import jax
     import jax.numpy as jnp
 
@@ -136,10 +136,10 @@ def mode_budget():
     post = jax.jit(lambda p, rows: model.apply(
         {"params": p}, rows, method=model.extract_target_features)[0])
 
-    img_batches = _batches((BATCH, 224, 224, 3))
-    gen_rows = jax.jit(lambda k: jax.random.normal(k, (BATCH, S, W), jnp.bfloat16))
-    row_batches = [gen_rows(jax.random.PRNGKey(100 + i)) for i in range(4)]
-    jax.block_until_ready(row_batches)
+    # 2 staged batches per stage (4 img + 4 row batches at b2048 OOM the
+    # 16 GB chip next to the 1 GB tower outputs); imgs freed before the
+    # row-fed stages run
+    img_batches = _batches((BATCH, 224, 224, 3), n=2)
 
     # blocks: the 23-block fused-kernel chain alone, scanned over stacked
     # constant-filled per-layer params (timing only; values irrelevant)
@@ -180,6 +180,10 @@ def mode_budget():
            "vit": "eva" if os.environ.get("SPRC_BENCH_VIT") == "eva" else "vitL"})
     t_full = _timed(full, params, img_batches, "full_encode", BATCH)
     t_tower = _timed(tower, params, img_batches, "tower_only", BATCH)
+    del img_batches
+    gen_rows = jax.jit(lambda k: jax.random.normal(k, (BATCH, S, W), jnp.bfloat16))
+    row_batches = [gen_rows(jax.random.PRNGKey(100 + i)) for i in range(2)]
+    jax.block_until_ready(row_batches)
     t_blocks = _timed(blocks, params, row_batches, "blocks_only", BATCH)
     t_post = _timed(post, params, row_batches, "post_only", BATCH)
 
@@ -195,17 +199,23 @@ def mode_budget():
 
 
 def _combo_runs(quant):
-    combos = [
-        ("default", {}),
-        ("nomax", {"SPRC_FBLK_ATTN": "batched_nomax"}),
-        ("bdense", {"SPRC_FBLK_DENSE": "batched"}),
-        ("nomax+bdense", {"SPRC_FBLK_ATTN": "batched_nomax",
-                          "SPRC_FBLK_DENSE": "batched"}),
-        ("nomax+bdense+G16", {"SPRC_FBLK_ATTN": "batched_nomax",
-                              "SPRC_FBLK_DENSE": "batched",
-                              "SPRC_PALLAS_BLOCK_G": "16"}),
-        ("G16", {"SPRC_PALLAS_BLOCK_G": "16"}),
-    ]
+    combos_env = os.environ.get(
+        "SPRC_ABL_COMBOS", "default,nomax,sbf16,nomax_sbf16")
+    named = {
+        "default": {},
+        "nomax": {"SPRC_FBLK_ATTN": "batched_nomax"},
+        "sbf16": {"SPRC_FBLK_ATTN": "batched_sbf16"},
+        "nomax_sbf16": {"SPRC_FBLK_ATTN": "batched_nomax_sbf16"},
+        "bdense": {"SPRC_FBLK_DENSE": "batched"},
+        "nomax_sbf16+bdense": {"SPRC_FBLK_ATTN": "batched_nomax_sbf16",
+                               "SPRC_FBLK_DENSE": "batched"},
+        "nomax+bdense": {"SPRC_FBLK_ATTN": "batched_nomax",
+                         "SPRC_FBLK_DENSE": "batched"},
+        "G16": {"SPRC_PALLAS_BLOCK_G": "16"},
+        "nomax_sbf16+G16": {"SPRC_FBLK_ATTN": "batched_nomax_sbf16",
+                            "SPRC_PALLAS_BLOCK_G": "16"},
+    }
+    combos = [(c, named[c]) for c in combos_env.split(",") if c in named]
     import jax
 
     scales = None

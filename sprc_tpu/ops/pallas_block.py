@@ -47,23 +47,29 @@ def _attend(qkv, W, D, heads, scale, dtype, *, perhead: bool):
     import os
 
     mode = os.environ.get("SPRC_FBLK_ATTN", "batched")  # 10.33 vs 10.87 ms int8 megablock
-    if mode in ("batched", "batched_nomax") and not perhead:
+    if mode.startswith("batched") and not perhead:
         # stack heads into a leading batch dim (VMEM copies) so all score /
         # PV matmuls issue as ONE batched dot_general and the softmax
-        # vectorizes over [H, S, S] at once
+        # vectorizes over [H, S, S] at once.
+        # "_sbf16" suffix: scores emitted/kept in bf16 — halves the VPU
+        # elementwise traffic and VMEM footprint of the [H, S, S] softmax
+        # passes; probs were already bf16, so the only numerics change is
+        # 8-bit score mantissas (~0.4% relative on probs, within the
+        # kernel's measured bf16 envelope).
+        sdt = jnp.bfloat16 if mode.endswith("_sbf16") else jnp.float32
         q = jnp.stack([qkv[:, h * D:(h + 1) * D] for h in range(heads)])
         k = jnp.stack([qkv[:, W + h * D:W + (h + 1) * D] for h in range(heads)])
         v = jnp.stack([qkv[:, 2 * W + h * D:2 * W + (h + 1) * D] for h in range(heads)])
         s = jax.lax.dot_general(
             q * (scale * _LOG2E), k, (((2,), (2,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32,
+            preferred_element_type=sdt,
         )  # [H, S, S]
-        if mode == "batched_nomax":
+        if mode.startswith("batched_nomax"):
             # exp2 without max-subtraction saves a full [H,S,S] max pass;
             # clamp at 120 so scores past the assumed |s*log2e| < 127 bound
             # saturate instead of overflowing to inf (softmax then degrades
             # to uniform-over-clamped rather than NaN)
-            p = jnp.exp2(jnp.minimum(s, 120.0)).astype(dtype)
+            p = jnp.exp2(jnp.minimum(s, jnp.asarray(120.0, sdt))).astype(dtype)
         else:
             p = jnp.exp2(s - jnp.max(s, axis=-1, keepdims=True)).astype(dtype)
         denom = jnp.sum(p.astype(jnp.float32), axis=-1, keepdims=True)

@@ -337,3 +337,29 @@ def test_fused_vit_block_i8_dense_variants_agree(dense, rng, monkeypatch):
     monkeypatch.setenv("SPRC_FBLK_DENSE", "")
     base = run()
     np.testing.assert_allclose(got, base, atol=2e-6)
+
+
+@pytest.mark.parametrize(
+    "attn", ["batched", "batched_nomax", "batched_sbf16",
+             "batched_nomax_sbf16"])
+def test_fused_vit_block_attn_variants_match_xla(attn, rng, monkeypatch):
+    """SPRC_FBLK_ATTN softmax variants (round-4 VPU ablation): `nomax`
+    elides the max-subtraction pass (clamped exp2 — identical softmax in
+    exact arithmetic), `_sbf16` keeps the [H,S,S] scores in bf16 (8-bit
+    score mantissas -> ~0.4% relative on probs). Both must track the XLA
+    reference within their respective envelopes."""
+    from sprc_tpu.ops.pallas_block import _full_xla_ref, fused_vit_block
+
+    monkeypatch.setenv("SPRC_FBLK_ATTN", attn)
+    B, S, W, H, M = 8, 13, 64, 4, 128
+    shapes = [(B, S, W), (W,), (W,), (W, 3 * W), (3 * W,), (W, W), (W,),
+              (W,), (W,), (W, M), (M,), (M, W), (W,)]
+    args = [jnp.asarray((rng.randn(*sh) * 0.1).astype(np.float32))
+            for sh in shapes]
+    args[1] = args[1] + 1
+    args[7] = args[7] + 1
+    scale = (W // H) ** -0.5
+    got = fused_vit_block(*args, H, 1e-5, scale, False, 4)
+    want = _full_xla_ref(*args, heads=H, eps=1e-5, scale=scale, quick=False)
+    atol = 5e-6 if attn in ("batched", "batched_nomax") else 2e-2
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=atol)
