@@ -214,6 +214,9 @@ def _combo_runs(quant):
         "G16": {"SPRC_PALLAS_BLOCK_G": "16"},
         "nomax_sbf16+G16": {"SPRC_FBLK_ATTN": "batched_nomax_sbf16",
                             "SPRC_PALLAS_BLOCK_G": "16"},
+        "G8": {"SPRC_PALLAS_BLOCK_G": "8"},  # EVA default is G=4
+        "nomax+G8": {"SPRC_FBLK_ATTN": "batched_nomax",
+                     "SPRC_PALLAS_BLOCK_G": "8"},
     }
     combos = [(c, named[c]) for c in combos_env.split(",") if c in named]
     import jax

@@ -46,7 +46,15 @@ def _attend(qkv, W, D, heads, scale, dtype, *, perhead: bool):
     """qkv [S, 3W] (packed q|k|v thirds) or [S, 3D] per-head -> ctx."""
     import os
 
-    mode = os.environ.get("SPRC_FBLK_ATTN", "batched")  # 10.33 vs 10.87 ms int8 megablock
+    # default batched_nomax (round 4): eliding the [H,S,S] max pass is
+    # softmax-identical in exact arithmetic (exp2(s)/sum == exp2(s-m)/sum)
+    # and overflow-safe under the 120 clamp (|logits| < 83 — ViT attention
+    # logits sit orders below); measured end-to-end encode bf16 880->892,
+    # int8 1213->1268 imgs/s at b2048, with on-chip kernel-vs-XLA parity
+    # unchanged (bf16 maxabs 0.03125/meanabs 0.00205, int8 0.090/0.011 —
+    # identical to the `batched` record, MEASUREMENTS.md r4).
+    # SPRC_FBLK_ATTN=batched restores the max-subtracting form.
+    mode = os.environ.get("SPRC_FBLK_ATTN", "batched_nomax")
     if mode.startswith("batched") and not perhead:
         # stack heads into a leading batch dim (VMEM copies) so all score /
         # PV matmuls issue as ONE batched dot_general and the softmax
@@ -62,8 +70,8 @@ def _attend(qkv, W, D, heads, scale, dtype, *, perhead: bool):
         v = jnp.stack([qkv[:, 2 * W + h * D:2 * W + (h + 1) * D] for h in range(heads)])
         s = jax.lax.dot_general(
             q * (scale * _LOG2E), k, (((2,), (2,)), ((0,), (0,))),
-            preferred_element_type=sdt,
-        )  # [H, S, S]
+            preferred_element_type=jnp.float32,  # tpu.matmul must emit f32
+        ).astype(sdt)  # [H, S, S]; the cast fuses into the dot epilogue
         if mode.startswith("batched_nomax"):
             # exp2 without max-subtraction saves a full [H,S,S] max pass;
             # clamp at 120 so scores past the assumed |s*log2e| < 127 bound
