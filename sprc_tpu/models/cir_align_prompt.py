@@ -63,9 +63,11 @@ class CirAlignPrompt(Blip2CirBase):
         deterministic: bool = True,
     ) -> Dict[str, jnp.ndarray]:
         """Full training forward -> {'loss_itc','loss_rtc','loss_align'}."""
+        ref_embeds, tgt_embeds = self.encode_image_pair(
+            reference_images, target_images)
         return self.losses_from_embeds(
-            self.encode_image(reference_images),
-            self.encode_image(target_images),
+            ref_embeds,
+            tgt_embeds,
             input_ids,
             text_mask,
             deterministic=deterministic,

@@ -16,6 +16,7 @@ jit-compatible with static shapes.
 from __future__ import annotations
 
 import dataclasses
+import os
 from typing import Any, Dict, Optional, Tuple
 
 import jax
@@ -137,6 +138,34 @@ class Blip2CirBase(nn.Module):
         if images.ndim == 3:
             return self.embed_cached(images)
         return self.embed_cached(self.encode_tower(images))
+
+    def encode_image_pair(
+        self, reference: jnp.ndarray, target: jnp.ndarray
+    ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        """Encode reference+target, optionally in ONE tower call.
+
+        Every op on the image path (patchify, blocks, ln_vision) is
+        batch-pointwise, so concatenating along batch computes the same
+        function as two separate :meth:`encode_image` calls. The single
+        2B-row megakernel chain was hypothesized to halve dispatch/
+        pipeline-ramp overhead at the live train step's small micro-batch,
+        but measured on chip it is a wash — 237.3 vs 237.9 imgs/s at
+        b64×accum2 (MEASUREMENTS.md r4): at b64 the grid is already deep
+        enough (8 groups × 23 blocks) and XLA pipelines the two calls.
+        Default therefore stays the two-call form, which is also bitwise
+        equal to :meth:`encode_image` per input on every backend
+        (XLA:CPU's dot reduction order shifts with batch shape — observed
+        ≤1 fp32 ulp at 2B — so the concat form trades that equality for
+        nothing). ``SPRC_PAIR_ENCODE=1`` opts in to the concat form.
+        The reference encodes the pair separately
+        (…cir_align_prompt.py:102-110).
+        """
+        if os.environ.get("SPRC_PAIR_ENCODE", "0") != "1":
+            return self.encode_image(reference), self.encode_image(target)
+        B = reference.shape[0]
+        both = self.encode_image(
+            jnp.concatenate([reference, target], axis=0))
+        return both[:B], both[B:]
 
     def forward_cached(
         self,

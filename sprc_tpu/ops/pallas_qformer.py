@@ -106,7 +106,7 @@ def _attend_bias(qkv3, S, Sk, W, heads, scale, dtype, col_bias):
                 [base, jnp.full((pad,), -1e9, jnp.float32)], axis=0)
         Sk = Sk + pad
 
-    if mode == "perhead":
+    if mode.startswith("perhead"):
         outs = []
         for h in range(heads):
             qh = q[:, h * D:(h + 1) * D] * (scale * _LOG2E)
@@ -117,7 +117,13 @@ def _attend_bias(qkv3, S, Sk, W, heads, scale, dtype, col_bias):
                 preferred_element_type=jnp.float32)  # [S, Sk]
             if col_bias is not None:
                 s = s + (col_bias * _LOG2E)[None, :]
-            p = jnp.exp2(s - jnp.max(s, axis=-1, keepdims=True))
+            if mode == "perhead_nomax":
+                # max-pass elision (see pallas_block._attend): exact-math
+                # identical softmax; −10000 mask biases underflow exp2 to
+                # exactly 0, preserving masking semantics
+                p = jnp.exp2(jnp.minimum(s, 120.0))
+            else:
+                p = jnp.exp2(s - jnp.max(s, axis=-1, keepdims=True))
             o = jax.lax.dot_general(
                 p, vh, (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,

@@ -52,7 +52,7 @@ def _run(model, params, flag, **kw):
             os.environ["SPRC_PALLAS_QF"] = old
 
 
-@pytest.mark.parametrize("attn", ["batched", "f32", "padk", "perhead"])
+@pytest.mark.parametrize("attn", ["batched", "f32", "padk", "perhead", "perhead_nomax"])
 def test_fusion_pass_parity(setup, attn, monkeypatch):
     """All four SPRC_QF_ATTN in-kernel attention variants (added to isolate
     the Mosaic compile crash at real dims) must agree with the unfused

@@ -4,10 +4,31 @@ The SPRC recipe freezes the ViT and uses a deterministic transform
 (reference blip_fine_tune_2.py:251, data_utils.py:91-105), so precomputing
 ``encode_tower`` outputs once and training from the cache must be
 NUMERICALLY IDENTICAL to the live two-tower forward — losses and gradients.
+
+The bitwise assertions pin ``SPRC_PAIR_ENCODE=0`` (two separate tower
+calls — also the default). The ``SPRC_PAIR_ENCODE=1`` opt-in batches both
+towers into ONE call (``encode_image_pair``), which computes the same
+function but lets XLA:CPU pick a different dot reduction order at batch
+2B — ``test_pair_encode_matches_cached_tightly`` bounds that drift
+(observed on XLA:CPU: losses ≤1 fp32 ulp, grads ≤1.1e-5 absolute).
 """
+
+import os
 
 import numpy as np
 import pytest
+
+
+@pytest.fixture(autouse=True)
+def _bitwise_live_path():
+    """Pin the separate-tower live path for the bit-equality tests."""
+    old = os.environ.get("SPRC_PAIR_ENCODE")
+    os.environ["SPRC_PAIR_ENCODE"] = "0"
+    yield
+    if old is None:
+        os.environ.pop("SPRC_PAIR_ENCODE", None)
+    else:
+        os.environ["SPRC_PAIR_ENCODE"] = old
 
 import jax
 import jax.numpy as jnp
@@ -138,6 +159,70 @@ def test_cached_grads_equal_live(setup):
     for (path, gl), (_, gc) in zip(flat_l, flat_c):
         np.testing.assert_allclose(
             np.asarray(gl), np.asarray(gc), rtol=0, atol=1e-6,
+            err_msg=jax.tree_util.keystr(path),
+        )
+
+
+def test_pair_encode_matches_cached_tightly(setup):
+    """The DEFAULT live path (one 2B-row tower call, cir_base.py
+    ``encode_image_pair``) vs cached: same function, reduction-order drift
+    only — losses within 1e-6 relative, trainable grads within 2e-5."""
+    model, params, batch = setup
+    os.environ["SPRC_PAIR_ENCODE"] = "1"  # autouse fixture restores
+
+    live = model.apply(
+        {"params": params},
+        batch["reference"], batch["target"],
+        batch["input_ids"], batch["text_mask"],
+        deterministic=True,
+    )
+    cached = model.apply(
+        {"params": params},
+        _tower(model, params, batch["reference"]),
+        _tower(model, params, batch["target"]),
+        batch["input_ids"], batch["text_mask"],
+        deterministic=True,
+        method=model.forward_cached,
+    )
+    for key in live:
+        np.testing.assert_allclose(
+            np.asarray(live[key]), np.asarray(cached[key]),
+            rtol=1e-6, atol=0, err_msg=key,
+        )
+
+    frozen_keys = {"visual_encoder"}
+    train = {k: v for k, v in params.items() if k not in frozen_keys}
+    frozen = {k: v for k, v in params.items() if k in frozen_keys}
+    ref_t = _tower(model, params, batch["reference"])
+    tgt_t = _tower(model, params, batch["target"])
+
+    def live_loss(tp):
+        losses = model.apply(
+            {"params": {**tp, **frozen}},
+            batch["reference"], batch["target"],
+            batch["input_ids"], batch["text_mask"],
+            deterministic=True,
+        )
+        return sum(jnp.asarray(v, jnp.float32) for v in losses.values())
+
+    def cached_loss(tp):
+        losses = model.apply(
+            {"params": {**tp, **frozen}},
+            ref_t, tgt_t,
+            batch["input_ids"], batch["text_mask"],
+            deterministic=True,
+            method=model.forward_cached,
+        )
+        return sum(jnp.asarray(v, jnp.float32) for v in losses.values())
+
+    g_live = jax.grad(live_loss)(train)
+    g_cached = jax.grad(cached_loss)(train)
+    for (path, gl), (_, gc) in zip(
+        jax.tree_util.tree_flatten_with_path(g_live)[0],
+        jax.tree_util.tree_flatten_with_path(g_cached)[0],
+    ):
+        np.testing.assert_allclose(
+            np.asarray(gl), np.asarray(gc), rtol=0, atol=2e-5,
             err_msg=jax.tree_util.keystr(path),
         )
 
