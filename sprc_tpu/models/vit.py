@@ -310,10 +310,16 @@ class ViTBlock(nn.Module):
         )
         # measured (MEASUREMENTS.md): G=8 best for both ViT-L paths with
         # batched head attention (int8 10.78 ms/block, bf16 14.07). Wider
-        # towers (EVA ViT-g: 50 MB of weights VMEM-resident) stay at G=4,
-        # the measured-safe config. Cold compiles run 8-25 min through the
-        # tunnel, cached afterwards.
-        G_default = "8" if cfg.width <= 1024 else "4"
+        # towers (EVA ViT-g): int8 halves the VMEM-resident weights, so G=8
+        # compiles and wins (+2.1%, 418 vs 410 imgs/s b1024, r4 sweep); the
+        # bf16 G=8 kernel fails the remote Mosaic compiler (HTTP 500) and
+        # G=16/b2048 hang or time out the compile — bf16 stays at the
+        # measured-safe G=4. Cold compiles run 8-25 min through the tunnel,
+        # cached afterwards.
+        if cfg.width <= 1024:
+            G_default = "8"
+        else:
+            G_default = "8" if cfg.quant == "int8_static" else "4"
         G = int(os.environ.get("SPRC_PALLAS_BLOCK_G", G_default))
         if blk_flag in ("1", "force") and fusable and (
             cfg.quant in (None, "int8_static")
