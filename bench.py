@@ -332,6 +332,7 @@ def bench_index_local(batch, steps):
     prefetch slot, so multiply by host cores for multi-worker rates."""
     import io
 
+    import jax
     import jax.numpy as jnp
     from PIL import Image
 

@@ -20,6 +20,13 @@ Modes (one per process; the tunnel serves one client):
              {dense pergroup/batched} x {G 8/16}  (SPRC_FBLK_* read at
              trace time; each combo is a fresh jit).
   int8     - same A/B on the calibrated static-int8 serving path.
+  budget_int8 - the `budget` stage decomposition on the INT8 serving path
+             (VERDICT r4 #2): full int8 encode (towers int8_static +
+             SPRC_QF_INT8), int8 tower only, the 23-block int8 megakernel
+             chain alone, and the post stage, so the gap from the measured
+             imgs/s to the repo's best int8 envelope (266 TOPS at 16k^3,
+             148-153 at encode shapes — scripts/ablate_int8.py) is
+             attributed per stage like round 4 did for bf16.
 
 Timing: tunnel rules (MEASUREMENTS.md) — scalar readback per step,
 distinct device-generated batches, median of 3 compiled-loop reps.
@@ -116,11 +123,27 @@ def _timed(fn, params, batches, label, n_items):
     return med
 
 
-def mode_budget():
+def mode_budget(quant=False):
     import jax
     import jax.numpy as jnp
 
-    model = _model()
+    if quant:
+        # the full int8 serving config the bench measures: calibrated
+        # static-int8 towers + int8 Q-Former dense path
+        base = _model()
+        base_params = _params(base)
+        calib = _model(quant="int8_calib")
+        cal = jax.random.uniform(
+            jax.random.PRNGKey(99), (16, 224, 224, 3), jnp.float32)
+        from sprc_tpu.models.vit import calibrate_act_scales
+
+        scales = calibrate_act_scales(
+            calib, base_params, cal, method=calib.extract_target_features)
+        os.environ["SPRC_QF_INT8"] = "1"
+        model = _model(quant="int8_static", scales=scales)
+        del base, calib
+    else:
+        model = _model()
     params = _params(model)
     vcfg = model.cfg.vit_config()
     S, W = vcfg.seq_len, vcfg.width
@@ -143,40 +166,75 @@ def mode_budget():
 
     # blocks: the 23-block fused-kernel chain alone, scanned over stacked
     # constant-filled per-layer params (timing only; values irrelevant)
-    from sprc_tpu.ops.pallas_block import fused_vit_block
+    from sprc_tpu.ops.pallas_block import fused_vit_block, fused_vit_block_i8
 
     D = vcfg.depth
     M = vcfg.mlp_hidden
     G = int(os.environ.get("SPRC_PALLAS_BLOCK_G", "8"))
-    stack = {
-        "l1s": jnp.full((D, W), 1.0, jnp.float32),
-        "l1b": jnp.full((D, W), 0.01, jnp.float32),
-        "wqkv": jnp.full((D, W, 3 * W), 0.002, jnp.float32),
-        "bqkv": jnp.full((D, 3 * W), 0.01, jnp.float32),
-        "wproj": jnp.full((D, W, W), 0.002, jnp.float32),
-        "bproj": jnp.full((D, W), 0.01, jnp.float32),
-        "l2s": jnp.full((D, W), 1.0, jnp.float32),
-        "l2b": jnp.full((D, W), 0.01, jnp.float32),
-        "w1": jnp.full((D, W, M), 0.002, jnp.float32),
-        "b1": jnp.full((D, M), 0.01, jnp.float32),
-        "w2": jnp.full((D, M, W), 0.002, jnp.float32),
-        "b2": jnp.full((D, W), 0.01, jnp.float32),
-    }
+    if quant:
+        stack = {
+            "l1s": jnp.full((D, W), 1.0, jnp.float32),
+            "l1b": jnp.full((D, W), 0.01, jnp.float32),
+            "wqkv8": jnp.full((D, W, 3 * W), 3, jnp.int8),
+            "sqkv": jnp.full((D, 3 * W), 7e-4, jnp.float32),
+            "bqkv": jnp.full((D, 3 * W), 0.01, jnp.float32),
+            "wproj8": jnp.full((D, W, W), 3, jnp.int8),
+            "sproj": jnp.full((D, W), 7e-4, jnp.float32),
+            "bproj": jnp.full((D, W), 0.01, jnp.float32),
+            "l2s": jnp.full((D, W), 1.0, jnp.float32),
+            "l2b": jnp.full((D, W), 0.01, jnp.float32),
+            "w18": jnp.full((D, W, M), 3, jnp.int8),
+            "s1": jnp.full((D, M), 7e-4, jnp.float32),
+            "b1": jnp.full((D, M), 0.01, jnp.float32),
+            "w28": jnp.full((D, M, W), 3, jnp.int8),
+            "s2": jnp.full((D, W), 7e-4, jnp.float32),
+            "b2": jnp.full((D, W), 0.01, jnp.float32),
+        }
 
-    def chain(_, x, stack):
-        def body(h, lp):
-            return fused_vit_block(
-                h, lp["l1s"], lp["l1b"], lp["wqkv"], lp["bqkv"], lp["wproj"],
-                lp["bproj"], lp["l2s"], lp["l2b"], lp["w1"], lp["b1"],
-                lp["w2"], lp["b2"], vcfg.num_heads, vcfg.layer_norm_eps,
-                vcfg.head_dim ** -0.5, vcfg.quick_gelu, G,
-            ), None
-        out, _ = jax.lax.scan(body, x, stack)
-        return out
+        def chain(_, x, stack):
+            def body(h, lp):
+                return fused_vit_block_i8(
+                    h, lp["l1s"], lp["l1b"], lp["wqkv8"], lp["sqkv"],
+                    lp["bqkv"], lp["wproj8"], lp["sproj"], lp["bproj"],
+                    lp["l2s"], lp["l2b"], lp["w18"], lp["s1"], lp["b1"],
+                    lp["w28"], lp["s2"], lp["b2"], heads=vcfg.num_heads,
+                    eps=vcfg.layer_norm_eps, scale=vcfg.head_dim ** -0.5,
+                    quick=vcfg.quick_gelu, acts=(0.2, 0.2, 0.2, 0.2), G=G,
+                ), None
+            out, _ = jax.lax.scan(body, x, stack)
+            return out
+    else:
+        stack = {
+            "l1s": jnp.full((D, W), 1.0, jnp.float32),
+            "l1b": jnp.full((D, W), 0.01, jnp.float32),
+            "wqkv": jnp.full((D, W, 3 * W), 0.002, jnp.float32),
+            "bqkv": jnp.full((D, 3 * W), 0.01, jnp.float32),
+            "wproj": jnp.full((D, W, W), 0.002, jnp.float32),
+            "bproj": jnp.full((D, W), 0.01, jnp.float32),
+            "l2s": jnp.full((D, W), 1.0, jnp.float32),
+            "l2b": jnp.full((D, W), 0.01, jnp.float32),
+            "w1": jnp.full((D, W, M), 0.002, jnp.float32),
+            "b1": jnp.full((D, M), 0.01, jnp.float32),
+            "w2": jnp.full((D, M, W), 0.002, jnp.float32),
+            "b2": jnp.full((D, W), 0.01, jnp.float32),
+        }
+
+        def chain(_, x, stack):
+            def body(h, lp):
+                return fused_vit_block(
+                    h, lp["l1s"], lp["l1b"], lp["wqkv"], lp["bqkv"],
+                    lp["wproj"], lp["bproj"], lp["l2s"], lp["l2b"],
+                    lp["w1"], lp["b1"], lp["w2"], lp["b2"], vcfg.num_heads,
+                    vcfg.layer_norm_eps, vcfg.head_dim ** -0.5,
+                    vcfg.quick_gelu, G,
+                ), None
+            out, _ = jax.lax.scan(body, x, stack)
+            return out
 
     blocks = jax.jit(lambda p, x: chain(p, x, stack))
 
-    _emit({"mode": "budget", "batch": BATCH, "steps": STEPS,
+    _emit({"mode": "budget_int8" if quant else "budget", "batch": BATCH,
+           "steps": STEPS, "G": G,
            "vit": "eva" if os.environ.get("SPRC_BENCH_VIT") == "eva" else "vitL"})
     t_full = _timed(full, params, img_batches, "full_encode", BATCH)
     t_tower = _timed(tower, params, img_batches, "tower_only", BATCH)
@@ -265,6 +323,8 @@ def main():
     _emit({"mode": mode, "batch": BATCH, "steps": STEPS, "reps": REPS})
     if mode == "budget":
         mode_budget()
+    elif mode == "budget_int8":
+        mode_budget(quant=True)
     elif mode == "variants":
         _combo_runs(quant=False)
     elif mode == "int8":

@@ -22,8 +22,8 @@ composition of three pretrained submodels.
 Deviations (documented): Img2Prompt's answer extraction uses spaCy POS tags
 + NER in the reference; spaCy isn't in this image, so the default is the
 bundled rule-based tagger (:mod:`sprc_tpu.text.pos`: open-class tokens +
-noun chunks — same extraction shape, no NER; a ``tagger`` callable can
-restore exact spaCy behavior).
+capitalized-span/gazetteer entities + noun chunks — same extraction shape;
+a ``tagger`` callable can restore exact spaCy behavior).
 """
 
 from __future__ import annotations
@@ -465,10 +465,11 @@ class Img2PromptVqaPipeline(PnpVqaPipeline):
     the question-generation T5.
 
     ``tagger``: answer-candidate extractor, ``caption -> [candidates]``.
-    The reference uses spaCy POS tags + noun chunks
+    The reference uses spaCy POS tags + entities + noun chunks
     (img2prompt_vqa.py:252-310); the built-in default is the bundled
     rule-based tagger (:mod:`sprc_tpu.text.pos` — open-class tokens +
-    noun chunks, no NER). To match the reference exactly, inject a spaCy
+    capitalized-span/gazetteer entities + noun chunks). To match the
+    reference exactly, inject a spaCy
     tagger::
 
         nlp = spacy.load("en_core_web_sm")

@@ -80,7 +80,14 @@ def _attend(qkv, W, D, heads, scale, dtype, *, perhead: bool):
             p = jnp.exp2(jnp.minimum(s, jnp.asarray(120.0, sdt))).astype(dtype)
         else:
             p = jnp.exp2(s - jnp.max(s, axis=-1, keepdims=True)).astype(dtype)
-        denom = jnp.sum(p.astype(jnp.float32), axis=-1, keepdims=True)
+        # guard the no-max denominator: if every row score sits under the
+        # fp32 exp2 underflow point (~s < -126, i.e. logits < -87) all probs
+        # are 0 and the divide would emit NaN/Inf where the max-subtracting
+        # form stays finite; clamp so the variant degrades to ~zero output
+        # instead (unreachable in the documented |logits| < 83 envelope)
+        denom = jnp.maximum(
+            jnp.sum(p.astype(jnp.float32), axis=-1, keepdims=True),
+            jnp.float32(1e-30))
         o = jax.lax.dot_general(
             p, v, (((2,), (1,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,

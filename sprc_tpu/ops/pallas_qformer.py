@@ -124,10 +124,14 @@ def _attend_bias(qkv3, S, Sk, W, heads, scale, dtype, col_bias):
                 p = jnp.exp2(jnp.minimum(s, 120.0))
             else:
                 p = jnp.exp2(s - jnp.max(s, axis=-1, keepdims=True))
+            # denominator guard: a fully −10000-masked row (or an all-
+            # underflow row in the nomax variant) sums to exactly 0 and
+            # would divide to NaN; clamp so it degrades to ~zero output
             o = jax.lax.dot_general(
                 p, vh, (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
-            ) / jnp.sum(p, axis=-1, keepdims=True)
+            ) / jnp.maximum(
+                jnp.sum(p, axis=-1, keepdims=True), jnp.float32(1e-30))
             outs.append(o)
         return jnp.concatenate(outs, axis=-1).astype(dtype)
 

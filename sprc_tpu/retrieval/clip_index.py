@@ -62,19 +62,26 @@ def extract_clip_index_features(
     names: List[str] = []
     parts: List[np.ndarray] = []
     for batch_names, images in batches:
-        b = images.shape[0]
-        if b < encode_batch:
-            pad = encode_batch - b
-            images = np.concatenate(
-                [images, np.zeros((pad,) + images.shape[1:], images.dtype)], axis=0
-            )
-        feats = np.asarray(encode(params, jnp.asarray(images))[:b], np.float32)
-        if normalize:
-            feats = feats / np.maximum(
-                np.linalg.norm(feats, axis=-1, keepdims=True), 1e-12
-            )
-        parts.append(feats)
+        # re-chunk to exactly encode_batch rows per call: oversize batches
+        # are split and undersize ones zero-padded, so ONE compiled shape
+        # serves the whole gallery regardless of the stream's batching
+        for s in range(0, images.shape[0], encode_batch):
+            chunk = images[s:s + encode_batch]
+            b = chunk.shape[0]
+            if b < encode_batch:
+                pad = encode_batch - b
+                chunk = np.concatenate(
+                    [chunk, np.zeros((pad,) + chunk.shape[1:], chunk.dtype)],
+                    axis=0,
+                )
+            feats = np.asarray(encode(params, jnp.asarray(chunk))[:b], np.float32)
+            if normalize:
+                feats = feats / np.maximum(
+                    np.linalg.norm(feats, axis=-1, keepdims=True), 1e-12
+                )
+            parts.append(feats)
         names.extend(batch_names)
     if not parts:
-        return np.zeros((0, 0), np.float32), names
+        dim = getattr(getattr(model, "cfg", None), "embed_dim", 0)
+        return np.zeros((0, dim), np.float32), names
     return np.concatenate(parts, axis=0), names

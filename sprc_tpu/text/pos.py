@@ -7,10 +7,13 @@ config branch) the POS of an answer's last word. A full statistical tagger
 is overkill for caption-style text ("a red dress on a bed"), so this is a
 compact closed-class-lexicon + suffix-rule tagger: every function word is
 tagged by lookup, numbers by shape, and the remaining open-class words by
-suffix heuristics with NOUN as the default. Named-entity recognition is
-not reproduced (entities in captions are almost always re-captured by the
-noun/chunk candidates); inject a spaCy ``tagger`` into the pipeline for
-exact parity where spaCy is installed.
+suffix heuristics with NOUN as the default. The reference pipeline also
+appends spaCy entity spans as answer candidates
+(img2prompt_vqa.py:273-281); :func:`entities` reproduces that with a
+capitalized-span + gazetteer heuristic (months/days/countries/cities),
+which covers the PERSON/GPE/ORG-style entities that caption text produces
+("Paris", "New York", "Obama"); inject a spaCy ``tagger`` into the
+pipeline for exact parity where spaCy is installed.
 
 Tags follow the spaCy/UD coarse set used by the reference: NOUN VERB ADJ
 ADV NUM plus closed classes DET PRON ADP CONJ AUX PART PUNCT.
@@ -66,7 +69,7 @@ for _tag, _words in {
         shows talk talks turn turns start starts hang hangs lie lies lay
         lays watch watches drink drinks sleep sleeps throw throws catch
         catches pull pulls push pushes carry carries climb climbs drive
-        drives""",
+        drives march marches""",
     # -able/-ible nouns the adjective suffix rule would misfile
     "NOUN": "table cable bible marble pebble vegetable label",
 }.items():
@@ -144,12 +147,91 @@ def noun_chunks(tagged: Sequence[Tuple[str, str]]) -> List[str]:
     return chunks
 
 
+# entity gazetteer: single-word names that qualify even sentence-initially
+# (a lone capitalized first word is otherwise just ordinary casing)
+_GAZETTEER = frozenset(w.lower() for w in """
+    january february march april may june july august september october
+    november december monday tuesday wednesday thursday friday saturday
+    sunday christmas easter halloween thanksgiving
+    america england france germany italy spain china japan india russia
+    canada mexico brazil australia egypt kenya greece ireland scotland
+    wales europe asia africa antarctica
+    paris london tokyo moscow rome berlin madrid beijing seattle chicago
+    boston houston dallas miami denver atlanta vegas hollywood brooklyn
+    manhattan california texas florida hawaii alaska arizona oregon
+    obama trump biden lincoln washington einstein shakespeare jesus
+    google apple microsoft amazon facebook nike adidas toyota honda ford
+    disney nintendo sony samsung pepsi cocacola starbucks mcdonalds
+""".split())
+
+# closed-class tags whose capitalized forms never START an entity span
+_ENT_EXCLUDE = frozenset(("DET", "PRON", "ADP", "CONJ", "AUX", "PART",
+                          "PUNCT"))
+
+
+def entities(words: Sequence[str]) -> List[str]:
+    """Heuristic named-entity spans — the bundled analogue of spaCy's
+    ``doc.ents`` in reference answer_extraction (img2prompt_vqa.py:273-281).
+
+    A span is a maximal run of capitalized tokens (``Title`` case or
+    ``ALLCAPS`` acronyms) whose first word is not a closed-class function
+    word. A sentence-initial capitalized word — ordinary casing, not an
+    entity signal — only qualifies when it is a gazetteer hit or the span
+    continues into a second capitalized word ("New York began...").
+    Caption generators emit lowercase text, so any capitalization there is
+    a strong entity signal. Number/date/money entity types are not
+    reproduced; bare NUM tokens are already captured by the open-class
+    candidate pass."""
+    def cap(w: str) -> bool:
+        return (w[:1].isupper()
+                and (w[1:].islower() or (len(w) > 1 and w.isupper())))
+
+    out: List[str] = []
+    i, n = 0, len(words)
+    sentence_initial = True
+    while i < n:
+        w = words[i]
+        if _PUNCT_RE.match(w):
+            sentence_initial = w in ".!?"
+            i += 1
+            continue
+        lw = w.lower()
+        starts = (
+            cap(w)
+            and _LEX.get(lw) not in _ENT_EXCLUDE
+            and (not sentence_initial
+                 or lw in _GAZETTEER
+                 or (i + 1 < n and cap(words[i + 1])))
+        )
+        if not starts and lw in _GAZETTEER and lw not in _LEX:
+            # lowercase gazetteer hit ("a trip to paris"): caption text is
+            # lowercase, so casing alone cannot carry the signal; lexicon
+            # words stay ambiguous ("may" AUX, "white" ADJ) and don't fire
+            starts = True
+        if starts:
+            j = i + 1
+            while j < n and cap(words[j]):
+                j += 1
+            out.append(" ".join(words[i:j]))
+            i = j
+        else:
+            i += 1
+        sentence_initial = False
+    return out
+
+
 def answer_candidates(caption: str) -> List[str]:
-    """Open-class tokens + noun chunks (<4 words) in caption order — the
-    extraction shape of reference answer_extraction
-    (img2prompt_vqa.py:252-295, minus spaCy NER; see module docstring)."""
+    """Open-class tokens + entity spans + noun chunks (<4 words) in caption
+    order — the extraction shape of reference answer_extraction
+    (img2prompt_vqa.py:252-295). Entity spans dedup against the tokens
+    already collected, like the reference's ``if ent.text not in answers``
+    guard (there the guard is global across captions; here per-caption —
+    cross-caption entity repeats only affect the frequency sort)."""
     tagged = tag_text(caption.strip().strip("."))
     cands = [w for w, p in tagged if p in OPEN_POS]
+    for ent in entities([w for w, _ in tagged]):
+        if ent not in cands:
+            cands.append(ent)
     # chunks append unconditionally like the reference (duplicates feed the
     # frequency sort in answer_extraction)
     cands += [c for c in noun_chunks(tagged) if len(c.split()) < 4]

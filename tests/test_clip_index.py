@@ -85,7 +85,26 @@ def test_extract_clip_index_features(clip_model, rng):
     )
 
 
+def test_extract_oversize_batch_rechunked(clip_model, rng):
+    """A stream batch LARGER than encode_batch is split into encode_batch
+    chunks (one compiled shape serves the gallery — no per-shape recompile),
+    with results identical to the direct whole-array encode."""
+    model, params = clip_model
+    images = rng.rand(7, IMG, IMG, 3).astype(np.float32)
+    names = [f"img{i}" for i in range(7)]
+    feats, got_names = extract_clip_index_features(
+        [(names, images)], model, params, encode_batch=3
+    )
+    assert got_names == names and feats.shape == (7, 24)
+    direct = np.asarray(
+        model.apply({"params": params}, jnp.asarray(images),
+                    method=model.encode_image)
+    )
+    np.testing.assert_allclose(feats, direct, atol=1e-5)
+
+
 def test_extract_empty_stream(clip_model):
     model, params = clip_model
     feats, names = extract_clip_index_features([], model, params)
-    assert feats.shape[0] == 0 and names == []
+    # empty stream still reports the model's feature dim, not (0, 0)
+    assert feats.shape == (0, 24) and names == []

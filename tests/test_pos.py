@@ -7,9 +7,11 @@ import numpy as np
 from sprc_tpu.text.pos import (
     OPEN_POS,
     answer_candidates,
+    entities,
     noun_chunks,
     pos_of_last_word,
     tag_text,
+    tokenize,
 )
 
 
@@ -65,6 +67,48 @@ def test_candidate_frequency_drives_answer_order():
     all_cands = [c for cap in caps for c in answer_candidates(cap)]
     counts = {c: all_cands.count(c) for c in set(all_cands)}
     assert counts["dog"] > counts["cat"]
+
+
+def test_entities_capitalized_spans():
+    """Mid-sentence capitalized runs become entity spans — the bundled
+    analogue of reference img2prompt_vqa.py:273-281 doc.ents."""
+    assert entities(tokenize("a photo of Barack Obama smiling")) == [
+        "Barack Obama"]
+    assert entities(tokenize("a street sign in New York City")) == [
+        "New York City"]
+    # ALLCAPS acronyms qualify
+    assert entities(tokenize("a NASA rocket on a pad")) == ["NASA"]
+    # capitalized function words never start a span
+    assert entities(tokenize("a dog and The end")) == []
+
+
+def test_entities_sentence_initial_rules():
+    # ordinary sentence-initial casing is NOT an entity...
+    assert entities(tokenize("Dogs run on grass")) == []
+    # ...unless it is a gazetteer name or a multi-word capitalized span
+    assert entities(tokenize("Paris at night")) == ["Paris"]
+    assert entities(tokenize("Eiffel Tower at night")) == ["Eiffel Tower"]
+
+
+def test_entities_lowercase_gazetteer():
+    """Caption generators emit lowercase text, so gazetteer names fire
+    without casing; ambiguous lexicon words ("may" AUX) do not."""
+    assert entities(tokenize("a trip to paris in the rain")) == ["paris"]
+    assert entities(tokenize("she may go to the store")) == []
+    assert entities(tokenize("soldiers march down the road")) == []
+
+
+def test_answer_candidates_include_entities():
+    """Named-entity answers reach the candidate list even when the token
+    pass already captured their words — span text dedups against tokens
+    like the reference's `if ent.text not in answers` guard."""
+    cands = answer_candidates("a photo of Barack Obama in Paris")
+    assert "Barack Obama" in cands
+    assert "Paris" in cands
+    # the ENTITY append dedups against collected tokens ("Paris" token
+    # already present -> ent skipped), but the chunk pass re-appends
+    # unconditionally like the reference: token + chunk = exactly 2
+    assert cands.count("Paris") == 2
 
 
 def test_pos_of_last_word():

@@ -164,9 +164,11 @@ def test_cached_grads_equal_live(setup):
 
 
 def test_pair_encode_matches_cached_tightly(setup):
-    """The DEFAULT live path (one 2B-row tower call, cir_base.py
-    ``encode_image_pair``) vs cached: same function, reduction-order drift
-    only — losses within 1e-6 relative, trainable grads within 2e-5."""
+    """The SPRC_PAIR_ENCODE=1 opt-in live path (one 2B-row tower call,
+    cir_base.py ``encode_image_pair``; two separate calls are the default
+    after the r4 on-chip measurement) vs cached: same function,
+    reduction-order drift only — losses within 1e-6 relative, trainable
+    grads within 2e-5."""
     model, params, batch = setup
     os.environ["SPRC_PAIR_ENCODE"] = "1"  # autouse fixture restores
 
