@@ -275,6 +275,17 @@ def _combo_runs(quant):
         "G8": {"SPRC_PALLAS_BLOCK_G": "8"},  # EVA default is G=4
         "nomax+G8": {"SPRC_FBLK_ATTN": "batched_nomax",
                      "SPRC_PALLAS_BLOCK_G": "8"},
+        # EVA bf16 G=8 repro ladder (VERDICT r4 #4): the r4 failure was the
+        # BATCHED attention form (HTTP 500 from the remote Mosaic helper);
+        # per-head 2-D matmuls compiled where batched SIGABRTed for the
+        # Q-Former kernel (MEASUREMENTS.md r3), so try that form at G=8,
+        # and the head-major per-head weight layout as a second fallback
+        "G8_perheadattn": {"SPRC_PALLAS_BLOCK_G": "8",
+                           "SPRC_FBLK_ATTN": "loop"},
+        "G4_perheadattn": {"SPRC_PALLAS_BLOCK_G": "4",
+                           "SPRC_FBLK_ATTN": "loop"},
+        "G8_perheadmode": {"SPRC_PALLAS_BLOCK_G": "8",
+                           "SPRC_FBLK_MODE": "perhead"},
     }
     combos = [(c, named[c]) for c in combos_env.split(",") if c in named]
     import jax

@@ -415,6 +415,9 @@ def _full_xla_ref(x, l1s, l1b, wqkv, bqkv, wproj, bproj, l2s, l2b, w1, b1,
 
 
 def _q8(x32, inv_scale):
+    if isinstance(inv_scale, float) and inv_scale == 1.0:
+        # pre-scaled producer (ln_folded): no quantize multiply pass
+        return jnp.clip(jnp.round(x32), -127, 127).astype(jnp.int8)
     return jnp.clip(jnp.round(x32 * inv_scale), -127, 127).astype(jnp.int8)
 
 
@@ -422,15 +425,23 @@ def _full_kernel_i8(x_ref, l1s_ref, l1b_ref, wqkv_ref, sqkv_ref, bqkv_ref,
                     wproj_ref, sproj_ref, bproj_ref, l2s_ref, l2b_ref,
                     w1_ref, s1_ref, b1_ref, w2_ref, s2_ref, b2_ref,
                     o_ref, *, G: int, heads: int, eps: float, scale: float,
-                    quick: bool, acts: tuple):
+                    quick: bool, acts: tuple, ln_folded: bool = False):
     """Whole block with the four dense matmuls on the int8 MXU path:
     weights arrive pre-quantized (int8 + per-out-channel scale), activations
     are quantized in-VMEM with calibrated static per-tensor scales (``acts``
-    = (qkv, proj, fc1, fc2)) so the int8 intermediates never touch HBM."""
+    = (qkv, proj, fc1, fc2)) so the int8 intermediates never touch HBM.
+
+    ``ln_folded``: the wrapper pre-divided the LN1/LN2 affines by a_qkv /
+    a_fc1, so those two LN outputs arrive already in the quant domain and
+    their [G,S,W] f32 quantize multiplies are elided (the dequant rescales
+    keep the original a_* factors, so the math is unchanged up to f32
+    rounding)."""
     S = x_ref.shape[1]
     W = x_ref.shape[2]
     D = W // heads
     a_qkv, a_proj, a_fc1, a_fc2 = acts
+    inv_qkv = 1.0 if ln_folded else 1.0 / a_qkv
+    inv_fc1 = 1.0 if ln_folded else 1.0 / a_fc1
 
     xb = x_ref[...]
     x32 = xb.astype(jnp.float32)
@@ -454,7 +465,7 @@ def _full_kernel_i8(x_ref, l1s_ref, l1b_ref, wqkv_ref, sqkv_ref, bqkv_ref,
     if os.environ.get("SPRC_FBLK_DENSE", "pergroup") == "batched":
         # one [G*S, W] dot per dense op (see _full_kernel): int8 MXU rates
         # collapse at M=257 (2x128 + 1 remainder row); G*S rows tile cleanly
-        q8 = _q8(h1.reshape(G * S, W), 1.0 / a_qkv)
+        q8 = _q8(h1.reshape(G * S, W), inv_qkv)
         qkv_all = (jax.lax.dot_general(
             q8, wqkv, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.int32,
@@ -471,7 +482,7 @@ def _full_kernel_i8(x_ref, l1s_ref, l1b_ref, wqkv_ref, sqkv_ref, bqkv_ref,
         ).astype(jnp.float32) * rproj + bproj
         y = xb.reshape(G * S, W) + att.astype(xb.dtype)
         u = _ln_f32(y.astype(jnp.float32), l2s_ref[0], l2b_ref[0], eps)
-        u8 = _q8(u, 1.0 / a_fc1)
+        u8 = _q8(u, inv_fc1)
         hid = jax.lax.dot_general(
             u8, w1, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.int32,
@@ -489,7 +500,7 @@ def _full_kernel_i8(x_ref, l1s_ref, l1b_ref, wqkv_ref, sqkv_ref, bqkv_ref,
         return
 
     for g in range(G):
-        q8 = _q8(h1[g], 1.0 / a_qkv)
+        q8 = _q8(h1[g], inv_qkv)
         qkv = jax.lax.dot_general(
             q8, wqkv, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.int32,
@@ -504,7 +515,7 @@ def _full_kernel_i8(x_ref, l1s_ref, l1b_ref, wqkv_ref, sqkv_ref, bqkv_ref,
         y = xb[g] + att.astype(xb.dtype)
 
         u = _ln_f32(y.astype(jnp.float32), l2s_ref[0], l2b_ref[0], eps)
-        u8 = _q8(u, 1.0 / a_fc1)
+        u8 = _q8(u, inv_fc1)
         hid = jax.lax.dot_general(
             u8, w1, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.int32,
@@ -526,11 +537,26 @@ def fused_vit_block_i8(x, l1s, l1b, wqkv8, sqkv, bqkv, wproj8, sproj, bproj,
                        eps: float, scale: float, quick: bool,
                        acts: tuple, G: int = 8):
     """Int8 whole-block kernel (serving-only; no VJP — the towers using the
-    int8 path are frozen). Weights pre-quantized via quant.quantize_weight."""
+    int8 path are frozen). Weights pre-quantized via quant.quantize_weight.
+
+    SPRC_FBLK_I8_LNFOLD=1 (opt-in A/B): fold the static quantize scales of
+    the LN-fed matmuls (1/a_qkv into LN1's affine, 1/a_fc1 into LN2's) at
+    trace time, eliding two [G,S,W] f32 quantize-multiply passes per block;
+    the dequant rescales keep the original a_* factors so the composition
+    is identical up to f32 rounding."""
+    import os
+
     B, S, W = x.shape
     M = w18.shape[1]
     while B % G:
         G //= 2
+    ln_folded = os.environ.get("SPRC_FBLK_I8_LNFOLD", "0") == "1"
+    if ln_folded:
+        a_qkv, _, a_fc1, _ = tuple(map(float, acts))
+        l1s = l1s.astype(jnp.float32) / a_qkv
+        l1b = l1b.astype(jnp.float32) / a_qkv
+        l2s = l2s.astype(jnp.float32) / a_fc1
+        l2b = l2b.astype(jnp.float32) / a_fc1
     kwargs = {}
     if jax.default_backend() == "tpu":
         from jax.experimental.pallas import tpu as pltpu
@@ -542,7 +568,8 @@ def fused_vit_block_i8(x, l1s, l1b, wqkv8, sqkv, bqkv, wproj8, sproj, bproj,
     full = lambda r, c: pl.BlockSpec((r, c), lambda i: (0, 0))
     return pl.pallas_call(
         functools.partial(_full_kernel_i8, G=G, heads=heads, eps=eps,
-                          scale=scale, quick=quick, acts=tuple(map(float, acts))),
+                          scale=scale, quick=quick,
+                          acts=tuple(map(float, acts)), ln_folded=ln_folded),
         grid=(B // G,),
         in_specs=[
             pl.BlockSpec((G, S, W), lambda i: (i, 0, 0)),

@@ -338,6 +338,18 @@ def test_fused_vit_block_i8_dense_variants_agree(dense, rng, monkeypatch):
     base = run()
     np.testing.assert_allclose(got, base, atol=2e-6)
 
+    # SPRC_FBLK_I8_LNFOLD: quantize scales folded into the LN affines —
+    # identical composition up to f32 rounding, which at int8 quantization
+    # granularity means at most a +-1-step flip on values that land exactly
+    # on a rounding boundary; outputs must stay within one dequant step
+    monkeypatch.setenv("SPRC_FBLK_I8_LNFOLD", "1")
+    folded = run()
+    monkeypatch.delenv("SPRC_FBLK_I8_LNFOLD")
+    step = max(float(np.max(np.asarray(s2))) * acts[3],
+               float(np.max(np.asarray(sp))) * acts[1])
+    np.testing.assert_allclose(folded, base, atol=step + 2e-6)
+    assert np.mean(folded != base) < 0.05  # boundary flips are rare
+
 
 @pytest.mark.parametrize(
     "attn", ["batched", "batched_nomax", "batched_sbf16",
