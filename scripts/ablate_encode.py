@@ -286,6 +286,10 @@ def _combo_runs(quant):
                            "SPRC_FBLK_ATTN": "loop"},
         "G8_perheadmode": {"SPRC_PALLAS_BLOCK_G": "8",
                            "SPRC_FBLK_MODE": "perhead"},
+        # int8 LN-folded quantize scales (round 5): elide the qkv/fc1
+        # [G,S,W] f32 quantize multiplies by pre-dividing the LN affines
+        "lnfold": {"SPRC_FBLK_I8_LNFOLD": "1"},
+        "G16_i8": {"SPRC_PALLAS_BLOCK_G": "16"},
     }
     combos = [(c, named[c]) for c in combos_env.split(",") if c in named]
     import jax

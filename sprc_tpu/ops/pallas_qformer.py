@@ -75,22 +75,27 @@ def _attend_bias(qkv3, S, Sk, W, heads, scale, dtype, col_bias):
     """q [S, W], k/v [Sk, W] packed in qkv3=(q, k, v); col_bias [Sk] f32
     additive or None -> ctx [S, W].
 
-    Variant via SPRC_QF_ATTN. Default ``perhead``: on this stack's remote
-    Mosaic compiler, every batched-head form (``batched``, ``f32``, and
-    even the 128-padded-K ``padk``) SIGABRTs at real Q-Former dims
-    (W=768, G>=8 — /tmp/qf_bisect2.log round 3); plain per-head 2-D
-    matmuls are the only variant that compiles there, and they measured
-    query scoring at 2881 q/s vs the 2008 q/s unfused baseline. All four
-    variants are parity-tested against the unfused composition
-    (tests/test_pallas_qformer.py) — they differ in layout, not math.
-      batched  - heads stacked, one batched dot (the ViT kernels' form)
-      f32      - batched but probs stay f32 (no bf16 <128-lane arrays)
-      padk     - K/V columns padded to a 128 multiple, bias masks the pad
-      perhead  - per-head 2-D matmuls (default)
+    Variant via SPRC_QF_ATTN. Only the per-head forms compile on this
+    stack's remote Mosaic compiler: every batched-head form (``batched``,
+    ``f32``, and even the 128-padded-K ``padk``) SIGABRTs at real Q-Former
+    dims (W=768, G>=8 — /tmp/qf_bisect2.log round 3). Default
+    ``perhead_nomax`` (round 5): the max-pass-elided per-head form, A/B'd
+    on chip at b2048 query scoring 4423.7 -> 4752.5 q/s (+7.4%, spread
+    0.4%); softmax-identical in exact arithmetic under the 120 clamp, and
+    the −10000 masks' exp2 underflow to exactly 0 preserves masking (the
+    guarded denominator degrades a fully-masked row to ~zero output
+    instead of NaN). All variants are parity-tested against the unfused
+    composition (tests/test_pallas_qformer.py) — they differ in layout,
+    not math.
+      batched        - heads stacked, one batched dot (the ViT kernels' form)
+      f32            - batched but probs stay f32 (no bf16 <128-lane arrays)
+      padk           - K/V columns padded to a 128 multiple, bias masks pad
+      perhead        - per-head 2-D matmuls, max-subtracting softmax
+      perhead_nomax  - per-head, max pass elided (default)
     """
     import os
 
-    mode = os.environ.get("SPRC_QF_ATTN", "perhead")
+    mode = os.environ.get("SPRC_QF_ATTN", "perhead_nomax")
     q, k, v = qkv3
     D = W // heads
 
