@@ -8,6 +8,7 @@ Modes (env SPRC_BENCH_MODE or --mode; default "all"):
   train       - full SPRC train step fwd+bwd+update (imgs/sec/chip)
   train_cached - cached frozen-feature train step (Q-Former-only; exact for
                 the reference recipe — see train/feature_cache.py)
+  encode_eva  - EVA ViT-g int8 gallery encode (paper headline backbone)
   rerank      - two-stage ITM rerank scoring over [ref; cand] 2x257-token
                 memory (candidates/sec/chip), CIRR val tile top=50 step=15
                 (reference blip2_qformer_cir_rerank.py:399-445)
@@ -211,6 +212,14 @@ def _bench_encode_int8_impl(batch, steps):
     )
     model = _build(vit_quant="int8_static", act_scales=scales)
     return _encode_throughput(model, params, batch, steps)
+
+
+def bench_encode_eva_int8(batch, steps):
+    """EVA ViT-g int8 gallery encode — the paper's headline backbone
+    (reference eva_vit.py:428-455) in the int8 G=8 serving config from the
+    r4 sweep. Runs at b1024 (b2048 G=8 EVA compiles time out; the bf16
+    G-ladder record is in MEASUREMENTS.md r5)."""
+    return _with_env("SPRC_BENCH_VIT", "eva", bench_encode_int8, batch, steps)
 
 
 def bench_query(batch, steps, n_gallery=10000, qf_int8=False):
@@ -599,7 +608,7 @@ def main() -> None:
         "--mode",
         default=os.environ.get("SPRC_BENCH_MODE", "all"),
         choices=["all", "encode", "encode_int8", "query", "train",
-                 "train_cached", "index", "rerank"],
+                 "train_cached", "index", "rerank", "encode_eva"],
     )
     args = ap.parse_args()
 
@@ -665,6 +674,7 @@ def main() -> None:
         "train_cached_step_imgs_per_sec": 90.0,
         "rerank_candidates_per_sec": 90.0,
         "rerank_int8_candidates_per_sec": 90.0,
+        "encode_eva_int8_imgs_per_sec": 150.0,
         "index_build_imgs_per_sec_local": 120.0,
         "index_build_imgs_per_sec_tunnel_bound": 600.0,  # relay-bandwidth
     }
@@ -699,7 +709,7 @@ def main() -> None:
 
     modes = (
         ["encode", "encode_int8", "query", "train", "train_cached", "rerank",
-         "index"]
+         "encode_eva", "index"]
         if args.mode == "all"
         else [args.mode]
     )
@@ -750,6 +760,13 @@ def main() -> None:
             run("rerank_int8_candidates_per_sec", bench_rerank,
                 6 if tpu else 2,
                 top=50 if tpu else 2, step_q=15 if tpu else 2, qf_int8=True)
+    if "encode_eva" in modes:
+        # EVA ViT-g in the official record (VERDICT r4 #4): int8 G=8
+        # serving config at its measured-best b1024 tile
+        run("encode_eva_int8_imgs_per_sec", bench_encode_eva_int8,
+            int(os.environ.get("SPRC_BENCH_EVA_BATCH", "1024"))
+            if tpu else 2,
+            enc_steps)
     if "index" in modes:
         # the local-rate decomposition first (compute-bound, fast); the
         # tunnel-bound end-to-end pass last (relay-bandwidth-bound, slow)
