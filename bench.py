@@ -598,17 +598,186 @@ def bench_train(batch, steps, int8=False):
     return _reps(timed)
 
 
+# metric names each mode contributes (for skip/timeout markers)
+_MODE_METRICS = {
+    "encode": ["encode_bf16_imgs_per_sec"],
+    "encode_int8": ["encode_int8_imgs_per_sec"],
+    "query": ["query_scoring_queries_per_sec"],
+    "train": ["train_step_imgs_per_sec"],
+    "train_cached": ["train_cached_step_imgs_per_sec"],
+    "rerank": ["rerank_candidates_per_sec"],
+    "encode_eva": ["encode_eva_int8_imgs_per_sec"],
+    "index": ["index_build_imgs_per_sec_local",
+              "index_build_imgs_per_sec_tunnel_bound"],
+    # int8 serving variants as standalone modes so the isolation pass can
+    # give the CORE list first claim on the budget (VERDICT r4 #1: two
+    # rounds of starved core modes) and spend only the leftover here
+    "query_int8": ["query_scoring_int8_queries_per_sec"],
+    "train_int8": ["train_step_int8_frozen_imgs_per_sec"],
+    "rerank_int8": ["rerank_int8_candidates_per_sec"],
+}
+_CORE_MODES = ["encode", "encode_int8", "query", "train", "train_cached",
+               "rerank", "encode_eva", "index"]
+_VARIANT_MODES = ["query_int8", "rerank_int8", "train_int8"]
+# PRIORITY-ordered singleton children. Two r5 findings drive this shape:
+# (1) big-program setup through the remote tunnel is 100-900 s EACH and
+# wildly session-variable whether the persistent cache hits or misses
+# (tracing ~30-60 s + executable build-or-upload at relay bandwidth
+# dominates; a whole-list rehearsal saw encode alone blow a 900 s child),
+# so on a congested day the 1500 s budget cannot hold the full list and
+# whatever runs FIRST is what gets recorded; (2) per-child process toll is
+# only ~30-40 s, so singleton children cost little and bound a tunnel
+# wedge to one mode's slice. Order = the modes absent from every driver
+# record (VERDICT r4 #1: train/rerank/index starved two rounds running)
+# first, the r4-recorded encode/query family last, int8 serving variants
+# on leftover only. Estimates are warm-cache child walls.
+_CHILD_GROUPS = [
+    (["train"], 330.0),
+    (["train_cached"], 200.0),
+    (["rerank"], 260.0),
+    # the index child's tunnel_bound pass self-skips when its budget is
+    # short (relay-bandwidth-bound ~550 s alone; environmental anyway)
+    (["index"], 280.0),
+    (["encode_eva"], 350.0),
+    (["encode"], 300.0),
+    (["encode_int8"], 350.0),
+    (["query"], 300.0),
+    (_VARIANT_MODES, 450.0),
+]
+
+
+def _spawn_group(group, timeout, extras):
+    """Run ``group``'s modes in one timeout-bounded child process; merge its
+    incremental JSON record into ``extras``. Returns the child's tag
+    ("rc_N" or "timeout_killed")."""
+    import subprocess
+    import sys
+
+    env = dict(
+        os.environ, SPRC_BENCH_CHILD="1",
+        # child budget sits 30 s under the kill timeout so the child
+        # emits its own skip markers before the parent's hard kill
+        SPRC_BENCH_BUDGET_S=str(int(max(timeout - 30.0, 60.0))),
+    )
+    out = ""
+    try:
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__),
+             "--mode", ",".join(group)],
+            env=env, capture_output=True, text=True, timeout=timeout,
+        )
+        out = proc.stdout or ""
+        tag = f"rc_{proc.returncode}"
+    except subprocess.TimeoutExpired as e:
+        raw = e.stdout or b""
+        out = raw.decode("utf-8", "replace") if isinstance(raw, bytes) else raw
+        tag = "timeout_killed"
+    json_lines = [ln for ln in out.strip().splitlines() if ln.startswith("{")]
+    if json_lines:
+        try:
+            child = json.loads(json_lines[-1])
+            for k, v in child.get("extras", {}).items():
+                if k != "bench_wall_s":
+                    extras[k] = v
+        except ValueError:
+            pass
+    for m in group:
+        for name in _MODE_METRICS[m]:
+            extras.setdefault(name, tag)
+    return tag
+
+
+def _mode_unmeasured(extras, m):
+    return not any(
+        isinstance(extras.get(name), (int, float))
+        for name in _MODE_METRICS[m]
+    )
+
+
+def _isolated_all(budget_s, t_start, extras, emit):
+    """Run the full mode list as priority-ordered child processes.
+
+    Each child reloads the persistent XLA disk cache (warm compiles cost
+    seconds when the tunnel cooperates), self-budgets its own modes through
+    the in-process up-front allocation, and prints the same incremental
+    JSON record this parent merges after every child. A wedged tunnel
+    holding one mode for 20+ min (r5 rehearsals: encode 1354 s, then a
+    whole 900 s child) now forfeits only that mode's slice. After a timeout
+    kill the parent cools down 20 s (killing a client mid-remote-op is
+    exactly what wedges the tunnel for the next process), and modes lost to
+    kills/crashes get ONE retry on leftover budget — wedges are transient,
+    so a retry after cooldown often lands the number."""
+    import sys
+
+    for gi, (group, est) in enumerate(_CHILD_GROUPS):
+        remaining = budget_s - (time.time() - t_start)
+        # later groups get whatever the earlier ones left; a group runs iff
+        # half its warm estimate fits — its child then skips individual
+        # modes against the tighter real budget it is handed
+        if remaining < 0.5 * est:
+            for m in group:
+                for name in _MODE_METRICS[m]:
+                    extras.setdefault(name, "skipped_budget")
+            print(f"[bench] group {gi} {group} skipped_budget "
+                  f"({remaining:.0f}s left < {0.5 * est:.0f}s floor)",
+                  file=sys.stderr, flush=True)
+            emit()
+            continue
+        timeout = min(remaining, max(1.8 * est, 420.0))
+        print(f"[bench] group {gi} {group} (timeout {timeout:.0f}s) ...",
+              file=sys.stderr, flush=True)
+        t0 = time.time()
+        tag = _spawn_group(group, timeout, extras)
+        print(f"[bench] group {gi} done ({time.time()-t0:.0f}s, {tag})",
+              file=sys.stderr, flush=True)
+        emit()
+        if tag == "timeout_killed":
+            time.sleep(20.0)
+
+    # retry pass: modes that were killed or crashed (NOT budget-skipped —
+    # skipping was a deliberate allocation) get one more child each while
+    # budget remains, core modes first
+    for group, est in _CHILD_GROUPS:
+        retry = [m for m in group
+                 if _mode_unmeasured(extras, m)
+                 and extras.get(_MODE_METRICS[m][0]) != "skipped_budget"]
+        if not retry:
+            continue
+        remaining = budget_s - (time.time() - t_start)
+        if remaining < 0.5 * est:
+            continue
+        timeout = min(remaining, max(1.8 * est, 420.0))
+        print(f"[bench] retry {retry} (timeout {timeout:.0f}s) ...",
+              file=sys.stderr, flush=True)
+        t0 = time.time()
+        tag = _spawn_group(retry, timeout, extras)
+        print(f"[bench] retry {retry} done ({time.time()-t0:.0f}s, {tag})",
+              file=sys.stderr, flush=True)
+        emit()
+        if tag == "timeout_killed":
+            time.sleep(20.0)
+
+
 def main() -> None:
     import argparse
 
     import jax
 
+    valid = ["all"] + _CORE_MODES + _VARIANT_MODES
+
+    def mode_list(s):
+        parts = [p for p in s.split(",") if p]
+        bad = [p for p in parts if p not in valid]
+        if bad or not parts:
+            raise argparse.ArgumentTypeError(
+                f"invalid mode(s) {bad or [s]}; choose from {valid}")
+        return s
+
     ap = argparse.ArgumentParser()
     ap.add_argument(
-        "--mode",
+        "--mode", type=mode_list,
         default=os.environ.get("SPRC_BENCH_MODE", "all"),
-        choices=["all", "encode", "encode_int8", "query", "train",
-                 "train_cached", "index", "rerank", "encode_eva"],
+        help="one of %s or a comma-separated list" % valid,
     )
     args = ap.parse_args()
 
@@ -635,13 +804,22 @@ def main() -> None:
         record, so a mid-run kill loses at most the in-flight mode."""
         int8_v = extras.get("encode_int8_imgs_per_sec")
         bf16_v = extras.get("encode_bf16_imgs_per_sec")
+        eva_v = extras.get("encode_eva_int8_imgs_per_sec")
         int8_v = int8_v if isinstance(int8_v, (int, float)) else None
         bf16_v = bf16_v if isinstance(bf16_v, (int, float)) else None
+        eva_v = eva_v if isinstance(eva_v, (int, float)) else None
         tower = "vitG" if os.environ.get("SPRC_BENCH_VIT") == "eva" else "vitL"
         if int8_v and (not bf16_v or int8_v >= bf16_v):
             metric, value = f"gallery_encode_{tower}_int8_{backend}", int8_v
+        elif bf16_v:
+            metric, value = f"gallery_encode_{tower}_bf16_{backend}", bf16_v
+        elif eva_v:
+            # ViT-L encode starved this run (priority order favors the
+            # never-recorded modes) — the EVA gallery encode is still a
+            # real encode headline, better than reporting 0
+            metric, value = f"gallery_encode_vitG_int8_{backend}", eva_v
         else:
-            metric, value = f"gallery_encode_{tower}_bf16_{backend}", bf16_v or 0.0
+            metric, value = f"gallery_encode_{tower}_bf16_{backend}", 0.0
         print(
             json.dumps(
                 {
@@ -708,42 +886,56 @@ def main() -> None:
         emit()
 
     modes = (
-        ["encode", "encode_int8", "query", "train", "train_cached", "rerank",
-         "encode_eva", "index"]
-        if args.mode == "all"
-        else [args.mode]
+        _CORE_MODES + _VARIANT_MODES if args.mode == "all"
+        else args.mode.split(",")
     )
+    # Mode isolation (VERDICT r4 #1 root cause): a wedged tunnel can hold a
+    # single in-process mode for 20+ min (r5 rehearsal: encode 1354 s vs its
+    # 120 s warm estimate) and starve every mode after it — the up-front
+    # budget allocation cannot bound a mode once started. So "--mode all"
+    # runs the list as four timeout-bounded child-process groups (each
+    # reloads the persistent XLA disk cache; the core modes get first claim
+    # on the budget, the int8 variants group runs last on leftover) and
+    # merges the children's incremental JSON records. A hog mode now loses
+    # only its group's slice. SPRC_BENCH_ISOLATE=0 opts out.
+    if (
+        args.mode == "all"
+        and os.environ.get("SPRC_BENCH_ISOLATE", "1") == "1"
+        and os.environ.get("SPRC_BENCH_CHILD") != "1"
+    ):
+        _isolated_all(budget_s, t_start, extras, emit)
+        extras["bench_wall_s"] = round(time.time() - t_start, 1)
+        emit()
+        return
+    qb = int(os.environ.get("SPRC_BENCH_QUERY_BATCH", "2048")) if tpu else 2
+    train_batch = int(
+        os.environ.get("SPRC_BENCH_TRAIN_BATCH", "64")) if tpu else 2
     if "encode" in modes:
         run("encode_bf16_imgs_per_sec", bench_encode, enc_batch, enc_steps)
     if "encode_int8" in modes:
         run("encode_int8_imgs_per_sec", bench_encode_int8, enc_batch, enc_steps)
     if "query" in modes:
-        qb = int(os.environ.get("SPRC_BENCH_QUERY_BATCH", "2048")) if tpu else 2
-        run(
-            # batch sweep on chip (fused QF): 3693 (b512) -> 4097 (b1024) ->
-            # 4279 q/s (b2048); int8 QF 4748 -> 5242 -> 5651 — the larger
-            # tile amortizes dispatch against the fixed 10k gallery
-            "query_scoring_queries_per_sec", bench_query,
-            qb, 10 if tpu else 2, 10000 if tpu else 16,
-        )
-        if args.mode == "all":
-            # int8-QF serving opt-in (rankings preserved; see
-            # tests/test_pallas_qformer.py + MEASUREMENTS.md round 3)
-            run("query_scoring_int8_queries_per_sec", bench_query,
-                qb, 10 if tpu else 2, 10000 if tpu else 16, qf_int8=True)
+        # batch sweep on chip (fused QF): 3693 (b512) -> 4097 (b1024) ->
+        # 4279 q/s (b2048); int8 QF 4748 -> 5242 -> 5651 — the larger
+        # tile amortizes dispatch against the fixed 10k gallery
+        run("query_scoring_queries_per_sec", bench_query,
+            qb, 10 if tpu else 2, 10000 if tpu else 16)
+    if "query_int8" in modes:
+        # int8-QF serving opt-in (rankings preserved; see
+        # tests/test_pallas_qformer.py + MEASUREMENTS.md round 3)
+        run("query_scoring_int8_queries_per_sec", bench_query,
+            qb, 10 if tpu else 2, 10000 if tpu else 16, qf_int8=True)
     if "train" in modes:
-        train_batch = int(
-            os.environ.get("SPRC_BENCH_TRAIN_BATCH", "64")) if tpu else 2
         # b64 measured best (204 imgs/s vs 164 at b32; b128 OOMs the 16 GB
         # chip without remat — reference effective-128 = b64 + grad_accum 2)
         run("train_step_imgs_per_sec", bench_train, train_batch,
             6 if tpu else 2)
-        if args.mode == "all":
-            # int8 FROZEN-tower forwards (numerics opt-in for real training,
-            # +15-19% measured; towers are outside autodiff so quantization
-            # only perturbs the Q-Former's inputs)
-            run("train_step_int8_frozen_imgs_per_sec", bench_train,
-                train_batch, 6 if tpu else 2, int8=True)
+    if "train_int8" in modes:
+        # int8 FROZEN-tower forwards (numerics opt-in for real training,
+        # +15-19% measured; towers are outside autodiff so quantization
+        # only perturbs the Q-Former's inputs)
+        run("train_step_int8_frozen_imgs_per_sec", bench_train,
+            train_batch, 6 if tpu else 2, int8=True)
     if "train_cached" in modes:
         # cached frozen-feature step (exact for the reference recipe):
         # Q-Former-only fwd+bwd — no ViT activations, so the full reference
@@ -756,10 +948,10 @@ def main() -> None:
         run("rerank_candidates_per_sec", bench_rerank,
             6 if tpu else 2,
             top=50 if tpu else 2, step_q=15 if tpu else 2)
-        if args.mode == "all":
-            run("rerank_int8_candidates_per_sec", bench_rerank,
-                6 if tpu else 2,
-                top=50 if tpu else 2, step_q=15 if tpu else 2, qf_int8=True)
+    if "rerank_int8" in modes:
+        run("rerank_int8_candidates_per_sec", bench_rerank,
+            6 if tpu else 2,
+            top=50 if tpu else 2, step_q=15 if tpu else 2, qf_int8=True)
     if "encode_eva" in modes:
         # EVA ViT-g in the official record (VERDICT r4 #4): int8 G=8
         # serving config at its measured-best b1024 tile
