@@ -694,7 +694,7 @@ def _mode_unmeasured(extras, m):
     )
 
 
-def _isolated_all(budget_s, t_start, extras, emit):
+def _isolated_all(budget_s, t_start, extras, emit, probe=False):
     """Run the full mode list as priority-ordered child processes.
 
     Each child reloads the persistent XLA disk cache (warm compiles cost
@@ -707,7 +707,37 @@ def _isolated_all(budget_s, t_start, extras, emit):
     exactly what wedges the tunnel for the next process), and modes lost to
     kills/crashes get ONE retry on leftover budget — wedges are transient,
     so a retry after cooldown often lands the number."""
+    import subprocess
     import sys
+
+    if probe:
+        # Tunnel-health stamp (r5: big-program setup through the relay
+        # swung 100->900+ s within one day — record the infra state so a
+        # starved record is interpretable): small-op RTT + one mid-size
+        # fresh compile, in a bounded child so a dead tunnel can't hang
+        # the parent.
+        probe_src = (
+            "import time,jax,jax.numpy as jnp\n"
+            "t=time.time();x=jax.jit(lambda a:(a@a).sum())(jnp.ones((256,256)))"
+            ";jax.block_until_ready(x);print('rtt %.3f'%(time.time()-t))\n"
+            "def f(a):\n"
+            "  for i in range(8): a=jnp.tanh(a@a)+float(i)\n"
+            "  return a.sum()\n"
+            "t=time.time();x=jax.jit(f)(jnp.ones((1024,1024)))"
+            ";jax.block_until_ready(x);print('midcompile %.3f'%(time.time()-t))\n"
+        )
+        try:
+            p = subprocess.run([sys.executable, "-c", probe_src], timeout=150,
+                               capture_output=True, text=True)
+            for ln in (p.stdout or "").splitlines():
+                if ln.startswith("rtt "):
+                    extras["tunnel_smallop_s"] = round(float(ln.split()[1]), 3)
+                elif ln.startswith("midcompile "):
+                    extras["tunnel_midcompile_s"] = round(
+                        float(ln.split()[1]), 3)
+        except (subprocess.TimeoutExpired, ValueError):
+            extras["tunnel_smallop_s"] = "probe_timeout"
+        emit()
 
     for gi, (group, est) in enumerate(_CHILD_GROUPS):
         remaining = budget_s - (time.time() - t_start)
@@ -903,7 +933,7 @@ def main() -> None:
         and os.environ.get("SPRC_BENCH_ISOLATE", "1") == "1"
         and os.environ.get("SPRC_BENCH_CHILD") != "1"
     ):
-        _isolated_all(budget_s, t_start, extras, emit)
+        _isolated_all(budget_s, t_start, extras, emit, probe=tpu)
         extras["bench_wall_s"] = round(time.time() - t_start, 1)
         emit()
         return
