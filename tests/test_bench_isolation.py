@@ -128,3 +128,33 @@ def test_groups_cover_all_modes_exactly_once():
     flat = [m for group, _ in bench._CHILD_GROUPS for m in group]
     assert sorted(flat) == sorted(bench._MODE_METRICS)
     assert len(flat) == len(set(flat))
+
+
+def test_child_dispatch_runs_requested_modes(monkeypatch):
+    """A comma-mode child invocation dispatches exactly the requested
+    bench functions (CPU; bench fns stubbed so no model builds)."""
+    import sys
+
+    called = []
+
+    def stub(name):
+        def fn(*a, **kw):
+            called.append((name, kw.get("qf_int8", kw.get("int8", False))))
+            return 1.0, {}
+        return fn
+
+    for fn_name in ["bench_encode", "bench_encode_int8", "bench_query",
+                    "bench_train", "bench_train_cached", "bench_rerank",
+                    "bench_encode_eva_int8", "bench_index",
+                    "bench_index_local"]:
+        monkeypatch.setattr(bench, fn_name, stub(fn_name))
+    monkeypatch.setenv("SPRC_BENCH_CHILD", "1")
+    monkeypatch.setenv("SPRC_BENCH_BUDGET_S", "100000")
+    monkeypatch.setattr(sys, "argv",
+                        ["bench.py", "--mode", "train,rerank_int8,query"])
+    bench.main()
+    names = [c[0] for c in called]
+    assert names == ["bench_query", "bench_train", "bench_rerank"]
+    # the rerank call carried the int8 flag, the query call did not
+    assert called[2][1] is True
+    assert called[0][1] is False
