@@ -52,6 +52,43 @@ def build_submission_dicts(
     return predictions, group_predictions
 
 
+def build_circo_submission(
+    sims: np.ndarray,
+    index_ids: Sequence[str],
+    query_ids: Sequence[str],
+    top_k: int = 50,
+    rerank_fn=None,
+) -> Dict[str, List[str]]:
+    """sims [B, N] -> {query_id: top-``top_k`` retrieved COCO img ids}.
+
+    CIRCO test-server submission (beyond the reference, which defines the
+    CIRCO dataset at data_utils.py:289-426 but never wires an eval or
+    submission path). The reference image is NOT dropped: CIRCO ground
+    truths never equal the reference and the dataset's standard protocol
+    ranks the raw gallery — consistent with ``compute_circo_metrics``.
+    ``rerank_fn``, if given, rewrites the sorted-id matrix before the
+    top-k cut (two-stage ITM rerank, same contract as the CIRR path)."""
+    sorted_ids = sort_gallery(sims, index_ids)
+    if rerank_fn is not None:
+        sorted_ids = rerank_fn(sorted_ids)
+    return {
+        str(qid): row[:top_k].tolist()
+        for qid, row in zip(query_ids, sorted_ids)
+    }
+
+
+def write_circo_submission(
+    output_dir: str,
+    file_name: str,
+    predictions: Dict[str, List[str]],
+) -> str:
+    os.makedirs(output_dir, exist_ok=True)
+    path = os.path.join(output_dir, f"circo_submission_{file_name}.json")
+    with open(path, "w") as f:
+        json.dump(predictions, f, sort_keys=True)
+    return path
+
+
 def write_submission_files(
     output_dir: str,
     file_name: str,

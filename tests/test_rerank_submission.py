@@ -96,3 +96,94 @@ def test_submission_dicts_and_files(tmp_path, rng):
     with open(p2) as f:
         sub2 = json.load(f)
     assert sub2["metric"] == "recall_subset"
+
+
+def test_circo_submission_dict_and_file(tmp_path):
+    from sprc_tpu.retrieval.submission import (
+        build_circo_submission,
+        write_circo_submission,
+    )
+
+    ids = [str(1000 + i) for i in range(6)]
+    # query 0 ranks id 1003 first; query 1 ranks id 1000 first
+    sims = np.array(
+        [[0.1, 0.2, 0.3, 0.9, 0.0, 0.4],
+         [0.8, 0.1, 0.2, 0.3, 0.4, 0.5]], np.float32)
+    preds = build_circo_submission(sims, ids, ["7", "9"], top_k=3)
+    assert preds["7"] == ["1003", "1005", "1002"]
+    assert preds["9"] == ["1000", "1005", "1004"]
+
+    path = write_circo_submission(str(tmp_path), "unit", preds)
+    with open(path) as f:
+        loaded = json.load(f)
+    assert loaded == preds
+    assert path.endswith("circo_submission_unit.json")
+
+
+def test_circo_submission_cli_flow(tmp_path, monkeypatch):
+    """End-to-end CIRCO test-split submission over a synthetic fixture with
+    the tiny model (the reference never wires CIRCO; this pins our
+    beyond-parity CLI: gallery encode -> query scoring -> server JSON)."""
+    import argparse
+
+    import PIL.Image
+
+    import sprc_tpu.cli.validate as vcli
+    from sprc_tpu.cli.submission import generate_circo_submission
+    from sprc_tpu.retrieval.engine import RetrievalEngine
+
+    rng_ = np.random.RandomState(7)
+    root = tmp_path / "circo"
+    (root / "COCO2017_unlabeled" / "annotations").mkdir(parents=True)
+    (root / "COCO2017_unlabeled" / "unlabeled2017").mkdir()
+    (root / "annotations").mkdir()
+    infos = []
+    for i in range(5):
+        fname = f"{i:012d}.jpg"
+        arr = (rng_.rand(30, 40, 3) * 255).astype(np.uint8)
+        PIL.Image.fromarray(arr).save(
+            root / "COCO2017_unlabeled" / "unlabeled2017" / fname)
+        infos.append({"id": 1000 + i, "file_name": fname})
+    (root / "COCO2017_unlabeled" / "annotations"
+     / "image_info_unlabeled2017.json").write_text(
+        json.dumps({"images": infos}))
+    # test split: query-only annotations (no target/gt fields)
+    anns = [
+        {"id": q, "reference_img_id": 1000 + q,
+         "relative_caption": f"caption {q}", "shared_concept": "thing"}
+        for q in range(3)
+    ]
+    (root / "annotations" / "test.json").write_text(json.dumps(anns))
+
+    model = build("blip2_cir_align_prompt")
+    params = init_params(model, image_size=28)
+    tok = BertWordPieceTokenizer(
+        {t: i for i, t in enumerate(
+            ["[PAD]", "[UNK]", "[CLS]", "[SEP]", "caption", "0", "1", "2"])})
+
+    def fake_build_engine(args, mesh=None):
+        engine = RetrievalEngine(
+            model, params, tok, mesh=mesh,
+            encode_batch=args.encode_batch, query_batch=args.query_batch)
+        return model, engine
+
+    monkeypatch.setattr(vcli, "build_engine", fake_build_engine)
+    args = argparse.Namespace(
+        dataset="CIRCO", data_path=str(root), model_path=None,
+        model_name="blip2_cir_align_prompt", model_type="pretrain",
+        vocab_path="unused", transform="targetpad", target_ratio=1.25,
+        encode_batch=4, query_batch=2, workers=2, bf16=False,
+        dress_types=[], mesh=False, submission_name="e2e",
+        output_dir=str(tmp_path / "out"), rerank=False,
+        rerank_model_name="blip2_cir_rerank", rerank_model_path=None,
+        rerank_top=3, rerank_step=3, model_overrides=[],
+    )
+    path = generate_circo_submission(args)
+    with open(path) as f:
+        preds = json.load(f)
+    assert set(preds) == {"0", "1", "2"}
+    gallery_ids = {str(1000 + i) for i in range(5)}
+    for row in preds.values():
+        # full 5-image gallery ranked (top_k=50 > N), all ids valid, no dups
+        assert len(row) == 5 and set(row) <= gallery_ids
+        assert len(set(row)) == len(row)
