@@ -742,14 +742,17 @@ def _isolated_all(budget_s, t_start, extras, emit, probe=False):
     for gi, (group, est) in enumerate(_CHILD_GROUPS):
         remaining = budget_s - (time.time() - t_start)
         # later groups get whatever the earlier ones left; a group runs iff
-        # half its warm estimate fits — its child then skips individual
-        # modes against the tighter real budget it is handed
-        if remaining < 0.5 * est:
+        # 65% of its warm estimate fits (the r5 full rehearsal burned a
+        # 155 s slice on a query child that needed ~200 s warm — a doomed
+        # spawn wastes exactly the budget a skip would have banked) — its
+        # child then skips individual modes against the tighter real
+        # budget it is handed
+        if remaining < 0.65 * est:
             for m in group:
                 for name in _MODE_METRICS[m]:
                     extras.setdefault(name, "skipped_budget")
             print(f"[bench] group {gi} {group} skipped_budget "
-                  f"({remaining:.0f}s left < {0.5 * est:.0f}s floor)",
+                  f"({remaining:.0f}s left < {0.65 * est:.0f}s floor)",
                   file=sys.stderr, flush=True)
             emit()
             continue
@@ -774,7 +777,7 @@ def _isolated_all(budget_s, t_start, extras, emit, probe=False):
         if not retry:
             continue
         remaining = budget_s - (time.time() - t_start)
-        if remaining < 0.5 * est:
+        if remaining < 0.65 * est:
             continue
         timeout = min(remaining, max(1.8 * est, 420.0))
         print(f"[bench] retry {retry} (timeout {timeout:.0f}s) ...",
