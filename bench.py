@@ -634,17 +634,21 @@ _VARIANT_MODES = ["query_int8", "rerank_int8", "train_int8"]
 _CHILD_GROUPS = [
     (["train"], 330.0),
     (["train_cached"], 200.0),
+    # encode_int8 third: it IS the headline (int8 serving config, r5:
+    # 1277 vs bf16's 896 imgs/s) — the two r5 full rehearsals showed the
+    # budget holds 5-7 children depending on tunnel state, and a starved
+    # encode family dropped the record's top-line to the vitG fallback
+    (["encode_int8"], 350.0),
     (["rerank"], 260.0),
     # the index child's tunnel_bound pass self-skips when its budget is
     # short (relay-bandwidth-bound ~550 s alone; environmental anyway)
     (["index"], 280.0),
-    (["encode_eva"], 350.0),
-    # int8 before bf16: when only one encode variant fits the leftover,
-    # the serving-config int8 number is the better headline (r5: 1277 vs
-    # 896 imgs/s) and emit() prefers it
-    (["encode_int8"], 350.0),
-    (["encode"], 300.0),
     (["query"], 300.0),
+    (["encode"], 300.0),
+    # EVA after the seven core modes (VERDICT's "additionally"): lands on
+    # fast-tunnel days, and both r5 rehearsals recorded 420 imgs/s in
+    # MEASUREMENTS.md regardless
+    (["encode_eva"], 350.0),
     (_VARIANT_MODES, 450.0),
 ]
 
