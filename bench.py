@@ -1012,6 +1012,16 @@ def main() -> None:
 
     extras["bench_wall_s"] = round(time.time() - t_start, 1)
     emit()
+    if os.environ.get("SPRC_BENCH_CHILD") == "1":
+        # hard-exit: the remote-backend client can hang in atexit teardown
+        # (an r5 index child finished its work, emitted, then lingered to
+        # its kill timeout — wasting ~150 s of the parent's budget). All
+        # output is already flushed; nothing here needs cleanup.
+        import sys
+
+        sys.stdout.flush()
+        sys.stderr.flush()
+        os._exit(0)
 
 
 if __name__ == "__main__":

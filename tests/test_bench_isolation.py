@@ -152,7 +152,12 @@ def test_child_dispatch_runs_requested_modes(monkeypatch):
     monkeypatch.setenv("SPRC_BENCH_BUDGET_S", "100000")
     monkeypatch.setattr(sys, "argv",
                         ["bench.py", "--mode", "train,rerank_int8,query"])
+    # children hard-exit after the final emit (remote-client teardown can
+    # hang); intercept so pytest survives
+    exited = []
+    monkeypatch.setattr(bench.os, "_exit", lambda code: exited.append(code))
     bench.main()
+    assert exited == [0]
     names = [c[0] for c in called]
     assert names == ["bench_query", "bench_train", "bench_rerank"]
     # the rerank call carried the int8 flag, the query call did not
